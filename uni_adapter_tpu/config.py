@@ -1,0 +1,225 @@
+"""Configuration system for the Uni-Adapter TPU framework.
+
+Dataclass-based rebuild of the reference's three-tier config:
+  * CLI/experiment flags   (reference: utils/params.py:4-118)
+  * per-dataset TTA hyperparameters (reference: utils/hyperparams.py:1-33)
+  * JSON assets for class labels / prompt templates (reference: data/labels.json,
+    data/templates.json, selected by --validate_dataset_name / --template_key)
+
+Design deviations from the reference, each deliberate and documented:
+  * `use_new_approximation` is a real bool here.  The reference declares it with
+    `type=bool`, so any CLI string parses truthy (utils/params.py:26), and then
+    reads `args.use_new_approximation` instead of the per-dataset
+    `hp['use_new_approximation']` (Uni_Adapter.py:559).  We honour the
+    per-dataset table by default and let the CLI override explicitly.
+  * `use_gmm_dota` exists (default False).  The reference's cache-path guard
+    reads an undefined `args.use_gmm_dota` (Uni_Adapter.py:541) and raises
+    AttributeError when both dota flags are off.
+  * Personal hard-coded default paths are replaced by required/None fields.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
+
+#: The 15 corruption types of the -C benchmarks (reference: main_test-time.py:55-59).
+CORRUPTIONS = (
+    "uniform", "gaussian", "background", "impulse", "upsampling",
+    "distortion_rbf", "distortion_rbf_inv", "density", "density_inc",
+    "shear", "rotation", "cutout", "distortion", "occlusion", "lidar",
+)
+
+
+@dataclass
+class ModelConfig:
+    """Backbone selection and dimensions.
+
+    Defaults mirror the reference's per-model argparse blocks
+    (utils/params.py:30-69) and the canonical Point-BERT yaml
+    (models/ulip/pointbert/PointTransformer_8192point.yaml).
+    """
+    vlm3d: str = "uni3d"                 # uni3d | ulip | openshape
+    # Uni3D (reference: utils/params.py:36-44; models/point_encoder.py:161-189)
+    pc_feat_dim: int = 1024              # transformer width (EVA02-L)
+    embed_dim: int = 1024                # CLIP embedding dim
+    num_group: int = 512
+    group_size: int = 64
+    pc_encoder_dim: int = 512            # mini-PointNet output channels
+    eva_depth: int = 24                  # EVA02-Large depth
+    eva_heads: int = 16
+    patch_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    # ULIP / Point-BERT (reference: models/ulip/pointbert/point_encoder.py:120-141)
+    ulip_trans_dim: int = 384
+    ulip_depth: int = 12
+    ulip_heads: int = 6
+    ulip_group_size: int = 32
+    ulip_encoder_dim: int = 256
+    ulip_embed_dim: int = 512
+    # OpenShape PPTA (reference: models/openshape/ppta.py:159-199, config.yaml:11)
+    oshape_version: str = "vitg14"       # vitg14 (scaling 4) | vitl14 (scaling 3)
+    oshape_clip_dim: int = 1280          # bigG text dim (config.yaml:3)
+    # Numerics: encoder compute dtype.  Reference mixes fp16/fp32
+    # (dota.py:31,69,76; load_models.py:85,101); on TPU we standardise on
+    # bf16 compute with fp32 adaptation state (SURVEY.md §7 hard part 5).
+    compute_dtype: str = "bfloat16"
+    # Checkpoints (converted from torch; optional — random init otherwise)
+    checkpoint_path: Optional[str] = None
+    clip_checkpoint_path: Optional[str] = None
+
+
+@dataclass
+class DotaConfig:
+    """DOTA / MODE-DOTA hyperparameters (reference: utils/params.py:100-114)."""
+    use_dota: bool = False
+    use_mode_dota: bool = True
+    use_gmm_dota: bool = False
+    use_adaptive_dota: bool = False
+    epsilon: float = 1e-4
+    sigma: float = 1e-4
+    eta: float = 0.1
+    rho: float = 0.02
+    mode_M: int = 4
+    res_learning: bool = True
+    prior_pre_steps: Optional[int] = None
+    alpha_max: float = 0.5               # DOTA_mix prior blend (dota_mixture.py:57)
+    # MODE-DOTA noise-augmented double fit (Uni_Adapter.py:419-430)
+    noise_std: float = 0.05
+    # Residual learning (Uni_Adapter.py:341-354,444-448)
+    residual_lr: float = 1e-3
+    residual_steps: int = 10
+
+
+@dataclass
+class CacheConfig:
+    """Uni-Adapter cache hyperparameters.
+
+    Per-dataset table mirrors the reference exactly
+    (utils/hyperparams.py:1-33).
+    """
+    shot_capacity: int = 30
+    beta: float = 150.0
+    threshold: float = 0.5
+    lambda_reg: float = 0.11
+    use_new_approximation: bool = True
+    cg_max_iter: int = 100               # utils/math_utils.py:21 max_iter
+    cg_tol: float = 1e-5
+
+
+@dataclass
+class DataConfig:
+    root: str = ""
+    dataset_name: str = "modelnet"       # modelnet | scanobject | shapenetcore
+    validate_dataset_name: str = "modelnet40_openshape"
+    template_key: str = "modelnet40_64"
+    corruption: str = "all"
+    severity: int = 5
+    batch_size: int = 1
+    npoints: int = 1024
+    debug: bool = False                  # 5-sample slice (tta_datasets.py:106-108)
+    precomputed_text_features: Optional[str] = None
+    labels_path: str = os.path.join(ASSETS_DIR, "labels.json")
+    templates_path: str = os.path.join(ASSETS_DIR, "templates.json")
+
+
+@dataclass
+class RunConfig:
+    name: Optional[str] = None
+    output_dir: str = "./outputs"
+    seed: int = 42
+    print_freq: int = 100
+    # Distributed-eval mode over a jax Mesh (SURVEY.md §5.8):
+    #   'replicated' — single stream, exact reference trajectory
+    #   'sharded'    — shard the stream; per-shard independent adaptation state
+    #   'psum'       — shard the stream; psum-merged sufficient statistics
+    dist_mode: str = "replicated"
+    data_axis: str = "data"
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    dota: DotaConfig = field(default_factory=DotaConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    def resolve(self) -> "Config":
+        """Apply the per-dataset hyperparameter table (hyperparams.py:9-33)."""
+        name = self.data.dataset_name.lower()
+        c = dataclasses.replace(self.cache)
+        if "modelnet" in name:
+            c.lambda_reg, c.threshold = 0.11, 0.5
+        elif "scanobject" in name:
+            c.lambda_reg, c.threshold = 0.20, 0.5
+        elif "shapenet" in name:
+            c.lambda_reg, c.threshold = 0.07, 0.45
+            c.use_new_approximation = False
+        return dataclasses.replace(self, cache=c)
+
+
+def get_hyperparams(dataset_name: str) -> dict:
+    """Dict-style accessor matching the reference API (hyperparams.py:1-33)."""
+    cfg = Config(data=DataConfig(dataset_name=dataset_name)).resolve()
+    return {
+        "shot_capacity": cfg.cache.shot_capacity,
+        "beta": cfg.cache.beta,
+        "threshold": cfg.cache.threshold,
+        "lambda_reg": cfg.cache.lambda_reg,
+        "use_new_approximation": cfg.cache.use_new_approximation,
+    }
+
+
+def load_labels(cfg: Config) -> list[str]:
+    with open(cfg.data.labels_path) as f:
+        return json.load(f)[cfg.data.validate_dataset_name]
+
+
+def load_templates(cfg: Config) -> list[str]:
+    with open(cfg.data.templates_path) as f:
+        return json.load(f)[cfg.data.template_key]
+
+
+def _add_fields(parser: argparse.ArgumentParser, prefix: str, dc) -> None:
+    for f in dataclasses.fields(dc):
+        arg = f"--{prefix}{f.name.replace('_', '-')}"
+        default = getattr(dc, f.name)
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            parser.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=default)
+        elif isinstance(default, (int, float, str)) or default is None:
+            typ = type(default) if default is not None else str
+            parser.add_argument(arg, type=typ, default=default)
+
+
+def parse_args(argv=None) -> Config:
+    """CLI covering the reference's ~60 flags (utils/params.py:4-118)."""
+    cfg = Config()
+    parser = argparse.ArgumentParser(
+        description="Uni-Adapter TPU: training-free online TTA for 3D VLMs")
+    _add_fields(parser, "", cfg.run)
+    _add_fields(parser, "", cfg.data)
+    _add_fields(parser, "", cfg.model)
+    _add_fields(parser, "dota-", cfg.dota)
+    _add_fields(parser, "cache-", cfg.cache)
+    ns = parser.parse_args(argv)
+
+    def take(dc, prefix=""):
+        kw = {}
+        for f in dataclasses.fields(dc):
+            key = (prefix + f.name) if prefix else f.name
+            if hasattr(ns, key):
+                kw[f.name] = getattr(ns, key)
+        return dataclasses.replace(dc, **kw)
+
+    cfg = Config(
+        model=take(cfg.model), data=take(cfg.data), run=take(cfg.run),
+        dota=take(cfg.dota, "dota_"), cache=take(cfg.cache, "cache_"),
+    )
+    return cfg.resolve()

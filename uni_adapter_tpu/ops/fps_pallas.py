@@ -1,0 +1,80 @@
+"""Pallas TPU kernel for farthest point sampling.
+
+TPU-native replacement for the reference's single native dependency, the CUDA
+`pointnet2_ops.furthest_point_sample` kernel (imported at
+models/point_encoder.py:3, used at :12-13).  FPS is inherently sequential —
+G dependent argmax steps — so the win is keeping the whole recurrence
+resident in VMEM: the (3, N) coordinate block and the (1, N) running
+min-distance vector never leave the chip, and each step is one VPU
+distance + min + argmax sweep (SURVEY.md §2.4, §7 hard part 1).
+
+Layout: points are fed transposed as (B, 3, N) so the long N axis sits on
+the 128-wide lane dimension.  N is padded to a multiple of 128; padded slots
+start at -inf running distance so argmax never selects them.
+
+Start-index semantics match the CUDA kernel (first centroid = index 0), the
+same choice as ops/geometry.farthest_point_sample.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fps_kernel(npoint: int, n_real: int, xyz_ref, out_ref, dist_ref):
+    # xyz_ref: (1, 3, N) VMEM; out_ref: (1, npoint) int32; dist_ref: (1, N) f32 scratch
+    n = xyz_ref.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    valid = lane < n_real
+    dist_ref[:, :] = jnp.where(valid, jnp.inf, -jnp.inf).astype(jnp.float32)
+
+    def body(i, farthest):
+        out_ref[0, i] = farthest
+        cx = xyz_ref[0, 0, farthest]
+        cy = xyz_ref[0, 1, farthest]
+        cz = xyz_ref[0, 2, farthest]
+        dx = xyz_ref[0, 0, :] - cx
+        dy = xyz_ref[0, 1, :] - cy
+        dz = xyz_ref[0, 2, :] - cz
+        d = (dx * dx + dy * dy + dz * dz)[None, :]
+        dist_ref[:, :] = jnp.minimum(dist_ref[:, :], d)
+        return jnp.argmax(dist_ref[:, :], axis=-1)[0].astype(jnp.int32)
+
+    jax.lax.fori_loop(0, npoint, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+def fps_pallas(xyz: jax.Array, npoint: int, interpret: bool = False) -> jax.Array:
+    """Farthest point sampling via a Pallas TPU kernel.
+
+    Args:
+      xyz: (B, N, 3) points, any float dtype.
+      npoint: number of centers (static).
+      interpret: run in interpreter mode (for CPU tests).
+    Returns:
+      (B, npoint) int32 indices — same contract as
+      ops.geometry.farthest_point_sample, which is the numerics oracle.
+    """
+    B, N, _ = xyz.shape
+    n_pad = -(-N // 128) * 128
+    xt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    if n_pad != N:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, n_pad - N)))
+
+    kernel = functools.partial(_fps_kernel, npoint, N)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, n_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, npoint), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(xt)
+    return out
