@@ -1,0 +1,159 @@
+"""Uni-Adapter prototype cache with graph-Laplacian label refinement.
+
+Rebuild of the reference's cache path (Uni_Adapter.py:78-189).  The
+reference keeps a Python dict of per-class growing lists — impossible under
+jit — but capacity is bounded at `shot_capacity` per class
+(utils/hyperparams.py:12), so the cache re-encodes losslessly as
+fixed-capacity arrays + a validity mask (SURVEY.md §7 architecture stance):
+
+    feats  (K, C, D)   prototype features
+    conf   (K, C)      confidences exp(-β·normalised-entropy)
+    probs  (K, C, K)   per-prototype class probabilities
+    counts (K, C)      merge counts
+    valid  (K, C)      slot occupancy
+
+Batch-size-1 semantics are inherited from the reference (its
+`get_logits_wrapper` coerces the prediction to a Python int,
+Uni_Adapter.py:72, so the cache path only ever sees one sample per step).
+
+The reference threads `(add_new_center, L_reg_old, L_reg_old_inv)` between
+steps, but its live "new approximation" path always re-solves by CG and sets
+L_inv = 0 (math_utils.py:92-98; the recursive-inverse update is commented
+out) — so no cross-step carry is needed here beyond the cache itself.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uni_adapter_tpu.utils.math import (
+    normalized_entropy,
+    online_value_refinement_new,
+    online_value_refinement_old,
+    softmax_entropy,
+)
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class CacheState(NamedTuple):
+    feats: jax.Array    # (K, C, D)
+    conf: jax.Array     # (K, C)
+    probs: jax.Array    # (K, C, K)
+    counts: jax.Array   # (K, C)
+    valid: jax.Array    # (K, C) bool
+
+
+def init(num_classes: int, shot_capacity: int, feat_dim: int) -> CacheState:
+    K, C, D = num_classes, shot_capacity, feat_dim
+    return CacheState(
+        feats=jnp.zeros((K, C, D), jnp.float32),
+        conf=jnp.zeros((K, C), jnp.float32),
+        probs=jnp.zeros((K, C, K), jnp.float32),
+        counts=jnp.zeros((K, C), jnp.float32),
+        valid=jnp.zeros((K, C), bool),
+    )
+
+
+def update_cache(state: CacheState, pred: jax.Array, pc_features: jax.Array,
+                 prop_entropy: jax.Array, prob_map: jax.Array,
+                 clip_weights: jax.Array, beta: float = 150.0):
+    """Insert-or-merge one sample (reference: Uni_Adapter.py:78-118).
+
+    Args:
+      pred: () int32 predicted class of the sample.
+      pc_features: (1, D) L2-normalised feature.
+      prop_entropy: () normalised entropy of the sample's logits.
+      prob_map: (1, K) softmax probabilities.
+      clip_weights: (D, K) current text anchors.
+    Returns:
+      (new_state, add_new_center: bool array)
+    """
+    K = state.probs.shape[0]
+    confidence = jnp.exp(-beta * prop_entropy)                  # ()
+    feat = pc_features[0].astype(jnp.float32)                   # (D,)
+
+    n_valid = jnp.sum(state.valid[pred].astype(jnp.int32))
+    has_room = n_valid < state.feats.shape[1]
+
+    def insert(s: CacheState) -> CacheState:
+        slot = n_valid  # slots fill in order and are never freed
+        return CacheState(
+            feats=s.feats.at[pred, slot].set(feat),
+            conf=s.conf.at[pred, slot].set(confidence),
+            probs=s.probs.at[pred, slot].set(prob_map[0].astype(jnp.float32)),
+            counts=s.counts.at[pred, slot].set(1.0),
+            valid=s.valid.at[pred, slot].set(True),
+        )
+
+    def merge(s: CacheState) -> CacheState:
+        # most-similar prototype (class is full ⇒ all slots valid)
+        sims = jnp.matmul(s.feats[pred], feat, precision=_HIGH)  # (C,)
+        m = jnp.argmax(sims)
+        feat_c = s.feats[pred, m]
+        conf_c = s.conf[pred, m]
+        count_c = s.counts[pred, m]
+        # confidence-count-weighted running mean (Uni_Adapter.py:104-105)
+        new_feat = (conf_c * count_c * feat_c + confidence * feat) / (
+            count_c * conf_c + confidence)
+        new_feat = new_feat / (jnp.linalg.norm(new_feat) + 1e-12)
+        logits = 100.0 * jnp.matmul(new_feat[None], clip_weights,
+                                    precision=_HIGH)             # (1, K)
+        new_prob = jax.nn.softmax(logits, axis=1)
+        new_prop_ent = normalized_entropy(softmax_entropy(logits), K)[0]
+        new_conf = jnp.exp(-beta * new_prop_ent)
+        return CacheState(
+            feats=s.feats.at[pred, m].set(new_feat),
+            conf=s.conf.at[pred, m].set(new_conf),
+            probs=s.probs.at[pred, m].set(new_prob[0]),
+            counts=s.counts.at[pred, m].set(count_c + 1.0),
+            valid=s.valid,
+        )
+
+    new_state = jax.lax.cond(has_room, insert, merge, state)
+    return new_state, has_room
+
+
+def compute_cache_logits(pc_features: jax.Array, state: CacheState,
+                         threshold: float, lambda_reg: float,
+                         use_new_approximation: bool = True,
+                         cg_max_iter: int = 100) -> jax.Array:
+    """Cache logits with graph-based label smoothing
+    (reference: Uni_Adapter.py:120-189).
+
+    Flattens the fixed-capacity cache to (K·C, ·) masked arrays, refines the
+    prototype labels on the cosine graph, one-hots + count-normalises the
+    refined labels, and returns affinity @ values.
+
+    Args:
+      pc_features: (B, D).
+    Returns:
+      (B, K) cache logits (zeros while the cache is empty — the masked
+      refinement yields all-zero values, matching Uni_Adapter.py:130-131).
+    """
+    K, C, D = state.feats.shape
+    keys = state.feats.reshape(K * C, D)
+    probs = state.probs.reshape(K * C, K)
+    valid = state.valid.reshape(K * C)
+
+    if use_new_approximation:
+        refined = online_value_refinement_new(
+            keys, probs, valid, threshold=threshold, lambda_reg=lambda_reg,
+            max_iter=cg_max_iter)
+    else:
+        refined = online_value_refinement_old(
+            keys, probs, valid, threshold=threshold, lambda_reg=lambda_reg)
+
+    new_classes = jnp.argmax(refined, axis=1)
+    values = jax.nn.one_hot(new_classes, K, dtype=jnp.float32)
+    values = values * valid[:, None].astype(jnp.float32)
+    cache_counts = values.sum(axis=0) + 1e-6
+    values = values / cache_counts
+
+    pc = pc_features / (jnp.linalg.norm(pc_features, axis=-1,
+                                        keepdims=True) + 1e-12)
+    affinity = jnp.matmul(pc.astype(jnp.float32), keys.T, precision=_HIGH)
+    affinity = affinity * valid[None, :].astype(jnp.float32)
+    return jnp.matmul(affinity, values, precision=_HIGH)

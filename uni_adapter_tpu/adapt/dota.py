@@ -1,0 +1,119 @@
+"""DOTA: streaming per-class Gaussian with shared-covariance LDA logits.
+
+Pure-functional rebuild of the reference's `DOTA` module (dota.py:19-88):
+state is an explicit pytree, `fit`/`update`/`predict` are pure
+`(state, batch) -> ...` functions, so the whole online loop threads through
+`jax.lax.scan` with no host round-trips.
+
+Numerics deviation (documented, SURVEY.md §7 hard part 5): the reference
+computes the precision matrix and scores in fp16 (`.half()` at dota.py:31,
+69,76); we keep fp32 throughout — TPU MXU bf16/fp32 accumulate makes fp16
+state both unnecessary and less accurate.
+
+The sufficient statistics of `fit` (weighted sums and counts) are additive,
+so cross-device `psum` of (Σy, Σyᵀx, Δ) gives exact multi-chip streaming
+updates (SURVEY.md §5.8) — see parallel/collective.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class DOTAState(NamedTuple):
+    mu: jax.Array             # (K, D) per-class means
+    c: jax.Array              # (K,) effective counts
+    sigma: jax.Array          # (K, D, D) per-class covariance
+    lam: jax.Array            # (D, D) shared precision
+    cum_soft_labels: jax.Array  # (1, K) cumulative prior evidence
+    prior_step: jax.Array     # () int32
+
+
+def init(epsilon: float, sigma: float, input_dim: int, num_classes: int,
+         clip_weights: jax.Array, prior_pre_steps: Optional[int] = None
+         ) -> DOTAState:
+    """Initialise DOTA state.
+
+    Mirrors dota.py:20-37: mu from clip_weights.T, counts 1, per-class
+    Sigma = sigma·I, shared precision = pinv(mean Sigma) = I/sigma.
+
+    Args:
+      clip_weights: (D, K).  NOTE the reference's driver passes a constant
+        0.001 matrix here rather than the text features
+        (Uni_Adapter.py:329-330) — that choice lives in the engine, not here.
+    """
+    del epsilon
+    mu = clip_weights.T.astype(jnp.float32)                      # (K, D)
+    c = jnp.ones((num_classes,), jnp.float32)
+    eye = jnp.eye(input_dim, dtype=jnp.float32)
+    sig = jnp.broadcast_to(sigma * eye, (num_classes, input_dim, input_dim))
+    lam = eye / sigma   # pinv(sigma·I)
+    return DOTAState(mu, c, sig, lam,
+                     jnp.zeros((1, num_classes), jnp.float32),
+                     jnp.zeros((), jnp.int32))
+
+
+def fit(state: DOTAState, x: jax.Array, y: jax.Array,
+        streaming_update_sigma: bool = True) -> DOTAState:
+    """Soft-label-weighted streaming mean/covariance update (dota.py:40-64).
+
+    Args:
+      x: (B, D) features.
+      y: (B, K) soft labels (class probabilities).
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    sum_w = jnp.sum(y, axis=0)                                   # (K,)
+    weighted_x = jnp.matmul(y.T, x, precision=_HIGH)             # (K, D)
+    new_mu = (weighted_x + state.c[:, None] * state.mu) / (
+        sum_w[:, None] + state.c[:, None])
+    new_c = state.c + sum_w
+
+    sigma = state.sigma
+    if streaming_update_sigma:
+        # delta[k] = Σ_b y[b,k] (x_b - mu_k)(x_b - mu_k)ᵀ  — one einsum, MXU
+        xm = x[:, None, :] - state.mu[None, :, :]                # (B, K, D)
+        delta = jnp.einsum("bji,bjk->jik", y[:, :, None] * xm, xm,
+                           precision=_HIGH)                      # (K, D, D)
+        denom = (state.c + sum_w)[:, None, None]
+        sigma = (state.c[:, None, None] * sigma + delta) / denom
+
+    cum = state.cum_soft_labels + jnp.sum(y, axis=0, keepdims=True)
+    return state._replace(mu=new_mu, c=new_c, sigma=sigma,
+                          cum_soft_labels=cum,
+                          prior_step=state.prior_step + 1)
+
+
+def update(state: DOTAState, epsilon: float) -> DOTAState:
+    """Refresh the shared precision Λ = ((1-ε)·Σ̄ + ε·I)⁻¹ (dota.py:67-70)."""
+    d = state.mu.shape[1]
+    overall = jnp.mean(state.sigma, axis=0)
+    reg = (1.0 - epsilon) * overall + epsilon * jnp.eye(d, dtype=jnp.float32)
+    return state._replace(lam=jnp.linalg.inv(reg))
+
+
+def predict(state: DOTAState, x: jax.Array,
+            prior_pre_steps: Optional[int] = None) -> jax.Array:
+    """LDA-discriminant scores X·W − ½·diag(MᵀW) (dota.py:73-88).
+
+    Args:
+      x: (B, D).
+      prior_pre_steps: if set, add log of the cumulative-soft-label prior
+        blended with `prior_pre_steps` pseudo-counts of a uniform prior.
+    Returns:
+      (B, K) scores.
+    """
+    M = state.mu.T                                               # (D, K)
+    W = jnp.matmul(state.lam, M, precision=_HIGH)                # (D, K)
+    c = 0.5 * jnp.sum(M * W, axis=0)                             # (K,)
+    scores = jnp.matmul(x.astype(jnp.float32), W, precision=_HIGH) - c
+    if prior_pre_steps is not None:
+        k = state.mu.shape[0]
+        prior = state.cum_soft_labels + (prior_pre_steps / k)
+        prior = prior / (prior_pre_steps + state.prior_step)
+        scores = scores + jnp.log(prior + 1e-10)
+    return scores
