@@ -1,0 +1,217 @@
+"""Shared transformer building blocks (flax.linen).
+
+One attention/MLP/block family reused by all three backbones and the CLIP
+text towers.  Compute runs in a configurable dtype (bf16 on TPU by default),
+parameters stay fp32; attention is a plain scaled-dot-product expressed so
+XLA maps the (B, H, N, hd) contractions onto the MXU and fuses softmax.
+
+Variants covered:
+  * ViTAttention — fused qkv (ULIP Point-BERT, reference
+    models/ulip/pointbert/point_encoder.py:33-55; OpenShape ppta.py:31-66).
+  * EvaAttention — separate q/k/v with per-head q/k LayerNorm, the EVA02
+    structure the reference inspects at extract_attention.py:128-153.
+  * Mlp (GELU), SwiGLU (EVA02), QuickGELU MLP (CLIP text,
+    models/ulip/text_encoder.py:19-21).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x·sigmoid(1.702x) (reference: models/ulip/text_encoder.py:19-21)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+            mask: Optional[jax.Array] = None,
+            bias: Optional[jax.Array] = None) -> jax.Array:
+    """Scaled dot-product attention on (B, H, N, hd) tensors.
+
+    Softmax in fp32 for stability regardless of compute dtype.
+    """
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                      preferred_element_type=jnp.float32)
+    if bias is not None:
+        attn = attn + bias
+    attn = attn * scale
+    if mask is not None:
+        attn = attn + mask
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+class ViTAttention(nn.Module):
+    """Fused-qkv multi-head attention (Point-BERT / PPTA / CLIP-text style)."""
+    dim: int
+    num_heads: int
+    qkv_bias: bool = False
+    inner_dim: Optional[int] = None       # PPTA allows inner != dim
+    project_out: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask=None, attn_bias=None, return_attn=False):
+        inner = self.inner_dim or self.dim
+        hd = inner // self.num_heads
+        qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        B, N = x.shape[0], x.shape[1]
+        qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
+        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+        scale = hd ** -0.5
+        out = _attend(q, k, v, scale, mask, attn_bias)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, inner)
+        if self.project_out:
+            out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        if return_attn:
+            attn = jax.nn.softmax(
+                jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                           preferred_element_type=jnp.float32)
+                * scale + (mask if mask is not None else 0.0), axis=-1)
+            return out, attn
+        return out
+
+
+class EvaAttention(nn.Module):
+    """EVA02 attention: separate q/k/v projections + per-head q/k LayerNorm.
+
+    Structure per the reference's introspection (extract_attention.py:128-153):
+    q = q_norm(reshape(q_proj(x))), k likewise; k_proj has no bias.
+    """
+    dim: int
+    num_heads: int
+    use_qk_norm: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, return_attn=False):
+        hd = self.dim // self.num_heads
+        B, N = x.shape[0], x.shape[1]
+        q = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="v_proj")(x)
+        q = jnp.transpose(q.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
+        k = jnp.transpose(k.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
+        v = jnp.transpose(v.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
+        if self.use_qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
+        scale = hd ** -0.5
+        out = _attend(q, k, v, scale)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, self.dim)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        if return_attn:
+            attn = jax.nn.softmax(
+                jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                           preferred_element_type=jnp.float32) * scale, axis=-1)
+            return out, attn
+        return out
+
+
+class Mlp(nn.Module):
+    """Two-layer MLP (reference: point_encoder.py:11-27 Mlp)."""
+    dim: int
+    hidden_dim: int
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class SwiGLU(nn.Module):
+    """EVA02 SwiGLU MLP with mid LayerNorm (timm eva GluMlp structure)."""
+    dim: int
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        g = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1_g")(x)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1_x")(x)
+        x = nn.silu(g) * h
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class ViTBlock(nn.Module):
+    """Pre-norm transformer block (Point-BERT, reference
+    point_encoder.py:58-77)."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, return_attn=False):
+        a = ViTAttention(self.dim, self.num_heads, self.qkv_bias,
+                         dtype=self.dtype, name="attn")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
+            return_attn=return_attn)
+        attn = None
+        if return_attn:
+            a, attn = a
+        x = x + a
+        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
+                    dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+        return (x, attn) if return_attn else x
+
+
+class EvaBlock(nn.Module):
+    """EVA02 block: pre-norm, separate-qkv attention, SwiGLU MLP.
+
+    Rope is omitted: the reference drives timm EVA blocks as plain
+    `blk(x)` with no rope argument (models/point_encoder.py:217-218), so
+    rotary embeddings are inactive in the Uni3D path.
+    """
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4 * 2 / 3
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, return_attn=False):
+        a = EvaAttention(self.dim, self.num_heads, dtype=self.dtype,
+                         name="attn")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
+            return_attn=return_attn)
+        attn = None
+        if return_attn:
+            a, attn = a
+        x = x + a
+        x = x + SwiGLU(self.dim, int(self.dim * self.mlp_ratio),
+                       dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+        return (x, attn) if return_attn else x
+
+
+class BatchNormInference(nn.Module):
+    """BatchNorm evaluated with running statistics (inference mode).
+
+    The reference's mini-PointNet encoders use nn.BatchNorm1d
+    (models/point_encoder.py:134-143); at TTA everything runs under
+    model.eval(), so only running stats matter — they live here as
+    parameters filled by the checkpoint converter.
+    """
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        inv = jax.lax.rsqrt(var + 1e-5) * scale
+        return (x * inv + (bias - mean * inv)).astype(self.dtype)
