@@ -1,0 +1,115 @@
+"""End-to-end engine tests on a tiny Uni3D: the scan path and the host-loop
+path must produce identical trajectories, and all three adaptation methods
+must run (SURVEY.md §4 layer 4 — the debug-slice smoke test, made exact)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uni_adapter_tpu import engine
+from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
+from uni_adapter_tpu.models.uni3d import Uni3D
+
+K, D, N, T = 5, 32, 64, 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Uni3D(trans_dim=48, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=24, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    pc0 = jnp.array(rng.standard_normal((1, N, 6)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc0)
+    text = rng.standard_normal((K, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    pcs = rng.standard_normal((T, 1, N, 3)).astype(np.float32)
+    rgbs = np.ones_like(pcs)
+    targets = rng.integers(0, K, (T, 1)).astype(np.int32)
+    return model, params, jnp.array(text), pcs, rgbs, targets
+
+
+def cfg_for(method: str) -> Config:
+    if method == "dota":
+        dc = DotaConfig(use_dota=True, use_mode_dota=False)
+    elif method == "mode":
+        dc = DotaConfig(use_dota=False, use_mode_dota=True, mode_M=2,
+                        res_learning=True, residual_steps=2)
+    elif method == "mode_nores":
+        dc = DotaConfig(use_dota=False, use_mode_dota=True, mode_M=2,
+                        res_learning=False)
+    else:
+        dc = DotaConfig(use_dota=False, use_mode_dota=False)
+    return Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
+                  cache=CacheConfig(shot_capacity=3, cg_max_iter=20))
+
+
+@pytest.mark.parametrize("method", ["dota", "mode", "mode_nores", "cache"])
+def test_methods_run_and_match_scan(setup, method):
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = cfg_for(method)
+
+    # scan path
+    state_f, outs = engine.run_stream_scan(
+        cfg, model, params, text, jnp.array(pcs), jnp.array(rgbs),
+        jnp.array(targets))
+    assert outs.final_logits.shape == (T, 1, K)
+    assert np.all(np.isfinite(np.asarray(outs.final_logits)))
+
+    # host-loop path must match the scan trajectory exactly
+    res = engine.run_stream(cfg, model, params, text,
+                            list(zip(pcs, rgbs, targets)))
+    summary = engine.summarize(outs, T)
+    assert summary["acc1"] == pytest.approx(res["acc1"], abs=1e-6)
+    assert summary["acc3"] == pytest.approx(res["acc3"], abs=1e-6)
+    assert 0.0 <= summary["acc1"] <= 100.0
+
+
+def test_adaptation_state_evolves(setup):
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = cfg_for("mode")
+    state_f, _ = engine.run_stream_scan(
+        cfg, model, params, text, jnp.array(pcs), jnp.array(rgbs),
+        jnp.array(targets))
+    ms = state_f.method_state
+    assert int(state_f.step) == T
+    # two fits per step (clean + noise-aug) ⇒ counts and t double
+    assert float(jnp.sum(ms.class_counts)) == pytest.approx(2 * T, abs=1e-3)
+    assert int(ms.t) == 2 * T
+    # residuals were optimised (step>0 gate ⇒ T-1 rounds)
+    assert not np.allclose(np.asarray(state_f.res_state.residuals), 0.0)
+
+
+def test_dota_state_counts(setup):
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = cfg_for("dota")
+    state_f, _ = engine.run_stream_scan(
+        cfg, model, params, text, jnp.array(pcs), jnp.array(rgbs),
+        jnp.array(targets))
+    # counts start at 1 and accumulate one unit of soft mass per sample
+    assert float(jnp.sum(state_f.method_state.c)) == pytest.approx(K + T,
+                                                                   rel=1e-4)
+
+
+def test_cache_fills(setup):
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = cfg_for("cache")
+    state_f, _ = engine.run_stream_scan(
+        cfg, model, params, text, jnp.array(pcs), jnp.array(rgbs),
+        jnp.array(targets))
+    assert int(jnp.sum(state_f.method_state.valid)) >= 1
+
+
+def test_state_is_checkpointable_pytree(setup):
+    """Adaptation state must round-trip through flatten/unflatten — the
+    checkpoint/resume capability the reference lacks (SURVEY.md §5.4)."""
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = cfg_for("mode")
+    state_f, _ = engine.run_stream_scan(
+        cfg, model, params, text, jnp.array(pcs), jnp.array(rgbs),
+        jnp.array(targets))
+    leaves, treedef = jax.tree.flatten(state_f)
+    rebuilt = jax.tree.unflatten(treedef, [np.asarray(l) for l in leaves])
+    for a, b in zip(leaves, jax.tree.leaves(rebuilt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
