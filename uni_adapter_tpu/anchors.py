@@ -1,0 +1,90 @@
+"""Text anchors: zero-shot classifier weights from class names.
+
+Rebuild of the reference's two anchor paths (Uni_Adapter.py:295-316):
+  * precomputed banks — the reference ships fp32 .pt tensors
+    (precomputed_text_features/Uni3D/*.pt); converted to .npy in
+    assets/text_features/ with identical values;
+  * on-the-fly `clip_classifier` (Uni_Adapter.py:32-51): per class, format
+    the 64 prompt templates, tokenize, encode, L2-normalise each embedding,
+    mean over templates, re-normalise — batched here so all K·64 prompts go
+    through the text tower as one (or a few) MXU-friendly batches.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uni_adapter_tpu.config import ASSETS_DIR, Config, load_labels, load_templates
+from uni_adapter_tpu.utils.tokenizer import SimpleTokenizer
+
+#: Shipped banks, keyed by (backbone-size, dataset family).
+PRECOMPUTED = {
+    ("large", "modelnet"): "text_features_large.npy",
+    ("giant", "modelnet"): "text_features_giant.npy",
+    ("large", "scanobject"): "text_features_large_scanobjectnn.npy",
+    ("large", "shapenet"): "text_features_large_shapenetcorev2.npy",
+}
+
+
+def load_precomputed(path_or_key: str,
+                     dataset_name: Optional[str] = None) -> jnp.ndarray:
+    """Load a precomputed (K, D) anchor bank.
+
+    Accepts an explicit .npy path or a size key ('large'/'giant') resolved
+    against the shipped assets for `dataset_name`.
+    """
+    if os.path.exists(path_or_key):
+        return jnp.asarray(np.load(path_or_key).astype(np.float32))
+    family = next((f for f in ("modelnet", "scanobject", "shapenet")
+                   if dataset_name and f in dataset_name.lower()), "modelnet")
+    fname = PRECOMPUTED[(path_or_key, family)]
+    return jnp.asarray(
+        np.load(os.path.join(ASSETS_DIR, "text_features", fname))
+        .astype(np.float32))
+
+
+def clip_classifier(classnames, templates, encode_text_fn,
+                    tokenizer: Optional[SimpleTokenizer] = None,
+                    batch_size: int = 256) -> jnp.ndarray:
+    """Template-ensemble zero-shot weights (Uni_Adapter.py:32-51).
+
+    Args:
+      classnames: K class names ('_' replaced by ' ' as in the reference).
+      templates: list of prompt templates with one {} slot.
+      encode_text_fn: (B, 77) int32 tokens -> (B, D) features.
+    Returns:
+      (K, D) row-normalised anchors (the reference's clip_weights.T — the
+      engine transposes when forming logits).
+    """
+    tokenizer = tokenizer or SimpleTokenizer()
+    n_tmpl = len(templates)
+    prompts = [t.format(name.replace("_", " "))
+               for name in classnames for t in templates]
+    tokens = tokenizer(prompts)                                 # (K·T, 77)
+    feats = []
+    for s in range(0, tokens.shape[0], batch_size):
+        feats.append(np.asarray(encode_text_fn(jnp.asarray(
+            tokens[s:s + batch_size]))))
+    emb = jnp.asarray(np.concatenate(feats, 0), jnp.float32)    # (K·T, D)
+    emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
+    emb = emb.reshape(len(classnames), n_tmpl, -1).mean(axis=1)  # (K, D)
+    return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
+
+
+def get_text_anchors(cfg: Config, encode_text_fn=None,
+                     tokenizer=None) -> jnp.ndarray:
+    """Resolve anchors per the reference's precedence
+    (Uni_Adapter.py:295-316): precomputed bank if configured and present,
+    else compute on the fly from labels.json + templates.json."""
+    pre = cfg.data.precomputed_text_features
+    if pre:
+        return load_precomputed(pre, cfg.data.dataset_name)
+    if encode_text_fn is None:
+        raise ValueError("No precomputed anchors configured and no text "
+                         "encoder provided for the on-the-fly path")
+    return clip_classifier(load_labels(cfg), load_templates(cfg),
+                           encode_text_fn, tokenizer)
