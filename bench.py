@@ -1,0 +1,207 @@
+"""Benchmark: MODE-DOTA TTA throughput on the flagship Uni3D-L pipeline.
+
+Protocol follows the reference headline config (BASELINE.md): batch size 1,
+1024 points, MODE-DOTA M=4 with residual learning, ModelNet40-class anchor
+bank — the full adaptation step including the double encoder forward
+(clean + noise-augmented), streaming EM, 10-step Adam residual optimisation
+and entropy fusion (Uni_Adapter.py:368-595).
+
+vs_baseline is the ratio against a PyTorch-CPU implementation of the same
+pipeline (equal dims/FLOPs), per BASELINE.json's north star
+("≥ 20× PyTorch-CPU point-clouds/sec on one v5e chip").  The torch number is
+measured fresh on this host (few steps, extrapolated).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+T_WARMUP = 4
+T_TIMED = 64
+N_POINTS = 1024
+K_CLASSES = 40
+TORCH_STEPS = 3
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from uni_adapter_tpu import engine
+    from uni_adapter_tpu.anchors import load_precomputed
+    from uni_adapter_tpu.config import Config, DotaConfig, ModelConfig
+    from uni_adapter_tpu.models.uni3d import create_uni3d
+
+    cfg = Config(model=ModelConfig(),  # Uni3D-L, bf16 compute
+                 dota=DotaConfig(use_mode_dota=True, mode_M=4,
+                                 res_learning=True))
+    model = create_uni3d(cfg.model)
+
+    rng = np.random.default_rng(0)
+    pc0 = jnp.asarray(rng.standard_normal((1, N_POINTS, 6)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), pc0)
+    text = load_precomputed("large", "modelnet")          # (40, 1024) fp32
+
+    pcs = jnp.asarray(rng.standard_normal(
+        (T_WARMUP + T_TIMED, 1, N_POINTS, 3)), jnp.float32)
+    rgbs = jnp.ones_like(pcs)
+    targets = jnp.asarray(rng.integers(0, K_CLASSES,
+                                       (T_WARMUP + T_TIMED, 1)), jnp.int32)
+
+    step = engine.make_step_fn(cfg, model, params, text)
+
+    @jax.jit
+    def scan_all(state, pcs, rgbs, targets):
+        return jax.lax.scan(step, state, (pcs, rgbs, targets))
+
+    state = engine.init_state(cfg, text, jax.random.PRNGKey(42))
+    # compile + warm on a short prefix
+    s_w, _ = jax.block_until_ready(scan_all(
+        state, pcs[:T_WARMUP], rgbs[:T_WARMUP], targets[:T_WARMUP]))
+
+    t0 = time.perf_counter()
+    out = scan_all(s_w, pcs[T_WARMUP:], rgbs[T_WARMUP:], targets[T_WARMUP:])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return T_TIMED / dt
+
+
+def bench_torch_cpu() -> float:
+    """PyTorch-CPU pipeline of equal dims: grouping + mini-PointNet + 24
+    transformer blocks (dim 1024) ×2 forwards + diagonal-GMM EM fit ×2 +
+    10-step residual Adam, batch 1."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    D, G, M, H, depth = 1024, 512, 64, 16, 24
+    K, modes = K_CLASSES, 4
+
+    enc1 = torch.nn.Sequential(torch.nn.Linear(6, 128), torch.nn.ReLU(),
+                               torch.nn.Linear(128, 256))
+    enc2 = torch.nn.Sequential(torch.nn.Linear(512, 512), torch.nn.ReLU(),
+                               torch.nn.Linear(512, 512))
+    e2t = torch.nn.Linear(512, D)
+    blocks = torch.nn.ModuleList([
+        torch.nn.TransformerEncoderLayer(D, H, int(D * 8 / 3),
+                                         batch_first=True,
+                                         norm_first=True)
+        for _ in range(depth)])
+    head = torch.nn.Linear(D, D)
+    text = torch.randn(K, D)
+    text = text / text.norm(dim=1, keepdim=True)
+    mu = text[:, None, :].repeat(1, modes, 1)
+    var = torch.full((K, modes, D), 1.0 / D)
+    pi = torch.full((K, modes), 1.0 / modes)
+    c = torch.full((K, modes), 1.0 / modes)
+    residuals = torch.zeros(K, D, requires_grad=True)
+    opt = torch.optim.Adam([residuals], lr=1e-3)
+
+    def fps_knn_group(xyz):
+        n = xyz.shape[1]
+        dist = torch.full((1, n), 1e10)
+        far = torch.zeros(1, dtype=torch.long)
+        idxs = []
+        for _ in range(G):
+            idxs.append(far)
+            cpt = xyz[0, far]
+            d = ((xyz[0] - cpt) ** 2).sum(-1)[None]
+            dist = torch.minimum(dist, d)
+            far = dist.argmax(-1)
+        centers = xyz[0, torch.cat(idxs)][None]
+        sq = ((centers[0, :, None, :] - xyz[0, None]) ** 2).sum(-1)
+        knn = sq.topk(M, largest=False).indices
+        nb = xyz[0][knn] - centers[0, :, None, :]
+        return centers, nb
+
+    def forward(pc):
+        centers, nb = fps_knn_group(pc)
+        feats = torch.cat([nb, torch.ones_like(nb)], -1)
+        x = enc1(feats)
+        g = x.max(dim=1, keepdim=True).values
+        x = enc2(torch.cat([g.expand_as(x), x], -1))
+        tok = x.max(dim=1).values[None]
+        x = e2t(tok)
+        for blk in blocks:
+            x = blk(x)
+        f = head(x[:, 0])
+        return f / f.norm(dim=-1, keepdim=True)
+
+    def em_fit(f, prob):
+        nonlocal mu, var, pi, c
+        with torch.no_grad():
+            diff = f[:, None, None, :] - mu[None]
+            ll = -0.5 * ((var[None].log().sum(-1))
+                         + (diff ** 2 / var[None]).sum(-1))
+            lj = (pi + 1e-10).log()[None] + ll
+            r = (lj - lj.logsumexp(2, keepdim=True)).exp()
+            gamma = prob[:, :, None] * r
+            sg = gamma.sum(0)
+            c_new = c + sg
+            wx = torch.einsum("bkm,bd->kmd", gamma, f)
+            mu = (c[..., None] * mu + wx) / (c_new[..., None] + 1e-10)
+            wx2 = torch.einsum("bkm,bd->kmd", gamma, f * f)
+            wsq = wx2 - 2 * mu * wx + sg[..., None] * mu ** 2
+            var = ((c[..., None] * var + wsq)
+                   / (c_new[..., None] + 1e-10)).clamp(min=1e-8)
+            c = c_new
+            pi = c / c.sum(1, keepdim=True)
+
+    def step(pc):
+        with torch.no_grad():
+            w = (text + residuals).detach()
+            w = (w / w.norm(dim=1, keepdim=True)).t()
+            f = forward(pc)
+            logits = 100 * f @ w
+            prob = logits.softmax(1)
+            em_fit(f, prob)
+            f2 = forward(pc + 0.05 * torch.randn_like(pc))
+            em_fit(f2, prob)
+        for _ in range(10):
+            opt.zero_grad()
+            tmod = text + residuals
+            tmod = tmod / tmod.norm(dim=1, keepdim=True)
+            diff = tmod[:, None, None, :] - mu[None]
+            ll = -0.5 * ((var[None].log().sum(-1))
+                         + (diff ** 2 / var[None]).sum(-1))
+            lm = ((pi + 1e-10).log()[None] + ll).logsumexp(2)
+            e = (lm / lm.max()).exp().exp()
+            diag = e.diagonal()
+            loss = -(diag / e.sum(1)).mean() - (diag / e.sum(0)).mean()
+            loss.backward()
+            opt.step()
+
+    rng = np.random.default_rng(0)
+    pc = torch.tensor(rng.standard_normal((1, N_POINTS, 3)),
+                      dtype=torch.float32)
+    step(pc)  # warm
+    t0 = time.perf_counter()
+    for _ in range(TORCH_STEPS):
+        step(pc)
+    dt = time.perf_counter() - t0
+    return TORCH_STEPS / dt
+
+
+def main():
+    jax_pps = bench_jax()
+    try:
+        torch_pps = bench_torch_cpu()
+    except Exception as e:  # torch baseline is best-effort
+        print(f"torch baseline failed: {e}", file=sys.stderr)
+        torch_pps = float("nan")
+    vs = jax_pps / torch_pps if torch_pps == torch_pps else None
+    print(json.dumps({
+        "metric": "mode_dota_tta_throughput_uni3d_large",
+        "value": round(jax_pps, 3),
+        "unit": "point-clouds/sec/chip",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,10 @@
 The TPU-world analogue of a fake backend (SURVEY.md §4): sharding and
 collective paths are exercised on host CPU devices so the suite runs
 anywhere; the driver separately dry-run-compiles the multi-chip path.
+
+The axon sitecustomize registers the TPU backend at interpreter start and
+pins JAX_PLATFORMS=axon, so the env var alone is not enough — the jax
+config must be updated after import, before any backend use.
 """
 import os
 
@@ -11,3 +15,8 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) >= 8, jax.devices()

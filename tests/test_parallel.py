@@ -1,0 +1,110 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4 layer 5).
+
+'sharded' mode must equal independent per-shard single-device runs;
+'psum' mode must equal a single-device run over the concatenated global
+batch (the sufficient statistics are additive ⇒ exact merging)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uni_adapter_tpu import engine
+from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.parallel import mesh as pmesh
+
+K, D, N, T = 5, 32, 48, 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 4, "conftest must provide virtual devices"
+    model = Uni3D(trans_dim=48, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=24, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    pc0 = jnp.array(rng.standard_normal((1, N, 6)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc0)
+    text = rng.standard_normal((K, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    pcs = rng.standard_normal((T, 1, N, 3)).astype(np.float32)
+    rgbs = np.ones_like(pcs)
+    targets = rng.integers(0, K, (T, 1)).astype(np.int32)
+    return model, params, jnp.array(text), pcs, rgbs, targets
+
+
+def _cfg(method="dota", **dota_kw):
+    if method == "dota":
+        dc = DotaConfig(use_dota=True, use_mode_dota=False, **dota_kw)
+    else:
+        dc = DotaConfig(use_dota=False, use_mode_dota=True, mode_M=2,
+                        res_learning=False, **dota_kw)
+    return Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
+                  cache=CacheConfig(shot_capacity=3, cg_max_iter=10))
+
+
+def test_mesh_creation():
+    m = pmesh.make_mesh(4)
+    assert m.devices.size == 4 and m.axis_names == ("data",)
+    assert pmesh.is_primary()
+
+
+def test_sharded_matches_independent_runs(setup):
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = _cfg("dota")
+    n = 4
+    mesh = pmesh.make_mesh(n)
+    states, summary = pmesh.run_stream_sharded(
+        cfg, model, params, text, pcs, rgbs, targets, mesh=mesh, seed=42)
+
+    # oracle: run each contiguous shard independently on one device
+    per = T // n
+    total_correct = np.zeros(3)
+    for s in range(n):
+        sl = slice(s * per, (s + 1) * per)
+        _, outs = engine.run_stream_scan(
+            cfg, model, params, text, jnp.array(pcs[sl]), jnp.array(rgbs[sl]),
+            jnp.array(targets[sl]), seed=42 + s)
+        total_correct += np.asarray(jnp.sum(outs.correct, axis=0))
+    want_acc1 = 100.0 * total_correct[0] / T
+    assert summary["acc1"] == pytest.approx(want_acc1, abs=1e-5)
+    assert summary["n_samples"] == T
+    # per-shard states stacked on axis 0
+    assert np.asarray(states.method_state.mu).shape[0] == n
+
+
+@pytest.mark.parametrize("method", ["dota", "mode"])
+def test_psum_matches_global_batch(setup, method):
+    model, params, text, pcs, rgbs, targets = setup
+    # noise off so the only difference between the two runs is the sharding
+    cfg = _cfg(method, noise_std=0.0)
+    n = 2
+    mesh = pmesh.make_mesh(n)
+    state_p, summary = pmesh.run_stream_psum(
+        cfg, model, params, text, pcs, rgbs, targets, mesh=mesh, seed=42)
+
+    # oracle: single device, n·B samples per step
+    pcs_g = pcs.reshape(T // n, n, N, 3)
+    rgbs_g = rgbs.reshape(T // n, n, N, 3)
+    targets_g = targets.reshape(T // n, n)
+    state_1, outs = engine.run_stream_scan(
+        cfg, model, params, text, jnp.array(pcs_g), jnp.array(rgbs_g),
+        jnp.array(targets_g), seed=42)
+
+    if method == "dota":
+        np.testing.assert_allclose(np.asarray(state_p.method_state.mu),
+                                   np.asarray(state_1.method_state.mu),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state_p.method_state.c),
+                                   np.asarray(state_1.method_state.c),
+                                   rtol=1e-5)
+    else:
+        np.testing.assert_allclose(np.asarray(state_p.method_state.mu),
+                                   np.asarray(state_1.method_state.mu),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state_p.method_state.c),
+                                   np.asarray(state_1.method_state.c),
+                                   rtol=1e-4, atol=1e-5)
+    want = engine.summarize(outs, T)
+    assert summary["acc1"] == pytest.approx(want["acc1"], abs=1e-5)

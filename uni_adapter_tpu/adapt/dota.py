@@ -58,31 +58,44 @@ def init(epsilon: float, sigma: float, input_dim: int, num_classes: int,
 
 
 def fit(state: DOTAState, x: jax.Array, y: jax.Array,
-        streaming_update_sigma: bool = True) -> DOTAState:
+        streaming_update_sigma: bool = True,
+        axis_name: Optional[str] = None) -> DOTAState:
     """Soft-label-weighted streaming mean/covariance update (dota.py:40-64).
 
     Args:
       x: (B, D) features.
       y: (B, K) soft labels (class probabilities).
+      axis_name: if set, the sufficient statistics (Σy, Σyᵀx, Δ) are
+        psum-merged across the device axis — exact global streaming update
+        (SURVEY.md §5.8).
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     sum_w = jnp.sum(y, axis=0)                                   # (K,)
     weighted_x = jnp.matmul(y.T, x, precision=_HIGH)             # (K, D)
+
+    delta = None
+    if streaming_update_sigma:
+        # delta[k] = Σ_b y[b,k] (x_b - mu_k)(x_b - mu_k)ᵀ  — one einsum, MXU
+        xm = x[:, None, :] - state.mu[None, :, :]                # (B, K, D)
+        delta = jnp.einsum("bji,bjk->jik", y[:, :, None] * xm, xm,
+                           precision=_HIGH)                      # (K, D, D)
+
+    if axis_name is not None:
+        sum_w, weighted_x = jax.lax.psum((sum_w, weighted_x), axis_name)
+        if delta is not None:
+            delta = jax.lax.psum(delta, axis_name)
+
     new_mu = (weighted_x + state.c[:, None] * state.mu) / (
         sum_w[:, None] + state.c[:, None])
     new_c = state.c + sum_w
 
     sigma = state.sigma
     if streaming_update_sigma:
-        # delta[k] = Σ_b y[b,k] (x_b - mu_k)(x_b - mu_k)ᵀ  — one einsum, MXU
-        xm = x[:, None, :] - state.mu[None, :, :]                # (B, K, D)
-        delta = jnp.einsum("bji,bjk->jik", y[:, :, None] * xm, xm,
-                           precision=_HIGH)                      # (K, D, D)
         denom = (state.c + sum_w)[:, None, None]
         sigma = (state.c[:, None, None] * sigma + delta) / denom
 
-    cum = state.cum_soft_labels + jnp.sum(y, axis=0, keepdims=True)
+    cum = state.cum_soft_labels + sum_w[None, :]
     return state._replace(mu=new_mu, c=new_c, sigma=sigma,
                           cum_soft_labels=cum,
                           prior_step=state.prior_step + 1)

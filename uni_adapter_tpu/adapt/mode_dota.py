@@ -110,16 +110,23 @@ def log_likelihood(x: jax.Array, mu: jax.Array, var: jax.Array) -> jax.Array:
 
 
 def fit(state: ModeDotaState, x: jax.Array, gamma_class: jax.Array,
-        epsilon: float, streaming_update_sigma: bool = True) -> ModeDotaState:
+        epsilon: float, streaming_update_sigma: bool = True,
+        axis_name: Optional[str] = None) -> ModeDotaState:
     """One streaming EM step (dota_mixture.py:162-234).
 
     Args:
       x: (B, D) L2-normalised features.
       gamma_class: (B, K) zero-shot class probabilities.
+      axis_name: if set (inside shard_map/pmap), the EM sufficient statistics
+        (Σγ, Σγx, Σγx², class counts, B) are psum-merged across the device
+        axis before the M-step — the per-device states stay bitwise
+        replicated and the update equals a single-device fit on the
+        concatenated global batch (SURVEY.md §5.8: the statistics are
+        additive, so cross-device merging is exact).
     """
     x = x.astype(jnp.float32)
     gamma_class = gamma_class.astype(jnp.float32)
-    B = x.shape[0]
+    B = jnp.asarray(x.shape[0], jnp.int32)
 
     # ---- E-step ----
     cur_var = regularized_var(state, epsilon)
@@ -130,19 +137,25 @@ def fit(state: ModeDotaState, x: jax.Array, gamma_class: jax.Array,
                                                     keepdims=True)
     gamma = gamma_class[:, :, None] * jnp.exp(log_r)             # (B, K, M)
 
-    # ---- M-step (streaming) ----
+    # ---- local sufficient statistics ----
     sum_gamma = gamma.sum(axis=0)                                # (K, M)
+    gamma_perm = jnp.transpose(gamma, (1, 2, 0))                 # (K, M, B)
+    weighted_x = jnp.matmul(gamma_perm, x, precision=_HIGH)      # (K, M, D)
+    weighted_x_sq = jnp.matmul(gamma_perm, x * x, precision=_HIGH)
+    class_sum = gamma_class.sum(axis=0)                          # (K,)
+
+    if axis_name is not None:
+        sum_gamma, weighted_x, weighted_x_sq, class_sum, B = jax.lax.psum(
+            (sum_gamma, weighted_x, weighted_x_sq, class_sum, B), axis_name)
+
+    # ---- M-step (streaming) ----
     c_new = state.c + sum_gamma
-    # (K, M, B) @ (B, D) -> (K, M, D)
-    gamma_perm = jnp.transpose(gamma, (1, 2, 0))
-    weighted_x = jnp.matmul(gamma_perm, x, precision=_HIGH)
     mu_new = (state.c[..., None] * state.mu + weighted_x) / (
         c_new[..., None] + 1e-10)
 
     var = state.var
     if streaming_update_sigma:
         # Σ_b γ (x−μ_old)² = Σγx² − 2μ_old·Σγx + Σγ·μ_old²
-        weighted_x_sq = jnp.matmul(gamma_perm, x * x, precision=_HIGH)
         wsq = (weighted_x_sq - 2.0 * state.mu * weighted_x
                + sum_gamma[..., None] * state.mu ** 2)
         var = jnp.clip(
@@ -152,7 +165,7 @@ def fit(state: ModeDotaState, x: jax.Array, gamma_class: jax.Array,
     pi_new = c_new / (c_new.sum(axis=1, keepdims=True) + 1e-10)
     return ModeDotaState(
         mu=mu_new, var=var, pi=pi_new, c=c_new,
-        class_counts=state.class_counts + gamma_class.sum(axis=0),
+        class_counts=state.class_counts + class_sum,
         t=state.t + B,
     )
 

@@ -115,9 +115,15 @@ def init_state(cfg: Config, text_features_initial: jax.Array,
 
 
 def make_step_fn(cfg: Config, model, params,
-                 text_features_initial: jax.Array) -> Callable:
+                 text_features_initial: jax.Array,
+                 axis_name: Optional[str] = None) -> Callable:
     """Build the pure per-sample step: (EngineState, batch) -> (EngineState,
-    StepOutput).  `batch` is (pc (B,N,3), rgb (B,N,3), target (B,))."""
+    StepOutput).  `batch` is (pc (B,N,3), rgb (B,N,3), target (B,)).
+
+    With `axis_name` set (inside shard_map), each device feeds its local
+    batch shard and the fit sufficient statistics psum-merge — the
+    adaptation state stays replicated and the update is the exact global
+    streaming update (SURVEY.md §5.8)."""
     encode = make_encode_fn(cfg, model, params)
     dc, cc = cfg.dota, cfg.cache
     K = text_features_initial.shape[0]
@@ -128,6 +134,11 @@ def make_step_fn(cfg: Config, model, params,
     def step(state: EngineState, batch) -> tuple[EngineState, StepOutput]:
         pc, rgb, target = batch
         rng, noise_rng = jax.random.split(state.rng)
+        if axis_name is not None:
+            # decorrelate the noise augmentation across devices while the
+            # carried key stays replicated
+            noise_rng = jax.random.fold_in(noise_rng,
+                                           jax.lax.axis_index(axis_name))
 
         # --- current text anchors (Uni_Adapter.py:388-401) ---
         if use_res:
@@ -147,7 +158,7 @@ def make_step_fn(cfg: Config, model, params,
             dota_logits = dota.predict(ms, jnp.mean(feat, axis=0,
                                                     keepdims=True),
                                        prior_pre_steps=dc.prior_pre_steps)
-            ms = dota.fit(ms, feat, prob_map)
+            ms = dota.fit(ms, feat, prob_map, axis_name=axis_name)
             ms = dota.update(ms, dc.epsilon)
             w = fusion.dota_fusion_weight(dc.rho, dc.eta, jnp.mean(ms.c),
                                           feat.shape[0])
@@ -157,13 +168,15 @@ def make_step_fn(cfg: Config, model, params,
             ms = state.method_state
             dota_logits = mode_dota.predict(
                 ms, jnp.mean(feat, axis=0, keepdims=True), dc.epsilon)
-            ms = mode_dota.fit(ms, feat, prob_map, dc.epsilon)
+            ms = mode_dota.fit(ms, feat, prob_map, dc.epsilon,
+                               axis_name=axis_name)
             # noise-augmented double fit with the CLEAN prob_map
             # (Uni_Adapter.py:419-430)
             pc_aug = pc + dc.noise_std * jax.random.normal(noise_rng, pc.shape,
                                                            pc.dtype)
             feat_aug = encode(pc_aug, rgb)
-            ms = mode_dota.fit(ms, feat_aug, prob_map, dc.epsilon)
+            ms = mode_dota.fit(ms, feat_aug, prob_map, dc.epsilon,
+                               axis_name=axis_name)
 
             if use_res:
                 def do_opt(rs):

@@ -1,0 +1,150 @@
+"""Distributed evaluation over a jax.sharding.Mesh.
+
+The reference's distributed story is vestigial NCCL scaffolding — process
+bootstrap plus all-reduce of accuracy meters (utils/distributed.py:5-107,
+utils/utils.py:5-99), with no sampler and no DDP wrap.  The TPU-native
+design (SURVEY.md §2.4, §5.8) makes data parallelism first-class with two
+explicit, documented semantics for the order-dependent online state:
+
+  * 'sharded' — the stream is split into contiguous per-device shards; each
+    device runs an independent adaptation trajectory over its shard (this is
+    what DDP semantics would have given the reference).  Accuracy counters
+    merge at the end.
+  * 'psum'    — the state is replicated and every step consumes one sample
+    per device; the fit sufficient statistics psum over ICI, so every device
+    applies the exact global streaming update.  This changes the trajectory
+    from "one sample at a time" to "n_devices samples at a time" — a batched
+    stream, stated explicitly because online TTA is order-dependent
+    (SURVEY.md §7 hard part 3).
+
+Both run as ONE jit-compiled shard_map(scan) program: collectives ride ICI,
+nothing touches the host mid-stream.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from uni_adapter_tpu import engine
+from uni_adapter_tpu.config import Config
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D device mesh over ICI (multi-host handled identically by the jax
+    runtime — the rebuild of init_distributed_device,
+    utils/distributed.py:65-107)."""
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def is_primary() -> bool:
+    """Rank-0 gate for logging (reference patches print on rank 0,
+    utils/utils.py:14-23)."""
+    return jax.process_index() == 0
+
+
+def shard_stream(pcs: np.ndarray, rgbs: np.ndarray, targets: np.ndarray,
+                 n_shards: int):
+    """Split a (T, B, ...) stream into (n_shards, T//n_shards, B, ...)
+    contiguous per-device shards, truncating the remainder."""
+    T = (pcs.shape[0] // n_shards) * n_shards
+    def r(a):
+        return np.asarray(a)[:T].reshape(n_shards, T // n_shards,
+                                         *a.shape[1:])
+    return r(pcs), r(rgbs), r(targets), T
+
+
+def run_stream_sharded(cfg: Config, model, params, text_features_initial,
+                       pcs, rgbs, targets, mesh: Optional[Mesh] = None,
+                       seed: int = 42):
+    """'sharded' mode: independent per-device adaptation trajectories.
+
+    Returns (per-shard final EngineStates stacked on axis 0, summary dict).
+    """
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    pcs_s, rgbs_s, targets_s, T = shard_stream(pcs, rgbs, targets, n)
+
+    step = engine.make_step_fn(cfg, model, params, text_features_initial)
+
+    def shard_body(pc_shard, rgb_shard, tgt_shard, rngs):
+        # leading singleton device axis from shard_map block
+        state = engine.init_state(cfg, text_features_initial, rngs[0])
+        state, outs = jax.lax.scan(
+            step, state, (pc_shard[0], rgb_shard[0], tgt_shard[0]))
+        correct = jax.lax.psum(jnp.sum(outs.correct, axis=0), axis)
+        return (jax.tree.map(lambda x: x[None], state),
+                correct[None], outs.final_logits[None])
+
+    # distinct PRNG per shard (matches the reference's seed+rank offset,
+    # main_test-time.py:18-23)
+    rngs = jnp.stack([jax.random.PRNGKey(seed + i) for i in range(n)])
+
+    # check_vma=False: the adaptation carry mixes replicated constants with
+    # shard-varying data inside nested control flow; correctness is
+    # guaranteed by construction (psum-merged outputs are replicated).
+    shard_fn = jax.jit(jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+    states, correct, logits = shard_fn(jnp.asarray(pcs_s), jnp.asarray(rgbs_s),
+                                       jnp.asarray(targets_s), rngs)
+    correct = np.asarray(correct)[0]  # psum ⇒ identical on every shard
+    n_samples = T * pcs.shape[1]
+    summary = {"acc1": 100.0 * correct[0] / n_samples,
+               "acc3": 100.0 * correct[1] / n_samples,
+               "acc5": 100.0 * correct[2] / n_samples,
+               "n_samples": n_samples}
+    return states, summary
+
+
+def run_stream_psum(cfg: Config, model, params, text_features_initial,
+                    pcs, rgbs, targets, mesh: Optional[Mesh] = None,
+                    seed: int = 42):
+    """'psum' mode: replicated state, n_devices samples per step, exact
+    global streaming updates via psum of the fit sufficient statistics.
+
+    The (T, B, ...) stream is reinterpreted as (T//n, n·B, ...): step t
+    consumes samples t·n … t·n+n−1, one per device.
+    """
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    T = (pcs.shape[0] // n) * n
+    B = pcs.shape[1]
+
+    def regroup(a):
+        a = np.asarray(a)[:T]
+        return a.reshape(T // n, n * B, *a.shape[2:])
+
+    pcs_g, rgbs_g, targets_g = regroup(pcs), regroup(rgbs), regroup(targets)
+
+    step = engine.make_step_fn(cfg, model, params, text_features_initial,
+                               axis_name=axis)
+
+    def body(pc_all, rgb_all, tgt_all):
+        # each device sees its (T//n, B, ...) slice of every step
+        state = engine.init_state(cfg, text_features_initial,
+                                  jax.random.PRNGKey(seed))
+        state, outs = jax.lax.scan(step, state, (pc_all, rgb_all, tgt_all))
+        correct = jax.lax.psum(jnp.sum(outs.correct, axis=0), axis)
+        return state, correct
+
+    body_fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=(P(), P()), check_vma=False))
+    state, correct = body_fn(jnp.asarray(pcs_g), jnp.asarray(rgbs_g),
+                             jnp.asarray(targets_g))
+    correct = np.asarray(correct)
+    n_samples = T * B
+    summary = {"acc1": 100.0 * correct[0] / n_samples,
+               "acc3": 100.0 * correct[1] / n_samples,
+               "acc5": 100.0 * correct[2] / n_samples,
+               "n_samples": n_samples}
+    return state, summary
