@@ -29,8 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from uni_adapter_tpu.adapt import adaptive as adaptive_mod
 from uni_adapter_tpu.adapt import cache as cache_mod
-from uni_adapter_tpu.adapt import dota, fusion, mode_dota, residual
+from uni_adapter_tpu.adapt import dota, fusion, gmm, mode_dota, residual
 from uni_adapter_tpu.config import Config
 from uni_adapter_tpu.utils.math import normalized_entropy, softmax_entropy
 from uni_adapter_tpu.utils.metrics import topk_correct
@@ -109,6 +110,13 @@ def init_state(cfg: Config, text_features_initial: jax.Array,
         if dc.res_learning:
             opt = residual.make_optimizer(dc.residual_lr)
             res_state = residual.init(text_features_initial, opt)
+    elif dc.use_gmm_dota:
+        rng, init_rng = jax.random.split(rng)
+        ms = gmm.init(dc.epsilon, dc.sigma, D, K, text_features_initial.T,
+                      num_modes=dc.mode_M, rng=init_rng)
+    elif dc.use_adaptive_dota:
+        ms = adaptive_mod.init(dc.epsilon, dc.sigma, D, K,
+                               text_features_initial.T, max_modes=dc.mode_M)
     else:
         ms = cache_mod.init(K, cfg.cache.shot_capacity, D)
     return EngineState(ms, res_state, jnp.zeros((), jnp.int32), rng)
@@ -190,6 +198,34 @@ def make_step_fn(cfg: Config, model, params,
             w = fusion.dota_fusion_weight(dc.rho, dc.eta, jnp.mean(ms.c),
                                           feat.shape[0])
             final = fusion.fuse_mode_dota(clip_logits, dota_logits, w)
+
+        elif dc.use_gmm_dota:
+            # present-but-unwired in the reference (SURVEY.md §2.1); fused
+            # like MODE-DOTA, the protocol the variants share
+            ms = state.method_state
+            gmm_logits = gmm.predict(ms, jnp.mean(feat, axis=0, keepdims=True),
+                                     alpha_max=dc.alpha_max)
+            ms = gmm.fit(ms, feat, prob_map, axis_name=axis_name)
+            ms = gmm.update(ms, dc.epsilon)
+            w = fusion.dota_fusion_weight(
+                dc.rho, dc.eta, jnp.mean(gmm.class_counts_per_class(ms)),
+                feat.shape[0])
+            final = fusion.fuse_mode_dota(clip_logits, gmm_logits, w)
+
+        elif dc.use_adaptive_dota:
+            # `--use-adaptive-dota` is parsed but never read in the reference
+            # (utils/params.py:114, SURVEY.md §2.1); wired here
+            ms = state.method_state
+            sigma_init = adaptive_mod.resolve_sigma_init(
+                dc.sigma, text_init.shape[1])
+            ad_logits = adaptive_mod.predict(
+                ms, jnp.mean(feat, axis=0, keepdims=True), dc.epsilon)
+            ms = adaptive_mod.fit(ms, feat, prob_map, dc.epsilon,
+                                  split_threshold=10.0 * sigma_init,
+                                  axis_name=axis_name)
+            w = fusion.dota_fusion_weight(dc.rho, dc.eta, jnp.mean(ms.c),
+                                          feat.shape[0])
+            final = fusion.fuse_mode_dota(clip_logits, ad_logits, w)
 
         else:
             prop_ent = normalized_entropy(ent, K)[0]

@@ -26,11 +26,11 @@ def topk_correct(logits: jax.Array, target: jax.Array,
       (len(topk),) float32 — number of samples whose target is within the
       top-k predictions (reference: utils/utils.py:154-167).
     """
-    maxk = max(topk)
+    maxk = min(max(topk), logits.shape[-1])             # clamp to K classes
     _, pred = jax.lax.top_k(logits, maxk)               # (B, maxk)
     correct = pred == target[:, None]
-    return jnp.stack([correct[:, :k].any(axis=1).sum().astype(jnp.float32)
-                      for k in topk])
+    return jnp.stack([correct[:, :min(k, maxk)].any(axis=1).sum()
+                      .astype(jnp.float32) for k in topk])
 
 
 class AverageMeter:
