@@ -54,19 +54,16 @@ def bench_jax() -> float:
     targets = jnp.asarray(rng.integers(0, K_CLASSES,
                                        (T_WARMUP + T_TIMED, 1)), jnp.int32)
 
-    step = engine.make_step_fn(cfg, model, params, text)
-
-    @jax.jit
-    def scan_all(state, pcs, rgbs, targets):
-        return jax.lax.scan(step, state, (pcs, rgbs, targets))
-
+    scan_all = jax.jit(engine.make_scan_fn(cfg, model))
     state = engine.init_state(cfg, text, jax.random.PRNGKey(42))
     # compile + warm on a short prefix
     s_w, _ = jax.block_until_ready(scan_all(
-        state, pcs[:T_WARMUP], rgbs[:T_WARMUP], targets[:T_WARMUP]))
+        params, text, state, pcs[:T_WARMUP], rgbs[:T_WARMUP],
+        targets[:T_WARMUP]))
 
     t0 = time.perf_counter()
-    out = scan_all(s_w, pcs[T_WARMUP:], rgbs[T_WARMUP:], targets[T_WARMUP:])
+    out = scan_all(params, text, s_w, pcs[T_WARMUP:], rgbs[T_WARMUP:],
+                   targets[T_WARMUP:])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return T_TIMED / dt

@@ -1,0 +1,152 @@
+"""Experiment driver: the 15-corruption TTA evaluation loop.
+
+Rebuild of the reference's CLI entry point (main_test-time.py:25-104):
+parse config, set up logging, loop corruptions, run the TTA core per
+corruption, log Top-1/3/5 + the mean.  Differences by design:
+
+  * the stream runs as one on-device lax.scan per corruption
+    (engine.run_stream_scan) — no DataLoader workers, no per-batch host
+    round-trips; pass --scan false for the host-iterator path;
+  * model weights load from a converted checkpoint when provided
+    (models/loader.py), otherwise the run is zero-shot-random (useful for
+    throughput work, meaningless for accuracy — a warning is logged);
+  * distributed modes per RunConfig.dist_mode (parallel/mesh.py).
+
+Example:
+    python main.py --root /data/modelnet40_c --dataset-name modelnet \
+        --precomputed-text-features large --dota-use-mode-dota true
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+from uni_adapter_tpu.config import CORRUPTIONS, parse_args
+from uni_adapter_tpu.utils.logging import setup_logging
+
+GREEN, RESET = "\033[92m", "\033[0m"
+
+
+def build_model(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from uni_adapter_tpu.models.loader import init_or_load_params
+    from uni_adapter_tpu.models.pointbert import create_ulip
+    from uni_adapter_tpu.models.ppta import create_openshape
+    from uni_adapter_tpu.models.uni3d import create_uni3d
+
+    kind = cfg.model.vlm3d
+    if kind == "uni3d":
+        model = create_uni3d(cfg.model)
+        example = jnp.zeros((1, cfg.data.npoints, 6), jnp.float32)
+        init_args = (example,)
+    elif kind == "ulip":
+        model = create_ulip(cfg.model)
+        init_args = (jnp.zeros((1, cfg.data.npoints, 3), jnp.float32),)
+    elif kind == "openshape":
+        model = create_openshape(cfg.model)
+        init_args = (jnp.zeros((1, cfg.data.npoints, 3), jnp.float32),
+                     jnp.zeros((1, cfg.data.npoints, 6), jnp.float32))
+    else:
+        raise ValueError(kind)
+    params = init_or_load_params(model, init_args, cfg.model.checkpoint_path,
+                                 seed=cfg.run.seed)
+    return model, params
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from uni_adapter_tpu import engine
+    from uni_adapter_tpu.anchors import get_text_anchors
+    from uni_adapter_tpu.data.datasets import load_tta_dataset
+    from uni_adapter_tpu.parallel import mesh as pmesh
+
+    cfg = parse_args(argv)
+    name = cfg.run.name or datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+    log_dir = os.path.join(cfg.run.output_dir, name)
+    os.makedirs(log_dir, exist_ok=True)
+    setup_logging(os.path.join(log_dir, "out.log"))
+    logging.info("Running Experiment: %s", name)
+    logging.info("Config: %s", cfg)
+
+    model, params = build_model(cfg)
+    if cfg.model.checkpoint_path is None:
+        logging.warning("No checkpoint configured — random weights; "
+                        "accuracy numbers are not meaningful.")
+
+    text = get_text_anchors_with_fallback(cfg)
+
+    corruptions = (list(CORRUPTIONS) if cfg.data.corruption == "all"
+                   else [cfg.data.corruption])
+    results = {}
+    for corr in corruptions:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, corruption=corr))
+        logging.info("%s Processing corruption: %s %s", "=" * 20, corr, "=" * 20)
+        print(f"{GREEN}Loading data for corruption: {corr}{RESET}")
+        dataset = load_tta_dataset(cfg)
+        pcs, rgbs, targets = dataset.as_arrays(cfg.data.batch_size,
+                                               npoints=cfg.data.npoints,
+                                               seed=cfg.run.seed)
+        t0 = time.perf_counter()
+        if cfg.run.dist_mode == "sharded":
+            _, summary = pmesh.run_stream_sharded(
+                cfg, model, params, text, pcs, rgbs, targets,
+                seed=cfg.run.seed)
+        elif cfg.run.dist_mode == "psum":
+            _, summary = pmesh.run_stream_psum(
+                cfg, model, params, text, pcs, rgbs, targets,
+                seed=cfg.run.seed)
+        else:
+            state, outs = engine.run_stream_scan(
+                cfg, model, params, text, jnp.asarray(pcs), jnp.asarray(rgbs),
+                jnp.asarray(targets), seed=cfg.run.seed)
+            summary = engine.summarize(outs, pcs.shape[0] * pcs.shape[1])
+        dt = time.perf_counter() - t0
+        logging.info("Final Results: Acc@1 %.3f Acc@3 %.3f Acc@5 %.3f",
+                     summary["acc1"], summary["acc3"], summary["acc5"])
+        logging.info("Total time: %.3f ms (%.1f pc/s)",
+                     dt * 1e3, pcs.shape[0] * pcs.shape[1] / dt)
+        results[corr] = summary["acc1"]
+
+    logging.info("Summary of Results: %s", results)
+    logging.info("Average Top-1: %.3f", float(np.mean(list(results.values()))))
+    with open(os.path.join(log_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def get_text_anchors_with_fallback(cfg):
+    """Anchors: precomputed bank → on-the-fly text tower → error."""
+    from uni_adapter_tpu.anchors import get_text_anchors
+
+    if cfg.data.precomputed_text_features:
+        return get_text_anchors(cfg)
+
+    import jax
+    import jax.numpy as jnp
+
+    from uni_adapter_tpu.models.clip_text import create_text_encoder
+    from uni_adapter_tpu.models.loader import init_or_load_params
+
+    preset = (cfg.model.vlm3d if cfg.model.vlm3d != "openshape"
+              else f"openshape_{cfg.model.oshape_version}")
+    tower = create_text_encoder(preset)
+    params = init_or_load_params(
+        tower, (jnp.zeros((1, 77), jnp.int32),),
+        cfg.model.clip_checkpoint_path, seed=cfg.run.seed)
+    encode = jax.jit(lambda toks: tower.apply(params, toks))
+    return get_text_anchors(cfg, encode_text_fn=encode)
+
+
+if __name__ == "__main__":
+    main()

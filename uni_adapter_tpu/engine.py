@@ -6,18 +6,23 @@ with the idiomatic JAX shape (SURVEY.md §7 architecture stance):
   * the frozen encoder forward is a pure function of (params, batch);
   * ALL adaptation state — mixture parameters, residuals + Adam moments,
     prototype cache, PRNG key, step counter — is one explicit pytree carry;
-  * one stream step is a pure `(carry, batch) -> (carry, outputs)` function,
-    so the whole corruption stream runs as a single `jax.lax.scan` entirely
-    on-device (`run_stream_scan`), or step-by-step from a host iterator
-    (`run_stream`) with identical numerics.
+  * one stream step is a pure `(params, text, carry, batch) -> (carry,
+    outputs)` function, so the whole corruption stream runs as a single
+    `jax.lax.scan` entirely on-device (`run_stream_scan`), or step-by-step
+    from a host iterator (`run_stream`) with identical numerics.
+
+Model parameters and text anchors are ARGUMENTS of every jitted function,
+never Python closures: a closed-over concrete array is baked into the
+program as a constant, and a 300M-parameter constant makes compilation
+pathological (measured: 13s as an argument vs minutes/hang as a closure on
+the v5e tunnel).
 
 The three mutually exclusive adaptation mechanisms keep the reference's
 dispatch (Uni_Adapter.py:409-574): DOTA, MODE-DOTA (+ optional text-residual
-learning and noise-augmented double fit), or the Uni-Adapter prototype cache
-with graph refinement.
-
-Reference bugs consciously resolved (SURVEY.md §7 hard part 6) are handled in
-adapt/fusion.py and documented there.
+learning and noise-augmented double fit), the present-but-unwired GMM /
+adaptive variants, or the Uni-Adapter prototype cache with graph refinement.
+Reference bugs consciously resolved (SURVEY.md §7 hard part 6) are handled
+in adapt/fusion.py and documented there.
 """
 from __future__ import annotations
 
@@ -53,8 +58,8 @@ class StepOutput(NamedTuple):
     correct: jax.Array                # (3,) top-1/3/5 correct counts
 
 
-def make_encode_fn(cfg: Config, model, params) -> Callable:
-    """Model-dispatch forward: (pc, rgb) -> L2-normalised (B, D) features.
+def make_encode_fn(cfg: Config, model) -> Callable:
+    """Model-dispatch forward: (params, pc, rgb) -> L2-normalised (B, D).
 
     Mirrors get_logits_wrapper's per-backbone input conventions
     (Uni_Adapter.py:53-67): uni3d consumes xyz‖color, ulip xyz only,
@@ -62,7 +67,7 @@ def make_encode_fn(cfg: Config, model, params) -> Callable:
     """
     kind = cfg.model.vlm3d
 
-    def encode(pc: jax.Array, rgb: jax.Array) -> jax.Array:
+    def encode(params, pc: jax.Array, rgb: jax.Array) -> jax.Array:
         if kind == "uni3d":
             feat = model.apply(params, jnp.concatenate([pc, rgb], axis=-1))
         elif kind == "ulip":
@@ -122,25 +127,26 @@ def init_state(cfg: Config, text_features_initial: jax.Array,
     return EngineState(ms, res_state, jnp.zeros((), jnp.int32), rng)
 
 
-def make_step_fn(cfg: Config, model, params,
-                 text_features_initial: jax.Array,
+def make_step_fn(cfg: Config, model,
                  axis_name: Optional[str] = None) -> Callable:
-    """Build the pure per-sample step: (EngineState, batch) -> (EngineState,
-    StepOutput).  `batch` is (pc (B,N,3), rgb (B,N,3), target (B,)).
+    """Build the pure per-sample step:
+        step(params, text_init, state, batch) -> (state, StepOutput)
+    where `batch` is (pc (B,N,3), rgb (B,N,3), target (B,)).
 
     With `axis_name` set (inside shard_map), each device feeds its local
     batch shard and the fit sufficient statistics psum-merge — the
     adaptation state stays replicated and the update is the exact global
     streaming update (SURVEY.md §5.8)."""
-    encode = make_encode_fn(cfg, model, params)
+    encode = make_encode_fn(cfg, model)
     dc, cc = cfg.dota, cfg.cache
-    K = text_features_initial.shape[0]
-    text_init = text_features_initial.astype(jnp.float32)
     use_res = dc.use_mode_dota and dc.res_learning
     res_opt = residual.make_optimizer(dc.residual_lr) if use_res else None
 
-    def step(state: EngineState, batch) -> tuple[EngineState, StepOutput]:
+    def step(params, text_init, state: EngineState,
+             batch) -> tuple[EngineState, StepOutput]:
         pc, rgb, target = batch
+        text_init = text_init.astype(jnp.float32)
+        K = text_init.shape[0]
         rng, noise_rng = jax.random.split(state.rng)
         if axis_name is not None:
             # decorrelate the noise augmentation across devices while the
@@ -156,7 +162,7 @@ def make_step_fn(cfg: Config, model, params,
             clip_weights = text_init.T
 
         # --- A. base logits ---
-        feat = encode(pc, rgb)
+        feat = encode(params, pc, rgb)
         clip_logits, ent, prob_map, pred = clip_logits_from(feat, clip_weights)
 
         res_state = state.res_state
@@ -182,7 +188,7 @@ def make_step_fn(cfg: Config, model, params,
             # (Uni_Adapter.py:419-430)
             pc_aug = pc + dc.noise_std * jax.random.normal(noise_rng, pc.shape,
                                                            pc.dtype)
-            feat_aug = encode(pc_aug, rgb)
+            feat_aug = encode(params, pc_aug, rgb)
             ms = mode_dota.fit(ms, feat_aug, prob_map, dc.epsilon,
                                axis_name=axis_name)
 
@@ -245,6 +251,20 @@ def make_step_fn(cfg: Config, model, params,
     return step
 
 
+def make_scan_fn(cfg: Config, model,
+                 axis_name: Optional[str] = None) -> Callable:
+    """scan_fn(params, text, state, pcs, rgbs, targets) -> (state, outs).
+    Jit this (or embed in shard_map); all arrays are arguments."""
+    step = make_step_fn(cfg, model, axis_name=axis_name)
+
+    def scan_fn(params, text, state, pcs, rgbs, targets):
+        return jax.lax.scan(
+            lambda s, b: step(params, text, s, b), state,
+            (pcs, rgbs, targets))
+
+    return scan_fn
+
+
 def run_stream_scan(cfg: Config, model, params,
                     text_features_initial: jax.Array,
                     pcs: jax.Array, rgbs: jax.Array, targets: jax.Array,
@@ -261,14 +281,9 @@ def run_stream_scan(cfg: Config, model, params,
     Returns:
       (final EngineState, StepOutput with leading T axis)
     """
-    step = make_step_fn(cfg, model, params, text_features_initial)
+    scan_fn = jax.jit(make_scan_fn(cfg, model))
     state = init_state(cfg, text_features_initial, jax.random.PRNGKey(seed))
-
-    @jax.jit
-    def scan_all(state, pcs, rgbs, targets):
-        return jax.lax.scan(step, state, (pcs, rgbs, targets))
-
-    return scan_all(state, pcs, rgbs, targets)
+    return scan_fn(params, text_features_initial, state, pcs, rgbs, targets)
 
 
 def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
@@ -282,14 +297,15 @@ def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
     """
     from uni_adapter_tpu.utils.metrics import DeviceTimer
 
-    step = jax.jit(make_step_fn(cfg, model, params, text_features_initial))
+    step = jax.jit(make_step_fn(cfg, model))
     state = init_state(cfg, text_features_initial, jax.random.PRNGKey(seed))
     timer = DeviceTimer()
     totals = np.zeros(3)
     n = 0
     for i, (pc, rgb, target) in enumerate(batches):
         batch = (jnp.asarray(pc), jnp.asarray(rgb), jnp.asarray(target))
-        state, out = timer.timed(step, state, batch)
+        state, out = timer.timed(step, params, text_features_initial, state,
+                                 batch)
         totals += np.asarray(out.correct)
         n += int(batch[0].shape[0])
         if print_freq and i % print_freq == 0:

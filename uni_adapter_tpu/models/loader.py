@@ -1,0 +1,158 @@
+"""Model loading: random init or conversion from the reference's torch
+checkpoints.
+
+Rebuild of the reference's loader layer (utils/load_models.py:8-127): the
+reference strips the training-era `module.` prefix and filters point-model
+keys (:53-59, :70-99); here the same checkpoints (Uni3D `.pt`, ULIP SLIP
+checkpoints) convert into flax parameter pytrees by an explicit name map.
+
+Conversion rules (torch → flax):
+  * Linear / Conv1d(k=1) / Conv2d(k=1) weight (out, in, …) → kernel (in, out)
+  * LayerNorm weight/bias → scale/bias
+  * BatchNorm running_mean/running_var/weight/bias → mean/var/scale/bias
+    (folded into BatchNormInference — TTA always runs eval mode)
+  * EVA02 per-block names: q_proj/k_proj/v_proj(+q_norm/k_norm), SwiGLU
+    fc1_g/fc1_x/norm/fc2 — identical names in timm and models/common.py.
+
+NOTE: the reference's OpenShape point-model loader is a stub
+(`lm3d_model = None`, utils/load_models.py:126); here create_openshape
+(models/ppta.py) is a complete model, and the converter covers its
+checkpoint layout too.
+"""
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def init_or_load_params(model, init_args: Sequence, checkpoint_path:
+                        Optional[str], seed: int = 42):
+    """Initialise flax params; overlay a converted checkpoint if given."""
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), *init_args)
+    if checkpoint_path:
+        state_dict = load_torch_state_dict(checkpoint_path)
+        converted = convert_state_dict(state_dict)
+        params = overlay_params(params, converted)
+    return params
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint to numpy, stripping the `module.` prefix
+    (reference utils/load_models.py:53-59)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("module", "state_dict", "model"):
+        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+    out = {}
+    for k, v in sd.items():
+        if not hasattr(v, "numpy"):
+            continue
+        k = k.removeprefix("module.")
+        out[k] = v.float().numpy()
+    return out
+
+
+#: torch name-fragment → flax name-fragment rewrites, applied in order.
+_RENAMES = [
+    # mini-PointNet sequential indices → named layers (uni3d.MiniPointNet)
+    (r"first_conv\.0\.", "conv1."), (r"first_conv\.1\.", "bn1."),
+    (r"first_conv\.3\.", "conv2."),
+    (r"second_conv\.0\.", "conv3."), (r"second_conv\.1\.", "bn2."),
+    (r"second_conv\.3\.", "conv4."),
+    # pos-embed MLP sequential → fc1/fc2 (uni3d.PosEmbedMLP)
+    (r"pos_embed\.0\.", "pos_embed.fc1."), (r"pos_embed\.2\.", "pos_embed.fc2."),
+    # timm EVA block list → flax module names
+    (r"visual\.blocks\.(\d+)\.", r"blocks_\1."),
+    (r"^blocks\.(\d+)\.", r"blocks_\1."),
+    (r"blocks\.blocks\.(\d+)\.", r"blocks_\1."),   # ULIP TransformerEncoder
+    # timm EVA final norms
+    (r"visual\.norm\.", "norm."), (r"visual\.fc_norm\.", "fc_norm."),
+    # CLIP text transformer resblocks
+    (r"transformer\.resblocks\.(\d+)\.", r"resblocks_\1."),
+]
+
+
+def _rename(key: str) -> str:
+    for pat, rep in _RENAMES:
+        key = re.sub(pat, rep, key)
+    return key
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Flatten-name converted dict: 'a.b.c/kernel' style flax leaf paths."""
+    out: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        key = _rename(key)
+        parts = key.split(".")
+        leaf = parts[-1]
+        prefix = "/".join(parts[:-1])
+        if leaf == "weight":
+            if val.ndim == 2:                       # Linear
+                out[f"{prefix}/kernel"] = val.T
+            elif val.ndim in (3, 4):                # Conv k=1
+                out[f"{prefix}/kernel"] = val.reshape(val.shape[0], -1).T
+            elif val.ndim == 1:
+                # LayerNorm or BatchNorm scale — disambiguated at overlay
+                out[f"{prefix}/scale"] = val
+            else:
+                out[f"{prefix}/weight"] = val
+        elif leaf == "bias":
+            out[f"{prefix}/bias"] = val
+        elif leaf == "running_mean":
+            out[f"{prefix}/mean"] = val
+        elif leaf == "running_var":
+            out[f"{prefix}/var"] = val
+        elif leaf in ("num_batches_tracked",):
+            continue
+        else:
+            out[f"{prefix}/{leaf}" if prefix else leaf] = val
+    return out
+
+
+def overlay_params(params: Any, converted: Dict[str, np.ndarray],
+                   strict: bool = False):
+    """Write converted leaves into the flax param pytree by path suffix.
+
+    Missing / unexpected keys are logged in grouped form — the role of the
+    reference's checkpoint-key diagnostics
+    (models/ulip/pointbert/checkpoint.py:9-126)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves, treedef = flat
+    path_strs = []
+    for path, leaf in leaves:
+        parts = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        path_strs.append(("/".join(str(p) for p in parts), leaf))
+
+    used = set()
+    new_leaves = []
+    for pstr, leaf in path_strs:
+        hit = None
+        for ckey, cval in converted.items():
+            if pstr.endswith(ckey) and cval.shape == tuple(leaf.shape):
+                hit = ckey
+                break
+        if hit is not None:
+            used.add(hit)
+            new_leaves.append(np.asarray(converted[hit], leaf.dtype))
+        else:
+            new_leaves.append(leaf)
+
+    missing = [p for p, _ in path_strs
+               if not any(p.endswith(c) for c in used)]
+    unexpected = sorted(set(converted) - used)
+    if missing:
+        logging.info("overlay_params: %d params kept their init (e.g. %s)",
+                     len(missing), missing[:5])
+    if unexpected:
+        logging.info("overlay_params: %d checkpoint keys unused (e.g. %s)",
+                     len(unexpected), unexpected[:5])
+    if strict and (unexpected or missing):
+        raise ValueError(f"strict overlay failed: missing={missing[:10]}, "
+                         f"unexpected={unexpected[:10]}")
+    return jax.tree.unflatten(jax.tree.structure(params), new_leaves)

@@ -70,13 +70,13 @@ def run_stream_sharded(cfg: Config, model, params, text_features_initial,
     n = mesh.devices.size
     pcs_s, rgbs_s, targets_s, T = shard_stream(pcs, rgbs, targets, n)
 
-    step = engine.make_step_fn(cfg, model, params, text_features_initial)
+    scan_fn = engine.make_scan_fn(cfg, model)
 
-    def shard_body(pc_shard, rgb_shard, tgt_shard, rngs):
+    def shard_body(params, text, pc_shard, rgb_shard, tgt_shard, rngs):
         # leading singleton device axis from shard_map block
-        state = engine.init_state(cfg, text_features_initial, rngs[0])
-        state, outs = jax.lax.scan(
-            step, state, (pc_shard[0], rgb_shard[0], tgt_shard[0]))
+        state = engine.init_state(cfg, text, rngs[0])
+        state, outs = scan_fn(params, text, state, pc_shard[0], rgb_shard[0],
+                              tgt_shard[0])
         correct = jax.lax.psum(jnp.sum(outs.correct, axis=0), axis)
         return (jax.tree.map(lambda x: x[None], state),
                 correct[None], outs.final_logits[None])
@@ -88,11 +88,15 @@ def run_stream_sharded(cfg: Config, model, params, text_features_initial,
     # check_vma=False: the adaptation carry mixes replicated constants with
     # shard-varying data inside nested control flow; correctness is
     # guaranteed by construction (psum-merged outputs are replicated).
+    # params/text are replicated shard_map arguments (never closures — a
+    # closed-over param pytree bakes into the program as constants, which is
+    # pathological at 300M params; see engine.py module docstring)
     shard_fn = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
-    states, correct, logits = shard_fn(jnp.asarray(pcs_s), jnp.asarray(rgbs_s),
+    states, correct, logits = shard_fn(params, text_features_initial,
+                                       jnp.asarray(pcs_s), jnp.asarray(rgbs_s),
                                        jnp.asarray(targets_s), rngs)
     correct = np.asarray(correct)[0]  # psum ⇒ identical on every shard
     n_samples = T * pcs.shape[1]
@@ -124,22 +128,21 @@ def run_stream_psum(cfg: Config, model, params, text_features_initial,
 
     pcs_g, rgbs_g, targets_g = regroup(pcs), regroup(rgbs), regroup(targets)
 
-    step = engine.make_step_fn(cfg, model, params, text_features_initial,
-                               axis_name=axis)
+    scan_fn = engine.make_scan_fn(cfg, model, axis_name=axis)
 
-    def body(pc_all, rgb_all, tgt_all):
+    def body(params, text, pc_all, rgb_all, tgt_all):
         # each device sees its (T//n, B, ...) slice of every step
-        state = engine.init_state(cfg, text_features_initial,
-                                  jax.random.PRNGKey(seed))
-        state, outs = jax.lax.scan(step, state, (pc_all, rgb_all, tgt_all))
+        state = engine.init_state(cfg, text, jax.random.PRNGKey(seed))
+        state, outs = scan_fn(params, text, state, pc_all, rgb_all, tgt_all)
         correct = jax.lax.psum(jnp.sum(outs.correct, axis=0), axis)
         return state, correct
 
     body_fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis)),
         out_specs=(P(), P()), check_vma=False))
-    state, correct = body_fn(jnp.asarray(pcs_g), jnp.asarray(rgbs_g),
+    state, correct = body_fn(params, text_features_initial,
+                             jnp.asarray(pcs_g), jnp.asarray(rgbs_g),
                              jnp.asarray(targets_g))
     correct = np.asarray(correct)
     n_samples = T * B
