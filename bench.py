@@ -29,9 +29,26 @@ K_CLASSES = 40
 TORCH_STEPS = 3
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: compiles survive across processes,
+    shrinking exposure to tunnel flakiness and re-run latency."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from uni_adapter_tpu import engine
     from uni_adapter_tpu.anchors import load_precomputed
@@ -56,16 +73,24 @@ def bench_jax() -> float:
 
     scan_all = jax.jit(engine.make_scan_fn(cfg, model))
     state = engine.init_state(cfg, text, jax.random.PRNGKey(42))
-    # compile + warm on a short prefix
-    s_w, _ = jax.block_until_ready(scan_all(
-        params, text, state, pcs[:T_WARMUP], rgbs[:T_WARMUP],
-        targets[:T_WARMUP]))
+    # warm-up run with the SAME shapes as the timed run — a different scan
+    # length is a different program and would put the compile in the timing
+    timed = (pcs[T_WARMUP:], rgbs[T_WARMUP:], targets[T_WARMUP:])
+    s_w, out_w = scan_all(params, text, state, *timed)
+    # NOTE: block_until_ready does not reliably wait for remote execution on
+    # the tunneled v5e — only a device→host fetch synchronises.  Time the
+    # scan through a tiny fetch (3 floats) and subtract the measured
+    # fetch-only round-trip.
+    np.asarray(out_w.correct[-1])           # full warm sync
 
     t0 = time.perf_counter()
-    out = scan_all(params, text, s_w, pcs[T_WARMUP:], rgbs[T_WARMUP:],
-                   targets[T_WARMUP:])
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    sentinel = np.asarray(s_w.step)         # fetch-only round-trip
+    rt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    s2, out = scan_all(params, text, s_w, *timed)
+    np.asarray(out.correct[-1])             # sync through fetch
+    dt = max(time.perf_counter() - t0 - rt, 1e-9)
     return T_TIMED / dt
 
 

@@ -72,6 +72,23 @@ def load_data(data_path: str, corruption: str, severity: int):
             np.load(label_file, allow_pickle=True))
 
 
+def open_native(data_path: str, corruption: str, severity: int,
+                prefetch: int = 8):
+    """Native-loader variant of load_data: mmap'd archives with a C++
+    background prefetch ring (uni_adapter_tpu/native/) — the in-process
+    equivalent of the reference's DataLoader worker processes
+    (main_test-time.py:78-85).  Returns (NativeNpy data, NativeNpy labels);
+    falls back to numpy memmap transparently inside NativeNpy."""
+    from uni_adapter_tpu.native.loader import NativeNpy
+
+    if corruption == "clean":
+        data_file = os.path.join(data_path, "data_original.npy")
+    else:
+        data_file = os.path.join(data_path, f"data_{corruption}_{severity}.npy")
+    return (NativeNpy(data_file, prefetch=prefetch),
+            NativeNpy(os.path.join(data_path, "label.npy")))
+
+
 def load_h5(h5_name: str):
     """Clean ModelNet40 h5 (tta_datasets.py:38-44)."""
     import h5py

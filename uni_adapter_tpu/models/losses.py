@@ -1,0 +1,81 @@
+"""Contrastive losses (training-era parity; unused by the TTA loop).
+
+Rebuild of the reference's Uni3d_Text_Image_Loss (models/losses.py:7-69):
+pc↔text plus masked pc↔image InfoNCE with cross-device feature gathering.
+The reference all-gathers with torch.distributed (utils/utils.py:86-99
+`all_gather_batch`); here the gather is `jax.lax.all_gather` over the mesh
+axis when an axis_name is given — the same math, collective-on-ICI.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def all_gather_batch(tensors, axis_name: Optional[str] = None):
+    """Gather batches from all devices along the batch axis
+    (reference utils/utils.py:86-99).  Identity outside pmap/shard_map."""
+    if axis_name is None:
+        return tensors
+    return [jax.lax.all_gather(t, axis_name, axis=0, tiled=True)
+            for t in tensors]
+
+
+def info_nce(feat_a: jax.Array, feat_b: jax.Array, logit_scale: jax.Array,
+             labels: jax.Array) -> jax.Array:
+    """Symmetric InfoNCE between two normalised feature sets."""
+    logits_ab = logit_scale * jnp.matmul(feat_a, feat_b.T, precision=_HIGH)
+    loss_a = _xent(logits_ab, labels)
+    loss_b = _xent(logits_ab.T, labels)
+    return 0.5 * (loss_a + loss_b)
+
+
+def _xent(logits, labels):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+
+
+def uni3d_text_image_loss(pc_embed: jax.Array, text_embed: jax.Array,
+                          image_embed: jax.Array, logit_scale: jax.Array,
+                          mask: Optional[jax.Array] = None,
+                          axis_name: Optional[str] = None) -> dict:
+    """pc↔text + (masked) pc↔image contrastive loss (losses.py:18-69).
+
+    Args:
+      pc_embed/text_embed/image_embed: (B, D), unnormalised.
+      mask: (B,) 0/1 image-validity mask (the reference masks missing
+        renders in the image leg).
+    Returns:
+      dict with loss, uni3d_loss, pc_image_acc, pc_text_acc (the metric
+      names from models/uni3d.py:33-34).
+    """
+    def norm(x):
+        return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    pc, tx, im = norm(pc_embed), norm(text_embed), norm(image_embed)
+    pc_g, tx_g, im_g = all_gather_batch([pc, tx, im], axis_name)
+    B = pc.shape[0]
+    offset = (jax.lax.axis_index(axis_name) * B if axis_name is not None
+              else 0)
+    labels = offset + jnp.arange(B)
+
+    loss_pt = info_nce(pc, tx_g, logit_scale, labels)
+    logits_pi = logit_scale * jnp.matmul(pc, im_g.T, precision=_HIGH)
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits_pi, axis=-1)
+        per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        loss_pi = (per * m).sum() / jnp.maximum(m.sum(), 1.0)
+    else:
+        loss_pi = _xent(logits_pi, labels)
+    loss = loss_pt + loss_pi
+
+    pc_text_acc = (jnp.argmax(logit_scale * pc @ tx_g.T, 1) == labels).mean()
+    pc_image_acc = (jnp.argmax(logits_pi, 1) == labels).mean()
+    return {"loss": loss, "uni3d_loss": loss,
+            "pc_text_acc": 100.0 * pc_text_acc,
+            "pc_image_acc": 100.0 * pc_image_acc}

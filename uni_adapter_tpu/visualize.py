@@ -1,0 +1,148 @@
+"""Interactive point-cloud visualization.
+
+Rebuild of the reference's plotly viewer
+(visualize/visualization.py:5-47 `visualize_pointclouds_plotly`), called on
+batch 0 of every run (Uni_Adapter.py:371-377).  plotly is not in this
+environment, so the HTML writer is self-contained: point data embedded as
+JSON, rendered by an inline zero-dependency canvas renderer with mouse-drag
+rotation and wheel zoom — the artifact opens offline, matching the
+reference's "save .html next to the run log" behaviour.  A matplotlib PNG
+writer covers static figures.  When plotly IS importable, it is used
+directly for API parity.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Union
+
+import numpy as np
+
+_COLORS = ["#636efa", "#ef553b", "#00cc96", "#ab63fa", "#ffa15a",
+           "#19d3f3", "#ff6692", "#b6e880"]
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>body{{margin:0;background:#111;color:#eee;font-family:sans-serif}}
+#hud{{position:fixed;top:8px;left:12px}}canvas{{display:block}}
+.sw{{display:inline-block;width:10px;height:10px;margin-right:4px}}</style>
+</head><body>
+<div id="hud"><b>{title}</b><br/>{legend}<br/>
+<small>drag: rotate &middot; wheel: zoom</small></div>
+<canvas id="c"></canvas>
+<script>
+const CLOUDS = {data};
+const COLORS = {colors};
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+let rx = -1.1, rz = 0.6, zoom = 0.8;
+function resize(){{cv.width=innerWidth;cv.height=innerHeight;draw();}}
+function draw(){{
+  ctx.fillStyle='#111';ctx.fillRect(0,0,cv.width,cv.height);
+  const s = Math.min(cv.width,cv.height)*0.45*zoom;
+  const cx=cv.width/2, cy=cv.height/2;
+  const crz=Math.cos(rz),srz=Math.sin(rz),crx=Math.cos(rx),srx=Math.sin(rx);
+  CLOUDS.forEach((cl,ci)=>{{
+    ctx.fillStyle=COLORS[ci%COLORS.length];
+    const p=cl.points;
+    for(let i=0;i<p.length;i+=3){{
+      const x=p[i],y=p[i+1],z=p[i+2];
+      const x1=x*crz-y*srz, y1=x*srz+y*crz;
+      const y2=y1*crx-z*srx, z2=y1*srx+z*crx;
+      const px=cx+x1*s, py=cy-z2*s;
+      const r=Math.max(0.8, 2.2+y2*1.2);
+      ctx.globalAlpha={opacity};
+      ctx.fillRect(px, py, r, r);
+    }}
+  }});
+  ctx.globalAlpha=1;
+}}
+let drag=false,lx=0,ly=0;
+cv.onmousedown=e=>{{drag=true;lx=e.clientX;ly=e.clientY;}};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{{if(!drag)return;rz+=(e.clientX-lx)*0.01;rx+=(e.clientY-ly)*0.01;lx=e.clientX;ly=e.clientY;draw();}};
+cv.onwheel=e=>{{zoom*=e.deltaY<0?1.1:0.9;draw();e.preventDefault();}};
+window.onresize=resize; resize();
+</script></body></html>
+"""
+
+
+def _normalize_clouds(pointclouds) -> Dict[str, np.ndarray]:
+    if isinstance(pointclouds, np.ndarray):
+        if pointclouds.ndim != 2 or pointclouds.shape[1] != 3:
+            raise ValueError("Point cloud must be (N, 3).")
+        return {"Point Cloud": pointclouds}
+    return {k: np.asarray(v) for k, v in pointclouds.items()
+            if np.asarray(v).ndim == 2 and np.asarray(v).shape[1] == 3}
+
+
+def visualize_pointclouds_plotly(pointclouds: Union[dict, np.ndarray],
+                                 save_path: Optional[str] = None,
+                                 marker_size: int = 3, opacity: float = 0.8,
+                                 title: str = "3D Point Cloud Visualization"):
+    """Write an interactive HTML view of one or more point clouds.
+
+    Same signature and dict/array input contract as the reference
+    (visualization.py:5-47).  Returns the path written (or None)."""
+    clouds = _normalize_clouds(pointclouds)
+    try:
+        import plotly.graph_objects as go
+
+        fig = go.Figure()
+        for name, pts in clouds.items():
+            fig.add_trace(go.Scatter3d(
+                x=pts[:, 0], y=pts[:, 1], z=pts[:, 2], mode="markers",
+                marker=dict(size=marker_size, opacity=opacity), name=name))
+        fig.update_layout(title=title)
+        if save_path:
+            if not save_path.lower().endswith(".html"):
+                save_path += ".html"
+            os.makedirs(os.path.dirname(os.path.abspath(save_path)),
+                        exist_ok=True)
+            fig.write_html(save_path)
+            return save_path
+        return None
+    except ImportError:
+        pass
+
+    # self-contained fallback: embed data + tiny canvas renderer
+    data = []
+    for name, pts in clouds.items():
+        pts = pts - pts.mean(0, keepdims=True)
+        scale = np.abs(pts).max() + 1e-9
+        data.append({"name": name,
+                     "points": (pts / scale).reshape(-1).round(4).tolist()})
+    legend = "<br/>".join(
+        f'<span class="sw" style="background:{_COLORS[i % len(_COLORS)]}"></span>{d["name"]}'
+        for i, d in enumerate(data))
+    html = _HTML_TEMPLATE.format(title=title, data=json.dumps(data),
+                                 colors=json.dumps(_COLORS), legend=legend,
+                                 opacity=opacity)
+    if save_path:
+        if not save_path.lower().endswith(".html"):
+            save_path += ".html"
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        with open(save_path, "w") as f:
+            f.write(html)
+        return save_path
+    return html
+
+
+def save_pointcloud_png(pointclouds: Union[dict, np.ndarray], save_path: str,
+                        title: str = "Point Cloud", marker_size: int = 2):
+    """Static matplotlib 3D scatter (PNG)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    clouds = _normalize_clouds(pointclouds)
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    for i, (name, pts) in enumerate(clouds.items()):
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=marker_size,
+                   color=_COLORS[i % len(_COLORS)], label=name, alpha=0.8)
+    ax.set_title(title)
+    ax.legend()
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+    fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
