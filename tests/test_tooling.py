@@ -1,0 +1,329 @@
+"""Tests for tooling: native loader, visualization, attention analysis,
+cross-class analysis, kmeans, losses, checkpointing, weight conversion,
+config CLI."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uni_adapter_tpu import checkpoint
+from uni_adapter_tpu.config import Config, parse_args
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.utils.kmeans import cluster_patches, kmeans
+
+K, D = 4, 16
+
+
+# ---------------- native loader ----------------
+
+def test_native_npy_roundtrip(tmp_path):
+    from uni_adapter_tpu.native.loader import NativeNpy
+
+    arr = np.random.default_rng(0).standard_normal((9, 8, 3)).astype(np.float32)
+    p = os.path.join(tmp_path, "a.npy")
+    np.save(p, arr)
+    r = NativeNpy(p, prefetch=4)
+    assert r.shape == (9, 8, 3)
+    for i in [0, 4, 8]:
+        np.testing.assert_allclose(r.read_f32(i), arr[i])
+    r.close()
+
+
+def test_native_npy_dtype_conversions(tmp_path):
+    from uni_adapter_tpu.native.loader import NativeNpy
+
+    rng = np.random.default_rng(1)
+    f64 = rng.standard_normal((3, 5)).astype(np.float64)
+    np.save(os.path.join(tmp_path, "f64.npy"), f64)
+    r = NativeNpy(os.path.join(tmp_path, "f64.npy"))
+    np.testing.assert_allclose(r.read_f32(1), f64[1].astype(np.float32),
+                               rtol=1e-6)
+    labs = np.array([3, 1, 4], np.int64)
+    np.save(os.path.join(tmp_path, "l.npy"), labs)
+    rl = NativeNpy(os.path.join(tmp_path, "l.npy"))
+    assert int(rl.read_i64(2)) == 4
+
+
+def test_open_native_dispatch(tmp_path):
+    from uni_adapter_tpu.data.datasets import open_native
+
+    rng = np.random.default_rng(0)
+    np.save(os.path.join(tmp_path, "data_uniform_5.npy"),
+            rng.standard_normal((4, 6, 3)).astype(np.float32))
+    np.save(os.path.join(tmp_path, "label.npy"),
+            np.arange(4, dtype=np.int64))
+    data, labels = open_native(str(tmp_path), "uniform", 5)
+    assert data.shape[0] == 4 and int(labels.read_i64(3)) == 3
+
+
+# ---------------- visualization ----------------
+
+def test_html_viewer(tmp_path):
+    from uni_adapter_tpu.visualize import visualize_pointclouds_plotly
+
+    pts = np.random.default_rng(0).standard_normal((50, 3)).astype(np.float32)
+    path = visualize_pointclouds_plotly(
+        {"a": pts, "b": pts + 1}, save_path=os.path.join(tmp_path, "vis"),
+        title="test")
+    assert path.endswith(".html") and os.path.exists(path)
+    html = open(path).read()
+    assert "CLOUDS" in html and "test" in html
+
+
+def test_html_viewer_single_array_contract(tmp_path):
+    from uni_adapter_tpu.visualize import visualize_pointclouds_plotly
+
+    with pytest.raises(ValueError):
+        visualize_pointclouds_plotly(np.zeros((5, 4)))
+    p = visualize_pointclouds_plotly(np.zeros((5, 3)),
+                                     os.path.join(tmp_path, "x"))
+    assert os.path.exists(p)
+
+
+def test_png_writer(tmp_path):
+    from uni_adapter_tpu.visualize import save_pointcloud_png
+
+    pts = np.random.default_rng(0).standard_normal((30, 3))
+    p = save_pointcloud_png(pts, os.path.join(tmp_path, "pc.png"))
+    assert os.path.getsize(p) > 0
+
+
+# ---------------- attention analysis ----------------
+
+@pytest.fixture(scope="module")
+def tiny_uni3d():
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=2, num_heads=4, dtype=jnp.float32)
+    pc = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 6)),
+                     jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    return model, params
+
+
+def test_attention_extractor(tiny_uni3d, tmp_path):
+    from uni_adapter_tpu.analysis import attention as A
+
+    model, params = tiny_uni3d
+    ex = A.AttentionExtractor(model, params, num_group=8, group_size=8)
+    pc = np.random.default_rng(1).standard_normal((64, 3)).astype(np.float32)
+    maps = ex.extract(pc)
+    assert set(maps) == {"layer_0", "layer_1"}
+    assert maps["layer_0"].shape == (1, 4, 9, 9)
+    cls = ex.get_cls_attention(-1)
+    assert cls.shape == (1, 4, 8)
+    np.testing.assert_allclose(maps["layer_1"].sum(-1), 1.0, atol=1e-4)
+    centers = ex.get_group_centers(pc)
+    assert centers.shape == (1, 8, 3)
+    # plots render
+    assert os.path.exists(A.visualize_attention_maps(
+        maps, save_path=os.path.join(tmp_path, "m.png")))
+    assert os.path.exists(A.visualize_head_averaged(
+        maps, save_path=os.path.join(tmp_path, "h.png")))
+    assert os.path.exists(A.visualize_cls_evolution(
+        maps, save_path=os.path.join(tmp_path, "e.png")))
+    assert os.path.exists(A.visualize_attention_3d(
+        ex, pc, save_path=os.path.join(tmp_path, "a3d.html")))
+
+
+def test_cross_class_analyzer(tiny_uni3d, tmp_path):
+    from uni_adapter_tpu.analysis.cross_class import (
+        CrossClassAttentionAnalyzer, plot_distance_matrices)
+
+    model, params = tiny_uni3d
+    names = [f"c{i}" for i in range(3)]
+    an = CrossClassAttentionAnalyzer(model, params, names, num_group=8,
+                                     group_size=8)
+    rng = np.random.default_rng(0)
+    pcs = rng.standard_normal((6, 64, 3)).astype(np.float32)
+    labels = np.array([0, 1, 2, 0, 1, 2])
+    clean = an.class_centroids(pcs, labels)
+    corr = an.class_centroids(pcs + 0.3 * rng.standard_normal(pcs.shape)
+                              .astype(np.float32), labels)
+    assert clean.shape == (3, 8)
+    mats = an.distance_matrices(clean, corr)
+    assert mats["delta"].shape == (3, 3)
+    conf = an.confusion_analysis(clean, corr)
+    assert "flips" in conf
+    emb = an.tsne_displacement(clean, corr)
+    assert emb.shape == (3, 2, 2)
+    an.save_results(str(tmp_path), {"matrices": mats, "confusion": conf})
+    assert os.path.exists(os.path.join(tmp_path, "analysis.json"))
+    assert os.path.exists(os.path.join(tmp_path, "matrices_delta.npy"))
+    assert os.path.exists(plot_distance_matrices(
+        mats, names, os.path.join(tmp_path, "d.png")))
+
+
+# ---------------- kmeans ----------------
+
+def test_kmeans_separated_clusters():
+    rng = np.random.default_rng(0)
+    centers = np.array([[0, 0], [10, 0], [0, 10]], np.float32)
+    x = np.concatenate([c + 0.1 * rng.standard_normal((20, 2)).astype(np.float32)
+                        for c in centers])
+    got, assign = kmeans(jnp.array(x), 3, jax.random.PRNGKey(0))
+    got = np.asarray(got)
+    # every true center has a recovered center nearby
+    for c in centers:
+        assert np.min(np.linalg.norm(got - c, axis=1)) < 0.5
+    assert len(np.unique(np.asarray(assign))) == 3
+
+
+def test_cluster_patches_contract():
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 40, 8)).astype(np.float32))
+    centers = cluster_patches(x, 5)
+    assert centers.shape == (5, 8)
+
+
+# ---------------- losses ----------------
+
+def test_contrastive_loss_perfect_alignment():
+    from uni_adapter_tpu.models.losses import uni3d_text_image_loss
+
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((6, D)).astype(np.float32)
+    out = uni3d_text_image_loss(jnp.array(f), jnp.array(f), jnp.array(f),
+                                jnp.float32(100.0))
+    assert float(out["pc_text_acc"]) == 100.0
+    assert float(out["pc_image_acc"]) == 100.0
+    assert float(out["loss"]) < 0.1
+    # misaligned → worse
+    out2 = uni3d_text_image_loss(jnp.array(f), jnp.array(np.roll(f, 1, 0)),
+                                 jnp.array(f), jnp.float32(100.0))
+    assert float(out2["loss"]) > float(out["loss"])
+
+
+def test_contrastive_loss_mask():
+    from uni_adapter_tpu.models.losses import uni3d_text_image_loss
+
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((4, D)).astype(np.float32)
+    garbage = rng.standard_normal((4, D)).astype(np.float32)
+    m = jnp.array([1.0, 1.0, 0.0, 0.0])
+    out = uni3d_text_image_loss(jnp.array(f), jnp.array(f),
+                                jnp.array(garbage), jnp.float32(10.0), mask=m)
+    assert np.isfinite(float(out["loss"]))
+
+
+# ---------------- checkpointing ----------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"a": jnp.arange(5), "b": {"c": jnp.ones((2, 3)),
+                                       "d": jnp.zeros((), jnp.int32)}}
+    path = os.path.join(tmp_path, "ckpt")
+    checkpoint.save_state(path, state)
+    restored = checkpoint.restore_state(path)
+    assert jax.tree.structure(restored) == jax.tree.structure(state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_state_checkpoint_resume(tmp_path, tiny_uni3d):
+    """Mid-stream exact resume — the capability the reference lacks
+    (SURVEY.md §5.4)."""
+    from uni_adapter_tpu import engine
+    from uni_adapter_tpu.config import CacheConfig, DotaConfig, ModelConfig
+
+    model, params = tiny_uni3d
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_mode_dota=True, mode_M=2,
+                                 res_learning=False),
+                 cache=CacheConfig(cg_max_iter=5))
+    rng = np.random.default_rng(0)
+    text = rng.standard_normal((K, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    pcs = rng.standard_normal((6, 1, 64, 3)).astype(np.float32)
+    rgbs = np.ones_like(pcs)
+    tg = rng.integers(0, K, (6, 1)).astype(np.int32)
+
+    # full run
+    s_full, outs_full = engine.run_stream_scan(
+        cfg, model, params, jnp.array(text), jnp.array(pcs), jnp.array(rgbs),
+        jnp.array(tg))
+
+    # half run → checkpoint → restore → second half
+    s_half, _ = engine.run_stream_scan(
+        cfg, model, params, jnp.array(text), jnp.array(pcs[:3]),
+        jnp.array(rgbs[:3]), jnp.array(tg[:3]))
+    path = os.path.join(tmp_path, "mid")
+    checkpoint.save_state(path, s_half)
+    s_restored = checkpoint.restore_state(path)
+    scan_fn = jax.jit(engine.make_scan_fn(cfg, model))
+    s_resumed, _ = scan_fn(params, jnp.array(text), s_restored,
+                           jnp.array(pcs[3:]), jnp.array(rgbs[3:]),
+                           jnp.array(tg[3:]))
+    np.testing.assert_allclose(np.asarray(s_resumed.method_state.mu),
+                               np.asarray(s_full.method_state.mu),
+                               rtol=1e-5, atol=1e-7)
+    assert int(s_resumed.step) == int(s_full.step)
+
+
+# ---------------- weight conversion ----------------
+
+def test_convert_state_dict_shapes():
+    from uni_adapter_tpu.models.loader import convert_state_dict
+
+    sd = {
+        "module.point_encoder.encoder2trans.weight": np.zeros((32, 16), np.float32),
+        "point_encoder.encoder.first_conv.0.weight": np.zeros((128, 6, 1), np.float32),
+        "point_encoder.encoder.first_conv.1.weight": np.ones(128, np.float32),
+        "point_encoder.encoder.first_conv.1.running_mean": np.zeros(128, np.float32),
+        "point_encoder.encoder.first_conv.1.num_batches_tracked": np.zeros(1),
+        "point_encoder.visual.blocks.3.attn.q_proj.weight": np.zeros((32, 32), np.float32),
+        "point_encoder.pos_embed.0.bias": np.zeros(128, np.float32),
+    }
+    # strip module. happens in load_torch_state_dict; simulate post-strip
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    out = convert_state_dict(sd)
+    assert out["point_encoder/encoder2trans/kernel"].shape == (16, 32)
+    assert out["point_encoder/encoder/conv1/kernel"].shape == (6, 128)
+    assert "point_encoder/encoder/bn1/scale" in out
+    assert "point_encoder/encoder/bn1/mean" in out
+    assert "point_encoder/blocks_3/attn/q_proj/kernel" in out
+    assert "point_encoder/pos_embed/fc1/bias" in out
+    assert not any("num_batches" in k for k in out)
+
+
+def test_overlay_params_writes_matching_leaves(tiny_uni3d):
+    from uni_adapter_tpu.models.loader import overlay_params
+
+    model, params = tiny_uni3d
+    target_shape = params["params"]["point_encoder"]["encoder2trans"]["kernel"].shape
+    converted = {"point_encoder/encoder2trans/kernel":
+                 np.full(target_shape, 7.0, np.float32)}
+    new = overlay_params(params, converted)
+    np.testing.assert_allclose(
+        np.asarray(new["params"]["point_encoder"]["encoder2trans"]["kernel"]),
+        7.0)
+    # untouched leaf stays
+    np.testing.assert_allclose(
+        np.asarray(new["params"]["point_encoder"]["cls_token"]),
+        np.asarray(params["params"]["point_encoder"]["cls_token"]))
+
+
+# ---------------- config CLI ----------------
+
+def test_parse_args_cli_flags():
+    cfg = parse_args([
+        "--vlm3d", "ulip", "--dataset-name", "scanobject",
+        "--dota-use-mode-dota", "false", "--dota-use-dota", "true",
+        "--severity", "3", "--cache-shot-capacity", "12",
+    ])
+    assert cfg.model.vlm3d == "ulip"
+    assert cfg.dota.use_dota and not cfg.dota.use_mode_dota
+    assert cfg.data.severity == 3
+    assert cfg.cache.shot_capacity == 12
+    # per-dataset table applied by resolve()
+    assert cfg.cache.lambda_reg == 0.20
+
+
+def test_hyperparams_table():
+    from uni_adapter_tpu.config import get_hyperparams
+
+    hp = get_hyperparams("shapenetcore")
+    assert hp["lambda_reg"] == 0.07 and hp["threshold"] == 0.45
+    assert hp["use_new_approximation"] is False
+    hp_m = get_hyperparams("modelnet")
+    assert hp_m["lambda_reg"] == 0.11 and hp_m["use_new_approximation"]
