@@ -162,7 +162,17 @@ def make_step_fn(cfg: Config, model,
             clip_weights = text_init.T
 
         # --- A. base logits ---
-        feat = encode(params, pc, rgb)
+        if dc.use_mode_dota:
+            # fuse the clean and noise-augmented forwards into one batched
+            # encoder pass (weights stream from HBM once, not twice)
+            B = pc.shape[0]
+            pc_aug = pc + dc.noise_std * jax.random.normal(noise_rng, pc.shape,
+                                                           pc.dtype)
+            feat_both = encode(params, jnp.concatenate([pc, pc_aug], axis=0),
+                               jnp.concatenate([rgb, rgb], axis=0))
+            feat, feat_aug = feat_both[:B], feat_both[B:]
+        else:
+            feat = encode(params, pc, rgb)
         clip_logits, ent, prob_map, pred = clip_logits_from(feat, clip_weights)
 
         res_state = state.res_state
@@ -185,10 +195,10 @@ def make_step_fn(cfg: Config, model,
             ms = mode_dota.fit(ms, feat, prob_map, dc.epsilon,
                                axis_name=axis_name)
             # noise-augmented double fit with the CLEAN prob_map
-            # (Uni_Adapter.py:419-430)
-            pc_aug = pc + dc.noise_std * jax.random.normal(noise_rng, pc.shape,
-                                                           pc.dtype)
-            feat_aug = encode(params, pc_aug, rgb)
+            # (Uni_Adapter.py:419-430).  feat_aug was computed alongside the
+            # clean features in one batched forward (see above) — at batch 1
+            # the encoder is HBM-bound on its 300M-parameter weight reads,
+            # so one 2B forward costs ~half of two 1B forwards.
             ms = mode_dota.fit(ms, feat_aug, prob_map, dc.epsilon,
                                axis_name=axis_name)
 
