@@ -116,7 +116,7 @@ def main(argv=None):
                      summary["acc1"], summary["acc3"], summary["acc5"])
         logging.info("Total time: %.3f ms (%.1f pc/s)",
                      dt * 1e3, pcs.shape[0] * pcs.shape[1] / dt)
-        results[corr] = summary["acc1"]
+        results[corr] = float(summary["acc1"])
 
     logging.info("Summary of Results: %s", results)
     logging.info("Average Top-1: %.3f", float(np.mean(list(results.values()))))
