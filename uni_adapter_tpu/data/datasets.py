@@ -195,6 +195,66 @@ def modelnet_h5(root: str, corruption: str = "clean") -> TTADataset:
     raise FileNotFoundError(f"No ModelNet40 h5 found under {root}")
 
 
+SHAPENET_PART_CAT2ID = {
+    "airplane": 0, "bag": 1, "cap": 2, "car": 3, "chair": 4, "earphone": 5,
+    "guitar": 6, "knife": 7, "lamp": 8, "laptop": 9, "motor": 10, "mug": 11,
+    "pistol": 12, "rocket": 13, "skateboard": 14, "table": 15,
+}
+SHAPENET_PART_SEG_NUM = [4, 2, 2, 4, 4, 3, 3, 2, 4, 2, 6, 2, 3, 3, 3, 3]
+SHAPENET_PART_INDEX_START = [0, 4, 6, 8, 12, 16, 19, 22, 24, 28, 30, 36, 38,
+                             41, 44, 47]
+
+
+def load_data_partseg(root: str, corruption: str):
+    """Part-segmentation h5 archives `{corruption}_4.h5` with data/label/pid
+    (reference tta_datasets.py:169-194)."""
+    import glob
+
+    import h5py
+
+    data, label, seg = [], [], []
+    for h5_name in glob.glob(os.path.join(root, corruption + "_4.h5")):
+        with h5py.File(h5_name, "r") as f:
+            data.append(f["data"][:].astype("float32"))
+            label.append(f["label"][:].astype("int64"))
+            seg.append(f["pid"][:].astype("int64"))
+    if not data:
+        raise FileNotFoundError(
+            f"No part-seg h5 matching {corruption}_4.h5 under {root}")
+    return (np.concatenate(data), np.concatenate(label), np.concatenate(seg))
+
+
+class ShapeNetPartSeg:
+    """ShapeNet-C part-segmentation set (reference ShapeNetC,
+    tta_datasets.py:196-238): per-item random resample to npoints with the
+    part labels resampled identically."""
+
+    def __init__(self, root: str, corruption: str, npoints: int = 2048,
+                 class_choice: Optional[str] = None, seed: int = 0):
+        self.data, self.label, self.seg = load_data_partseg(root, corruption)
+        self.npoints = npoints
+        self.rng = np.random.default_rng(seed)
+        if class_choice is not None:
+            cid = SHAPENET_PART_CAT2ID[class_choice]
+            idx = (self.label == cid).squeeze()
+            self.data, self.label, self.seg = (self.data[idx],
+                                               self.label[idx], self.seg[idx])
+            self.seg_num_all = SHAPENET_PART_SEG_NUM[cid]
+            self.seg_start_index = SHAPENET_PART_INDEX_START[cid]
+        else:
+            self.seg_num_all = 50
+            self.seg_start_index = 0
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def __getitem__(self, item):
+        pc = self.data[item]
+        seg = self.seg[item]
+        choice = self.rng.choice(len(seg), self.npoints, replace=True)
+        return pc[choice], int(np.asarray(self.label[item]).item()), seg[choice]
+
+
 def load_tta_dataset(cfg) -> TTADataset:
     """Name-substring dispatch (reference data/data_utils.py:5-26)."""
     d = cfg.data

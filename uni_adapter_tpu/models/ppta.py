@@ -161,21 +161,39 @@ class PointPatchTransformer(nn.Module):
 
 
 class Projected(nn.Module):
-    """PPTA + CLIP-space projection (reference ppta.py:138-155)."""
+    """PPTA + CLIP-space projection (reference ppta.py:138-155).
+
+    cache_type selects the reference's return modes (ppta.py:127-135):
+      'global'        → projected CLS token (the TTA path)
+      'local'         → projected KMeans patch centers (n_cluster, out)
+      'hierarchical'  → (projected CLS, projected patch centers)
+    The KMeans runs as a jit'd on-device Lloyd iteration (utils/kmeans)
+    rather than the reference's sklearn round-trip.
+    """
     preset: PPTAPreset
     out_channel: int = 1280
     in_dim: int = 6
     rel_pe: bool = False
+    cache_type: str = "global"
+    n_cluster: int = 5
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, xyz: jax.Array, features: jax.Array) -> jax.Array:
-        cls_token = PointPatchTransformer(
+    def __call__(self, xyz: jax.Array, features: jax.Array):
+        want_tokens = self.cache_type != "global"
+        out = PointPatchTransformer(
             self.preset, self.in_dim, rel_pe=self.rel_pe, dtype=self.dtype,
-            name="ppat")(xyz, features)
-        out = nn.Dense(self.out_channel, dtype=jnp.float32,
-                       name="proj")(cls_token.astype(jnp.float32))
-        return out
+            name="ppat")(xyz, features, return_tokens=want_tokens)
+        proj = nn.Dense(self.out_channel, dtype=jnp.float32, name="proj")
+        if not want_tokens:
+            return proj(out.astype(jnp.float32))
+        cls_token, patch_tokens = out
+        from uni_adapter_tpu.utils.kmeans import cluster_patches
+        centers = cluster_patches(patch_tokens.astype(jnp.float32),
+                                  self.n_cluster)
+        if self.cache_type == "local":
+            return proj(centers)
+        return proj(cls_token.astype(jnp.float32)), proj(centers)
 
 
 def create_openshape(cfg, dtype=None) -> Projected:
