@@ -71,6 +71,8 @@ def main(argv=None):
     from uni_adapter_tpu.parallel import mesh as pmesh
 
     cfg = parse_args(argv)
+    if cfg.run.device != "default":
+        jax.config.update("jax_platforms", cfg.run.device)
     name = cfg.run.name or datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
     log_dir = os.path.join(cfg.run.output_dir, name)
     os.makedirs(log_dir, exist_ok=True)

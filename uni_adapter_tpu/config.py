@@ -134,6 +134,10 @@ class RunConfig:
     output_dir: str = "./outputs"
     seed: int = 42
     print_freq: int = 100
+    # jax platform override (reference --device flag, utils/params.py:98).
+    # 'default' keeps whatever backend the runtime registered; 'cpu'/'tpu'
+    # force one (set BEFORE first backend use).
+    device: str = "default"
     # Distributed-eval mode over a jax Mesh (SURVEY.md §5.8):
     #   'replicated' — single stream, exact reference trajectory
     #   'sharded'    — shard the stream; per-shard independent adaptation state
