@@ -65,6 +65,9 @@ class ModelConfig:
     # OpenShape PPTA (reference: models/openshape/ppta.py:159-199, config.yaml:11)
     oshape_version: str = "vitg14"       # vitg14 (scaling 4) | vitl14 (scaling 3)
     oshape_clip_dim: int = 1280          # bigG text dim (config.yaml:3)
+    # CLIP logit scale: 100·f@W in the current reference
+    # (Uni_Adapter.py:57); the older loop used 40 (Uni_Adapter copy.py:57).
+    logit_scale: float = 100.0
     # Numerics: encoder compute dtype.  Reference mixes fp16/fp32
     # (dota.py:31,69,76; load_models.py:85,101); on TPU we standardise on
     # bf16 compute with fp32 adaptation state (SURVEY.md §7 hard part 5).

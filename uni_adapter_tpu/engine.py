@@ -82,10 +82,12 @@ def make_encode_fn(cfg: Config, model) -> Callable:
     return encode
 
 
-def clip_logits_from(feat: jax.Array, clip_weights: jax.Array):
-    """logits = 100·f@W plus entropy / prob / pred
-    (reference Uni_Adapter.py:53-75; the 100× scale at :57)."""
-    logits = 100.0 * jnp.matmul(feat.astype(jnp.float32), clip_weights,
+def clip_logits_from(feat: jax.Array, clip_weights: jax.Array,
+                     scale: float = 100.0):
+    """logits = scale·f@W plus entropy / prob / pred
+    (reference Uni_Adapter.py:53-75; 100× at :57, 40× in the older loop
+    Uni_Adapter copy.py:57)."""
+    logits = scale * jnp.matmul(feat.astype(jnp.float32), clip_weights,
                                 precision=_HIGH)
     ent = softmax_entropy(logits)
     prob_map = jax.nn.softmax(logits, axis=1)
@@ -173,7 +175,8 @@ def make_step_fn(cfg: Config, model,
             feat, feat_aug = feat_both[:B], feat_both[B:]
         else:
             feat = encode(params, pc, rgb)
-        clip_logits, ent, prob_map, pred = clip_logits_from(feat, clip_weights)
+        clip_logits, ent, prob_map, pred = clip_logits_from(
+            feat, clip_weights, scale=cfg.model.logit_scale)
 
         res_state = state.res_state
         # --- B. adapt ---
