@@ -255,8 +255,23 @@ class ShapeNetPartSeg:
         return pc[choice], int(np.asarray(self.label[item]).item()), seg[choice]
 
 
+def generic_c(root: str, corruption: str, class_names: list[str],
+              severity: int = 5, debug: bool = False) -> TTADataset:
+    """Generic corrupted-set loader for datasets that follow the
+    data_{corruption}_{severity}.npy + label.npy convention but have no
+    dedicated class in the reference (Objaverse-LVIS and OmniObject3D are
+    named in the paper's benchmark table yet have no wired loader —
+    SURVEY.md §2.3 notes labels.json carries objaverse_lvis with no loader).
+    """
+    data, labels = load_data(root, corruption, severity)
+    if debug:
+        data, labels = data[:5], labels[:5]
+    return TTADataset(data, _normalize_labels(labels), class_names)
+
+
 def load_tta_dataset(cfg) -> TTADataset:
-    """Name-substring dispatch (reference data/data_utils.py:5-26)."""
+    """Name-substring dispatch (reference data/data_utils.py:5-26), extended
+    with the LVIS/OmniObject families the reference names but never wires."""
     d = cfg.data
     name = d.dataset_name.lower()
     if "modelnet" in name:
@@ -265,6 +280,11 @@ def load_tta_dataset(cfg) -> TTADataset:
         return scanobjectnn_c(d.root, d.corruption, d.severity, d.debug)
     if "shapenet" in name:
         return shapenetcore_c(d.root, d.corruption, d.severity, d.debug)
+    if "lvis" in name or "objaverse" in name or "omniobject" in name:
+        from uni_adapter_tpu.config import load_labels
+
+        return generic_c(d.root, d.corruption, load_labels(cfg), d.severity,
+                         d.debug)
     raise NotImplementedError(f"Dataset {d.dataset_name} is not implemented")
 
 
