@@ -312,7 +312,7 @@ def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
 
     step = jax.jit(make_step_fn(cfg, model))
     state = init_state(cfg, text_features_initial, jax.random.PRNGKey(seed))
-    timer = DeviceTimer()
+    timer = DeviceTimer(sync_leaf=lambda out: out[1].correct)
     totals = np.zeros(3)
     n = 0
     for i, (pc, rgb, target) in enumerate(batches):

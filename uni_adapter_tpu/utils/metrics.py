@@ -71,16 +71,24 @@ class ProgressMeter:
 
 
 class DeviceTimer:
-    """Wall-clock timing with block_until_ready — the TPU analogue of the
-    reference's paired cuda events (Uni_Adapter.py:365-380,577-579)."""
+    """Wall-clock timing — the TPU analogue of the reference's paired cuda
+    events (Uni_Adapter.py:365-380,577-579).
 
-    def __init__(self):
+    Synchronises via a device→host fetch of a small output leaf: on tunneled
+    devices `block_until_ready` can acknowledge dispatch before execution
+    finishes (see utils/profiling.py), so a fetch is the only true barrier.
+    """
+
+    def __init__(self, sync_leaf=None):
         self.times_ms: list[float] = []
+        self._sync_leaf = sync_leaf
 
     def timed(self, fn, *args, **kwargs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        leaf = (self._sync_leaf(out) if self._sync_leaf
+                else jax.tree.leaves(out)[0])
+        np.asarray(jax.device_get(leaf))
         self.times_ms.append((time.perf_counter() - t0) * 1e3)
         return out
 
