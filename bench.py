@@ -44,11 +44,18 @@ def _enable_compile_cache():
         pass
 
 
+def _progress(msg: str) -> None:
+    """Stderr breadcrumbs so a hung run is diagnosable from the log."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
+    _progress(f"devices: {jax.devices()}")
 
     from uni_adapter_tpu import engine
     from uni_adapter_tpu.anchors import load_precomputed
@@ -63,6 +70,7 @@ def bench_jax() -> float:
     rng = np.random.default_rng(0)
     pc0 = jnp.asarray(rng.standard_normal((1, N_POINTS, 6)), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), pc0)
+    _progress("params initialised")
     text = load_precomputed("large", "modelnet")          # (40, 1024) fp32
 
     pcs = jnp.asarray(rng.standard_normal(
@@ -76,6 +84,7 @@ def bench_jax() -> float:
     # warm-up run with the SAME shapes as the timed run — a different scan
     # length is a different program and would put the compile in the timing
     timed = (pcs[T_WARMUP:], rgbs[T_WARMUP:], targets[T_WARMUP:])
+    _progress("compiling + warming the scan")
     s_w, out_w = scan_all(params, text, state, *timed)
     # NOTE: block_until_ready does not reliably wait for remote execution on
     # the tunneled v5e — only a device→host fetch synchronises.  Time the
@@ -83,6 +92,7 @@ def bench_jax() -> float:
     # fetch-only round-trip.
     np.asarray(out_w.correct[-1])           # full warm sync
 
+    _progress("warm run synced; measuring fetch round-trip")
     t0 = time.perf_counter()
     sentinel = np.asarray(s_w.step)         # fetch-only round-trip
     rt = time.perf_counter() - t0
@@ -91,6 +101,7 @@ def bench_jax() -> float:
     s2, out = scan_all(params, text, s_w, *timed)
     np.asarray(out.correct[-1])             # sync through fetch
     dt = max(time.perf_counter() - t0 - rt, 1e-9)
+    _progress(f"timed scan: {dt:.3f}s for {T_TIMED} steps")
     return T_TIMED / dt
 
 
@@ -211,6 +222,7 @@ def bench_torch_cpu() -> float:
 
 def main():
     jax_pps = bench_jax()
+    _progress("jax bench done; measuring torch-CPU baseline")
     try:
         torch_pps = bench_torch_cpu()
     except Exception as e:  # torch baseline is best-effort
