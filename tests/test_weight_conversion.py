@@ -1,0 +1,224 @@
+"""Activation-level checkpoint-conversion parity (SURVEY.md §7 hard part 2).
+
+A torch twin of the Uni3D architecture is built with the REFERENCE's
+parameter naming (mini-PointNet Sequential indices, visual.blocks.N EVA
+layout, pos_embed Sequential — utils/load_models.py:41-62 checkpoint
+layout), its state_dict saved and run through models/loader's converter,
+and the flax model with the overlaid weights must reproduce the torch
+forward on the same input to fp32 tolerance.
+
+This validates simultaneously: the name map, every transpose/reshape rule,
+BatchNorm folding, the per-head q/k LayerNorm placement, SwiGLU wiring,
+exact-GELU + LN-epsilon numerics, and the geometry pipeline (FPS/kNN
+ordering feeding a permutation-invariant pooling).
+"""
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from uni_adapter_tpu.models.loader import init_or_load_params
+from uni_adapter_tpu.models.uni3d import Uni3D
+
+TRANS, EMBED, G, M, ENC, DEPTH, HEADS = 32, 24, 8, 8, 16, 2, 4
+N = 64
+
+
+# ---------------------------------------------------------------------------
+# torch twin with reference parameter names
+# ---------------------------------------------------------------------------
+
+class TorchEvaAttention(tnn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.q_proj = tnn.Linear(dim, dim, bias=True)
+        self.k_proj = tnn.Linear(dim, dim, bias=False)
+        self.v_proj = tnn.Linear(dim, dim, bias=True)
+        hd = dim // heads
+        self.q_norm = tnn.LayerNorm(hd)
+        self.k_norm = tnn.LayerNorm(hd)
+        self.proj = tnn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, T, C = x.shape
+        hd = C // self.heads
+        q = self.q_proj(x).reshape(B, T, self.heads, hd).permute(0, 2, 1, 3)
+        k = self.k_proj(x).reshape(B, T, self.heads, hd).permute(0, 2, 1, 3)
+        v = self.v_proj(x).reshape(B, T, self.heads, hd).permute(0, 2, 1, 3)
+        q, k = self.q_norm(q), self.k_norm(k)
+        attn = torch.softmax((q @ k.transpose(-2, -1)) * hd ** -0.5, -1)
+        out = (attn @ v).permute(0, 2, 1, 3).reshape(B, T, C)
+        return self.proj(out)
+
+
+class TorchSwiGLU(tnn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1_g = tnn.Linear(dim, hidden)
+        self.fc1_x = tnn.Linear(dim, hidden)
+        self.norm = tnn.LayerNorm(hidden)
+        self.fc2 = tnn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(self.norm(torch.nn.functional.silu(self.fc1_g(x))
+                                  * self.fc1_x(x)))
+
+
+class TorchEvaBlock(tnn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim)
+        self.attn = TorchEvaAttention(dim, heads)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.mlp = TorchSwiGLU(dim, int(dim * 4 * 2 / 3))
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class TorchVisual(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.blocks = tnn.ModuleList(
+            [TorchEvaBlock(TRANS, HEADS) for _ in range(DEPTH)])
+        self.norm = tnn.LayerNorm(TRANS)
+        self.fc_norm = tnn.LayerNorm(TRANS)
+
+
+class TorchMiniPointNet(tnn.Module):
+    """Reference Encoder (point_encoder.py:131-159) with its Sequential
+    naming (first_conv.0/1/3, second_conv.0/1/3)."""
+
+    def __init__(self, enc):
+        super().__init__()
+        self.first_conv = tnn.Sequential(
+            tnn.Conv1d(6, 128, 1), tnn.BatchNorm1d(128), tnn.ReLU(),
+            tnn.Conv1d(128, 256, 1))
+        self.second_conv = tnn.Sequential(
+            tnn.Conv1d(512, 512, 1), tnn.BatchNorm1d(512), tnn.ReLU(),
+            tnn.Conv1d(512, enc, 1))
+
+    def forward(self, pg):
+        bs, g, n, _ = pg.shape
+        pg = pg.reshape(bs * g, n, 6)
+        f = self.first_conv(pg.transpose(2, 1))
+        fg = torch.max(f, dim=2, keepdim=True)[0]
+        f = torch.cat([fg.expand(-1, -1, n), f], dim=1)
+        f = self.second_conv(f)
+        return torch.max(f, dim=2)[0].reshape(bs, g, -1)
+
+
+class TorchPointEncoder(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchMiniPointNet(ENC)
+        self.encoder2trans = tnn.Linear(ENC, TRANS)
+        self.trans2embed = tnn.Linear(TRANS, EMBED)
+        self.cls_token = tnn.Parameter(torch.zeros(1, 1, TRANS))
+        self.cls_pos = tnn.Parameter(torch.randn(1, 1, TRANS))
+        self.pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, TRANS))
+        self.visual = TorchVisual()
+
+    def forward(self, neighborhood_feats, center):
+        """Consumes pre-grouped features so both sides share geometry."""
+        tok = self.encoder(neighborhood_feats)
+        tok = self.encoder2trans(tok)
+        B = tok.size(0)
+        cls = self.cls_token.expand(B, -1, -1)
+        cpos = self.cls_pos.expand(B, -1, -1)
+        pos = self.pos_embed(center)
+        x = torch.cat([cls, tok], 1) + torch.cat([cpos, pos], 1)
+        for blk in self.visual.blocks:
+            x = blk(x)
+        x = self.visual.norm(x[:, 0])
+        x = self.visual.fc_norm(x)
+        return self.trans2embed(x)
+
+
+class TorchUni3D(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.point_encoder = TorchPointEncoder()
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    torch.manual_seed(0)
+    tm = TorchUni3D().eval()
+    # randomise BN running stats so the conversion is actually exercised
+    for mod in tm.modules():
+        if isinstance(mod, tnn.BatchNorm1d):
+            mod.running_mean.normal_(0, 0.2)
+            mod.running_var.uniform_(0.5, 1.5)
+    path = os.path.join(tmp_path_factory.mktemp("ckpt"), "uni3d_small.pt")
+    # reference checkpoints wrap with module. prefix (load_models.py:53-59)
+    torch.save({"module": {"module." + k: v
+                           for k, v in tm.state_dict().items()}}, path)
+
+    model = Uni3D(trans_dim=TRANS, embed_dim=EMBED, num_group=G, group_size=M,
+                  encoder_dim=ENC, depth=DEPTH, num_heads=HEADS,
+                  dtype=jnp.float32)
+    pc0 = jnp.zeros((1, N, 6), jnp.float32)
+    params = init_or_load_params(model, (pc0,), path)
+    return tm, model, params
+
+
+def test_forward_matches_torch(converted):
+    tm, model, params = converted
+    rng = np.random.default_rng(0)
+    pc = rng.standard_normal((2, N, 3)).astype(np.float32)
+    full = np.concatenate([pc, np.ones_like(pc)], -1)
+
+    ours = np.asarray(model.apply(params, jnp.asarray(full)))
+
+    # torch side: share the geometry stage (grouping is tested separately in
+    # test_geometry; pooling is permutation-invariant so kNN order is moot)
+    from uni_adapter_tpu.ops.geometry import group_points
+    _, center, feats = group_points(jnp.asarray(pc), jnp.ones((2, N, 3)),
+                                    G, M)
+    with torch.no_grad():
+        theirs = tm.point_encoder(
+            torch.tensor(np.asarray(feats)),
+            torch.tensor(np.asarray(center))).numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_conversion_overlaid_every_torch_param(converted):
+    tm, model, params = converted
+    # every torch parameter must land somewhere: spot-check key leaves
+    p = params["params"]["point_encoder"]
+    sd = tm.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(p["encoder2trans"]["kernel"]),
+        sd["point_encoder.encoder2trans.weight"].numpy().T, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(p["encoder"]["bn1"]["mean"]),
+        sd["point_encoder.encoder.first_conv.1.running_mean"].numpy(),
+        atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(p["blocks_1"]["attn"]["k_proj"]["kernel"]),
+        sd["point_encoder.visual.blocks.1.attn.k_proj.weight"].numpy().T,
+        atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(p["blocks_0"]["mlp"]["norm"]["scale"]),
+        sd["point_encoder.visual.blocks.0.mlp.norm.weight"].numpy(),
+        atol=1e-7)
+    # fc_norm must NOT have been claimed by the plain 'norm' key
+    np.testing.assert_allclose(
+        np.asarray(p["fc_norm"]["scale"]),
+        sd["point_encoder.visual.fc_norm.weight"].numpy(), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(p["norm"]["scale"]),
+        sd["point_encoder.visual.norm.weight"].numpy(), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(p["cls_pos"]),
+        sd["point_encoder.cls_pos"].numpy(), atol=1e-7)

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from uni_adapter_tpu.models.common import Mlp, ViTAttention, quick_gelu
+from uni_adapter_tpu.models.common import Mlp, ViTAttention, quick_gelu, LN, gelu_exact
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -31,11 +31,11 @@ class ResidualAttentionBlock(nn.Module):
     def __call__(self, x, mask):
         a = ViTAttention(self.width, self.heads, qkv_bias=True,
                          dtype=self.dtype, name="attn")(
-            nn.LayerNorm(dtype=self.dtype, name="ln_1")(x), mask=mask)
+            LN(dtype=self.dtype, name="ln_1")(x), mask=mask)
         x = x + a
         x = x + Mlp(self.width, self.width * 4, act=quick_gelu,
                     dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="ln_2")(x))
+            LN(dtype=self.dtype, name="ln_2")(x))
         return x
 
 
@@ -70,7 +70,7 @@ class TextEncoder(nn.Module):
             x = ResidualAttentionBlock(self.width, self.heads,
                                        dtype=self.dtype,
                                        name=f"resblocks_{i}")(x, mask)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        x = LN(dtype=self.dtype, name="ln_final")(x)
 
         # EOT pooling: highest token id marks end of text (text_encoder.py:100)
         eot = jnp.argmax(text, axis=-1)

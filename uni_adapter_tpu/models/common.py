@@ -22,6 +22,17 @@ import jax
 import jax.numpy as jnp
 
 
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — torch nn.GELU's default, vs flax's tanh approx."""
+    return nn.gelu(x, approximate=False)
+
+
+def LN(dtype=jnp.bfloat16, name=None):
+    """LayerNorm with torch's default epsilon (1e-5; flax defaults 1e-6) —
+    required for activation-level parity with converted checkpoints."""
+    return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
+
+
 def quick_gelu(x: jax.Array) -> jax.Array:
     """x·sigmoid(1.702x) (reference: models/ulip/text_encoder.py:19-21)."""
     return x * jax.nn.sigmoid(1.702 * x)
@@ -100,8 +111,8 @@ class EvaAttention(nn.Module):
         k = jnp.transpose(k.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
         v = jnp.transpose(v.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
         if self.use_qk_norm:
-            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
-            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
+            q = LN(dtype=self.dtype, name="q_norm")(q)
+            k = LN(dtype=self.dtype, name="k_norm")(k)
         scale = hd ** -0.5
         out = _attend(q, k, v, scale)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, self.dim)
@@ -118,7 +129,7 @@ class Mlp(nn.Module):
     """Two-layer MLP (reference: point_encoder.py:11-27 Mlp)."""
     dim: int
     hidden_dim: int
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -139,7 +150,7 @@ class SwiGLU(nn.Module):
         g = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1_g")(x)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1_x")(x)
         x = nn.silu(g) * h
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LN(dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
@@ -156,7 +167,7 @@ class ViTBlock(nn.Module):
     def __call__(self, x, return_attn=False):
         a = ViTAttention(self.dim, self.num_heads, self.qkv_bias,
                          dtype=self.dtype, name="attn")(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
+            LN(dtype=self.dtype, name="norm1")(x),
             return_attn=return_attn)
         attn = None
         if return_attn:
@@ -164,7 +175,7 @@ class ViTBlock(nn.Module):
         x = x + a
         x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
                     dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+            LN(dtype=self.dtype, name="norm2")(x))
         return (x, attn) if return_attn else x
 
 
@@ -184,7 +195,7 @@ class EvaBlock(nn.Module):
     def __call__(self, x, return_attn=False):
         a = EvaAttention(self.dim, self.num_heads, dtype=self.dtype,
                          name="attn")(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
+            LN(dtype=self.dtype, name="norm1")(x),
             return_attn=return_attn)
         attn = None
         if return_attn:
@@ -192,7 +203,7 @@ class EvaBlock(nn.Module):
         x = x + a
         x = x + SwiGLU(self.dim, int(self.dim * self.mlp_ratio),
                        dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+            LN(dtype=self.dtype, name="norm2")(x))
         return (x, attn) if return_attn else x
 
 

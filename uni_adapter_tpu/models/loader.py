@@ -129,14 +129,21 @@ def overlay_params(params: Any, converted: Dict[str, np.ndarray],
         parts = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         path_strs.append(("/".join(str(p) for p in parts), leaf))
 
+    def suffix_match(pstr: str, ckey: str) -> bool:
+        # match only on full path-component boundaries so e.g. checkpoint key
+        # 'norm/scale' cannot claim the model's 'fc_norm/scale' leaf
+        return pstr == ckey or pstr.endswith("/" + ckey)
+
     used = set()
     new_leaves = []
     for pstr, leaf in path_strs:
+        # longest (most specific) matching checkpoint key wins
         hit = None
         for ckey, cval in converted.items():
-            if pstr.endswith(ckey) and cval.shape == tuple(leaf.shape):
+            if (suffix_match(pstr, ckey)
+                    and cval.shape == tuple(leaf.shape)
+                    and (hit is None or len(ckey) > len(hit))):
                 hit = ckey
-                break
         if hit is not None:
             used.add(hit)
             new_leaves.append(np.asarray(converted[hit], leaf.dtype))

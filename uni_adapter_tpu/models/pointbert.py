@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from uni_adapter_tpu.models.common import ViTBlock
+from uni_adapter_tpu.models.common import ViTBlock, LN, gelu_exact
 from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
 from uni_adapter_tpu.ops.geometry import group_points
 
@@ -69,7 +69,7 @@ class PointTransformer(nn.Module):
             else:
                 x = out
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LN(dtype=self.dtype, name="norm")(x)
         concat_f = jnp.concatenate([x[:, 0], jnp.max(x[:, 1:], axis=1)],
                                    axis=-1)  # (B, 2·trans_dim)
         if return_attn:

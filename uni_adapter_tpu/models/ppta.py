@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from uni_adapter_tpu.models.common import ViTAttention, Mlp
+from uni_adapter_tpu.models.common import ViTAttention, Mlp, LN, gelu_exact
 from uni_adapter_tpu.ops.geometry import sample_and_group
 
 
@@ -113,11 +113,11 @@ class PPTABlockPair(nn.Module):
                          inner_dim=inner,
                          project_out=not (self.heads == 1 and inner == self.dim),
                          dtype=self.dtype, name="attn")(
-            nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x),
+            LN(dtype=self.dtype, name="attn_norm")(x),
             attn_bias=bias)
         x = x + a
         f = Mlp(self.dim, self.mlp_dim, dtype=self.dtype, name="ff")(
-            nn.LayerNorm(dtype=self.dtype, name="ff_norm")(x))
+            LN(dtype=self.dtype, name="ff_norm")(x))
         return x + f
 
 
@@ -138,7 +138,7 @@ class PointPatchTransformer(nn.Module):
             dtype=self.dtype, name="sa")(xyz, features)
         x = jnp.concatenate([centroids.astype(self.dtype), feat], axis=-1)
         x = nn.Dense(p.dim, dtype=self.dtype, name="lift")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="lift_norm")(x)
+        x = LN(dtype=self.dtype, name="lift_norm")(x)
 
         cls_token = self.param("cls_token", nn.initializers.normal(1.0),
                                (p.dim,))

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from uni_adapter_tpu.models.common import BatchNormInference, EvaBlock
+from uni_adapter_tpu.models.common import BatchNormInference, EvaBlock, LN, gelu_exact
 from uni_adapter_tpu.ops.geometry import group_points
 
 
@@ -62,7 +62,7 @@ class PosEmbedMLP(nn.Module):
     @nn.compact
     def __call__(self, center: jax.Array) -> jax.Array:
         x = nn.Dense(128, dtype=self.dtype, name="fc1")(center.astype(self.dtype))
-        x = nn.gelu(x)
+        x = gelu_exact(x)
         return nn.Dense(self.width, dtype=self.dtype, name="fc2")(x)
 
 
@@ -112,8 +112,8 @@ class PointcloudEncoder(nn.Module):
                 x, attn = x
                 attn_maps.append(attn)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x[:, 0, :])
-        x = nn.LayerNorm(dtype=self.dtype, name="fc_norm")(x)
+        x = LN(dtype=self.dtype, name="norm")(x[:, 0, :])
+        x = LN(dtype=self.dtype, name="fc_norm")(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="trans2embed")(x)
         if return_attn:
             return x, attn_maps
