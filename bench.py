@@ -1,10 +1,13 @@
 """Benchmark: MODE-DOTA TTA throughput on the flagship Uni3D-L pipeline.
 
-Protocol follows the reference headline config (BASELINE.md): batch size 1,
-1024 points, MODE-DOTA M=4 with residual learning, ModelNet40-class anchor
-bank — the full adaptation step including the double encoder forward
-(clean + noise-augmented), streaming EM, 10-step Adam residual optimisation
-and entropy fusion (Uni_Adapter.py:368-595).
+Protocol follows the reference headline workload (BASELINE.md): the FULL
+15-corruption ModelNet40-C sweep — batch size 1 per stream, 1024 points,
+MODE-DOTA M=4 with residual learning: double encoder forward (clean +
+noise-augmented, fused into one batched pass), streaming EM, 10-step Adam
+residual optimisation and entropy fusion (Uni_Adapter.py:368-595).  The 15
+streams run simultaneously as one vmapped scan (engine.run_streams_vmapped)
+with per-stream numerics identical to the reference's sequential loop
+(tests/test_vmapped_streams.py).
 
 vs_baseline is the ratio against a PyTorch-CPU implementation of the same
 pipeline (equal dims/FLOPs), per BASELINE.json's north star
@@ -22,8 +25,8 @@ import time
 
 import numpy as np
 
-T_WARMUP = 4
-T_TIMED = 64
+N_STREAMS = 15          # the benchmark's 15 corruptions
+T_TIMED = 16            # steps per stream per timed scan (240 samples total)
 N_POINTS = 1024
 K_CLASSES = 40
 TORCH_STEPS = 3
@@ -74,35 +77,37 @@ def bench_jax() -> float:
     text = load_precomputed("large", "modelnet")          # (40, 1024) fp32
 
     pcs = jnp.asarray(rng.standard_normal(
-        (T_WARMUP + T_TIMED, 1, N_POINTS, 3)), jnp.float32)
+        (N_STREAMS, T_TIMED, 1, N_POINTS, 3)), jnp.float32)
     rgbs = jnp.ones_like(pcs)
-    targets = jnp.asarray(rng.integers(0, K_CLASSES,
-                                       (T_WARMUP + T_TIMED, 1)), jnp.int32)
+    targets = jnp.asarray(rng.integers(
+        0, K_CLASSES, (N_STREAMS, T_TIMED, 1)), jnp.int32)
 
-    scan_all = jax.jit(engine.make_scan_fn(cfg, model))
-    state = engine.init_state(cfg, text, jax.random.PRNGKey(42))
+    scan_fn = jax.jit(engine.make_vmapped_scan_fn(cfg, model))
+    states = engine.init_states_vmapped(cfg, text, N_STREAMS, seed=42)
+    t_first = lambda a: jnp.swapaxes(a, 0, 1)
+    args = (t_first(pcs), t_first(rgbs), t_first(targets))
+
     # warm-up run with the SAME shapes as the timed run — a different scan
-    # length is a different program and would put the compile in the timing
-    timed = (pcs[T_WARMUP:], rgbs[T_WARMUP:], targets[T_WARMUP:])
-    _progress("compiling + warming the scan")
-    s_w, out_w = scan_all(params, text, state, *timed)
+    # length would be a different program, putting the compile in the timing
+    _progress("compiling + warming the 15-stream vmapped scan")
+    s_w, out_w = scan_fn(params, text, states, *args)
     # NOTE: block_until_ready does not reliably wait for remote execution on
     # the tunneled v5e — only a device→host fetch synchronises.  Time the
-    # scan through a tiny fetch (3 floats) and subtract the measured
-    # fetch-only round-trip.
+    # scan through a tiny fetch and subtract the fetch-only round-trip.
     np.asarray(out_w.correct[-1])           # full warm sync
 
     _progress("warm run synced; measuring fetch round-trip")
     t0 = time.perf_counter()
-    sentinel = np.asarray(s_w.step)         # fetch-only round-trip
+    np.asarray(jax.tree.leaves(s_w)[-1])    # fetch-only round-trip
     rt = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    s2, out = scan_all(params, text, s_w, *timed)
+    s2, out = scan_fn(params, text, s_w, *args)
     np.asarray(out.correct[-1])             # sync through fetch
     dt = max(time.perf_counter() - t0 - rt, 1e-9)
-    _progress(f"timed scan: {dt:.3f}s for {T_TIMED} steps")
-    return T_TIMED / dt
+    total = N_STREAMS * T_TIMED
+    _progress(f"timed scan: {dt:.3f}s for {total} samples")
+    return total / dt
 
 
 def bench_torch_cpu() -> float:
@@ -230,7 +235,7 @@ def main():
         torch_pps = float("nan")
     vs = jax_pps / torch_pps if torch_pps == torch_pps else None
     print(json.dumps({
-        "metric": "mode_dota_tta_throughput_uni3d_large",
+        "metric": "mode_dota_tta_throughput_uni3d_large_15corruption_sweep",
         "value": round(jax_pps, 3),
         "unit": "point-clouds/sec/chip",
         "vs_baseline": round(vs, 3) if vs else None,

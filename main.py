@@ -90,6 +90,10 @@ def main(argv=None):
     corruptions = (list(CORRUPTIONS) if cfg.data.corruption == "all"
                    else [cfg.data.corruption])
     results = {}
+
+    if cfg.run.vmap_corruptions and len(corruptions) > 1:
+        return run_all_vmapped(cfg, model, params, text, corruptions, log_dir)
+
     for corr in corruptions:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, corruption=corr))
@@ -119,6 +123,12 @@ def main(argv=None):
             _, summary = pmesh.run_stream_psum(
                 cfg, model, params, text, pcs, rgbs, targets,
                 seed=cfg.run.seed)
+        elif not cfg.run.use_scan:
+            res = engine.run_stream(cfg, model, params, text,
+                                    dataset.iter_batches(cfg.data.batch_size),
+                                    seed=cfg.run.seed,
+                                    print_freq=cfg.run.print_freq)
+            summary = {k: res[k] for k in ("acc1", "acc3", "acc5")}
         else:
             state, outs = engine.run_stream_scan(
                 cfg, model, params, text, jnp.asarray(pcs), jnp.asarray(rgbs),
@@ -133,6 +143,48 @@ def main(argv=None):
 
     logging.info("Summary of Results: %s", results)
     logging.info("Average Top-1: %.3f", float(np.mean(list(results.values()))))
+    with open(os.path.join(log_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def run_all_vmapped(cfg, model, params, text, corruptions, log_dir):
+    """All corruption streams in ONE vmapped scan (equal lengths required;
+    falls back to nothing — the caller already handled the sequential path).
+    The reference runs the same 15 streams sequentially
+    (main_test-time.py:55-96)."""
+    import dataclasses as dc_mod
+
+    import jax.numpy as jnp
+
+    from uni_adapter_tpu import engine
+    from uni_adapter_tpu.data.datasets import load_tta_dataset
+
+    stacks = []
+    for corr in corruptions:
+        c = dc_mod.replace(cfg, data=dc_mod.replace(cfg.data, corruption=corr))
+        ds = load_tta_dataset(c)
+        stacks.append(ds.as_arrays(cfg.data.batch_size,
+                                   npoints=cfg.data.npoints,
+                                   seed=cfg.run.seed))
+    T = min(s[0].shape[0] for s in stacks)
+    pcs = np.stack([s[0][:T] for s in stacks])
+    rgbs = np.stack([s[1][:T] for s in stacks])
+    tgts = np.stack([s[2][:T] for s in stacks])
+    logging.info("vmapped sweep: %d streams × %d steps", len(stacks), T)
+
+    t0 = time.perf_counter()
+    _, outs = engine.run_streams_vmapped(
+        cfg, model, params, text, jnp.asarray(pcs), jnp.asarray(rgbs),
+        jnp.asarray(tgts), seed=cfg.run.seed)
+    summaries = engine.summarize_vmapped(outs, T * cfg.data.batch_size)
+    dt = time.perf_counter() - t0
+    results = {c: float(s["acc1"]) for c, s in zip(corruptions, summaries)}
+    total = len(stacks) * T * cfg.data.batch_size
+    logging.info("Summary of Results: %s", results)
+    logging.info("Average Top-1: %.3f", float(np.mean(list(results.values()))))
+    logging.info("Total time: %.1f ms (%.1f pc/s over %d samples)",
+                 dt * 1e3, total / dt, total)
     with open(os.path.join(log_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     return results

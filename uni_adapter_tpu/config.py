@@ -65,6 +65,9 @@ class ModelConfig:
     # OpenShape PPTA (reference: models/openshape/ppta.py:159-199, config.yaml:11)
     oshape_version: str = "vitg14"       # vitg14 (scaling 4) | vitl14 (scaling 3)
     oshape_clip_dim: int = 1280          # bigG text dim (config.yaml:3)
+    # Use the Pallas FPS kernel instead of the XLA fori_loop twin
+    # (ops/fps_pallas.py; identical indices, tested against the oracle)
+    use_pallas_fps: bool = False
     # CLIP logit scale: 100·f@W in the current reference
     # (Uni_Adapter.py:57); the older loop used 40 (Uni_Adapter copy.py:57).
     logit_scale: float = 100.0
@@ -137,10 +140,19 @@ class RunConfig:
     output_dir: str = "./outputs"
     seed: int = 42
     print_freq: int = 100
+    # True: whole stream as one on-device lax.scan (fixed shapes);
+    # False: host iterator with one jitted step per batch (native point
+    # counts preserved, reference DataLoader-style).
+    use_scan: bool = True
     # jax platform override (reference --device flag, utils/params.py:98).
     # 'default' keeps whatever backend the runtime registered; 'cpu'/'tpu'
     # force one (set BEFORE first backend use).
     device: str = "default"
+    # Evaluate all corruption streams simultaneously as one vmapped scan
+    # (engine.run_streams_vmapped): per-stream numerics identical to the
+    # sequential loop, encoder batched C-wide.  Requires equal stream
+    # lengths (true for the -C benchmarks).
+    vmap_corruptions: bool = False
     # Distributed-eval mode over a jax Mesh (SURVEY.md §5.8):
     #   'replicated' — single stream, exact reference trajectory
     #   'sharded'    — shard the stream; per-shard independent adaptation state

@@ -108,6 +108,6 @@ def create_ulip(cfg, dtype=None) -> ULIP:
         trans_dim=cfg.ulip_trans_dim, depth=cfg.ulip_depth,
         num_heads=cfg.ulip_heads, num_group=cfg.num_group,
         group_size=cfg.ulip_group_size, encoder_dim=cfg.ulip_encoder_dim,
-        embed_dim=cfg.ulip_embed_dim,
+        embed_dim=cfg.ulip_embed_dim, use_pallas_fps=cfg.use_pallas_fps,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

@@ -156,6 +156,6 @@ def create_uni3d(cfg, dtype: Optional[jnp.dtype] = None) -> Uni3D:
         trans_dim=cfg.pc_feat_dim, embed_dim=cfg.embed_dim,
         num_group=cfg.num_group, group_size=cfg.group_size,
         encoder_dim=cfg.pc_encoder_dim, depth=cfg.eva_depth,
-        num_heads=cfg.eva_heads,
+        num_heads=cfg.eva_heads, use_pallas_fps=cfg.use_pallas_fps,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )
