@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -362,22 +363,41 @@ def summarize_vmapped(outputs: StepOutput, n_samples_per_stream: int) -> list:
 
 
 def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
-               batches, seed: int = 42, print_freq: Optional[int] = None):
+               batches, seed: int = 42, print_freq: Optional[int] = None,
+               checkpoint_every: Optional[int] = None,
+               checkpoint_path: Optional[str] = None):
     """Host-iterator variant: identical numerics, one jitted step per batch.
+
+    Elastic recovery (a capability the reference lacks — SURVEY.md §5.3/5.4):
+    with `checkpoint_every` set, the full adaptation carry plus the running
+    accuracy counters persist every N steps; an interrupted run restarted
+    with the same checkpoint_path resumes mid-stream exactly (the carry
+    includes the PRNG key and step counter), skipping already-seen batches.
 
     Args:
       batches: iterable of (pc, rgb, target) numpy/JAX arrays.
     Returns:
       dict with acc1/acc3/acc5 (percent) and per-step timings.
     """
+    from uni_adapter_tpu import checkpoint as ckpt
     from uni_adapter_tpu.utils.metrics import DeviceTimer
 
     step = jax.jit(make_step_fn(cfg, model))
     state = init_state(cfg, text_features_initial, jax.random.PRNGKey(seed))
-    timer = DeviceTimer(sync_leaf=lambda out: out[1].correct)
     totals = np.zeros(3)
     n = 0
+    start_step = 0
+    if checkpoint_path and os.path.exists(checkpoint_path + ".npz"):
+        saved = ckpt.restore_state(checkpoint_path)
+        state, totals, n = (saved["state"], np.asarray(saved["totals"]),
+                            int(saved["n"]))
+        start_step = int(state.step)
+        logging.info("resumed adaptation state at step %d", start_step)
+
+    timer = DeviceTimer(sync_leaf=lambda out: out[1].correct)
     for i, (pc, rgb, target) in enumerate(batches):
+        if i < start_step:
+            continue
         batch = (jnp.asarray(pc), jnp.asarray(rgb), jnp.asarray(target))
         state, out = timer.timed(step, params, text_features_initial, state,
                                  batch)
@@ -385,6 +405,10 @@ def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
         n += int(batch[0].shape[0])
         if print_freq and i % print_freq == 0:
             logging.info("step %d: acc1=%.3f%%", i, 100 * totals[0] / n)
+        if (checkpoint_every and checkpoint_path
+                and (i + 1) % checkpoint_every == 0):
+            ckpt.save_state(checkpoint_path,
+                            {"state": state, "totals": totals, "n": n})
     accs = 100.0 * totals / max(n, 1)
     return {"acc1": accs[0], "acc3": accs[1], "acc5": accs[2],
             "total_time_ms": timer.total_ms, "state": state}
