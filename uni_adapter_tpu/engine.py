@@ -26,7 +26,7 @@ in adapt/fusion.py and documented there.
 """
 from __future__ import annotations
 
-import functools
+
 import logging
 import os
 from typing import Any, Callable, NamedTuple, Optional

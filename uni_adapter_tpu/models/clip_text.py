@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from uni_adapter_tpu.models.common import Mlp, ViTAttention, quick_gelu, LN, gelu_exact
+from uni_adapter_tpu.models.common import LN, Mlp, ViTAttention, quick_gelu
 
 
 class ResidualAttentionBlock(nn.Module):

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from uni_adapter_tpu.models.common import ViTBlock, LN, gelu_exact
+from uni_adapter_tpu.models.common import LN, ViTBlock
 from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
 from uni_adapter_tpu.ops.geometry import group_points
 

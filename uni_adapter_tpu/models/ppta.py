@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from uni_adapter_tpu.models.common import ViTAttention, Mlp, LN, gelu_exact
+from uni_adapter_tpu.models.common import LN, Mlp, ViTAttention
 from uni_adapter_tpu.ops.geometry import sample_and_group
 
 
