@@ -222,3 +222,143 @@ def test_conversion_overlaid_every_torch_param(converted):
     np.testing.assert_allclose(
         np.asarray(p["cls_pos"]),
         sd["point_encoder.cls_pos"].numpy(), atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# ULIP Point-BERT conversion twin (fused qkv, blocks.blocks.N naming,
+# raw pc_projection parameter — utils/load_models.py:64-105 layout)
+# ---------------------------------------------------------------------------
+
+UT, UH, UDEPTH, UENC, UEMB = 24, 4, 2, 16, 20
+
+
+class TorchViTBlock(tnn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim)
+        self.norm2 = tnn.LayerNorm(dim)
+
+        class A(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.qkv = tnn.Linear(dim, dim * 3, bias=False)
+                self.proj = tnn.Linear(dim, dim)
+
+            def forward(self, x):
+                B, T, C = x.shape
+                hd = C // heads
+                qkv = self.qkv(x).reshape(B, T, 3, heads, hd).permute(
+                    2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                attn = torch.softmax((q @ k.transpose(-2, -1)) * hd ** -0.5,
+                                     -1)
+                out = (attn @ v).transpose(1, 2).reshape(B, T, C)
+                return self.proj(out)
+
+        class M(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc1 = tnn.Linear(dim, dim * 4)
+                self.fc2 = tnn.Linear(dim * 4, dim)
+
+            def forward(self, x):
+                return self.fc2(torch.nn.functional.gelu(self.fc1(x)))
+
+        self.attn = A()
+        self.mlp = M()
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class TorchBlocks(tnn.Module):     # reference TransformerEncoder named 'blocks'
+    def __init__(self):
+        super().__init__()
+        self.blocks = tnn.ModuleList(
+            [TorchViTBlock(UT, UH) for _ in range(UDEPTH)])
+
+
+class TorchMiniPointNet3(tnn.Module):
+    def __init__(self, enc):
+        super().__init__()
+        self.first_conv = tnn.Sequential(
+            tnn.Conv1d(3, 128, 1), tnn.BatchNorm1d(128), tnn.ReLU(),
+            tnn.Conv1d(128, 256, 1))
+        self.second_conv = tnn.Sequential(
+            tnn.Conv1d(512, 512, 1), tnn.BatchNorm1d(512), tnn.ReLU(),
+            tnn.Conv1d(512, enc, 1))
+
+    def forward(self, pg):
+        bs, g, n, _ = pg.shape
+        pg = pg.reshape(bs * g, n, 3)
+        f = self.first_conv(pg.transpose(2, 1))
+        fg = torch.max(f, dim=2, keepdim=True)[0]
+        f = torch.cat([fg.expand(-1, -1, n), f], dim=1)
+        f = self.second_conv(f)
+        return torch.max(f, dim=2)[0].reshape(bs, g, -1)
+
+
+class TorchPointTransformer(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchMiniPointNet3(UENC)
+        self.reduce_dim = tnn.Linear(UENC, UT)
+        self.cls_token = tnn.Parameter(torch.zeros(1, 1, UT))
+        self.cls_pos = tnn.Parameter(torch.randn(1, 1, UT))
+        self.pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, UT))
+        self.blocks = TorchBlocks()
+        self.norm = tnn.LayerNorm(UT)
+
+    def forward(self, neighborhood, center):
+        tok = self.reduce_dim(self.encoder(neighborhood))
+        B = tok.size(0)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), tok], 1)
+        pos = torch.cat([self.cls_pos.expand(B, -1, -1),
+                         self.pos_embed(center)], 1)
+        for blk in self.blocks.blocks:
+            x = blk(x + pos)           # pos re-added every block
+        x = self.norm(x)
+        return torch.cat([x[:, 0], x[:, 1:].max(1)[0]], -1)
+
+
+class TorchULIP(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.point_encoder = TorchPointTransformer()
+        self.pc_projection = tnn.Parameter(torch.empty(2 * UT, UEMB))
+        tnn.init.normal_(self.pc_projection, std=0.02)
+
+    def forward(self, neighborhood, center):
+        return self.point_encoder(neighborhood, center) @ self.pc_projection
+
+
+def test_ulip_conversion_forward_matches(tmp_path):
+    from uni_adapter_tpu.models.pointbert import ULIP
+    from uni_adapter_tpu.ops.geometry import group_points
+
+    torch.manual_seed(1)
+    tm = TorchULIP().eval()
+    for mod in tm.modules():
+        if isinstance(mod, tnn.BatchNorm1d):
+            mod.running_mean.normal_(0, 0.2)
+            mod.running_var.uniform_(0.5, 1.5)
+    path = os.path.join(tmp_path, "ulip_small.pt")
+    torch.save({"module." + k: v for k, v in tm.state_dict().items()}, path)
+
+    model = ULIP(trans_dim=UT, depth=UDEPTH, num_heads=UH, num_group=G,
+                 group_size=M, encoder_dim=UENC, embed_dim=UEMB,
+                 dtype=jnp.float32)
+    params = init_or_load_params(model, (jnp.zeros((1, N, 3), jnp.float32),),
+                                 path)
+
+    rng = np.random.default_rng(2)
+    pc = rng.standard_normal((2, N, 3)).astype(np.float32)
+    ours = np.asarray(model.apply(params, jnp.asarray(pc)))
+
+    nb, center, _ = group_points(jnp.asarray(pc), None, G, M)
+    with torch.no_grad():
+        theirs = tm(torch.tensor(np.asarray(nb)),
+                    torch.tensor(np.asarray(center))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
