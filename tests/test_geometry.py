@@ -121,3 +121,23 @@ def test_sample_and_group_shapes(pts):
     new_xyz, new_points = G.sample_and_group(16, 0.4, 8, x, jnp.ones_like(x))
     assert new_xyz.shape == (2, 16, 3)
     assert new_points.shape == (2, 16, 8, 6)
+
+
+def test_index_points_matmul_exact(pts):
+    x = jnp.array(pts)
+    idx = G.knn_point(8, x, G.fps_gather(x, 16))
+    a = np.asarray(G.index_points(x, idx))
+    b = np.asarray(G.index_points_matmul(x, idx))
+    np.testing.assert_array_equal(a, b)        # bit-exact (fp32 one-hot)
+
+
+def test_knn_approx_matches_exact_sets(pts):
+    x = jnp.array(pts)
+    centers = G.fps_gather(x, 16)
+    exact = np.asarray(G.knn_point(8, x, centers))
+    approx = np.asarray(G.knn_point(8, x, centers, approx=True))
+    # on CPU approx_max_k falls back to exact; on TPU recall ≈ 1.0 —
+    # compare as sets with a tolerance of one element per neighbourhood
+    for b in range(exact.shape[0]):
+        for s in range(exact.shape[1]):
+            assert len(set(exact[b, s]) & set(approx[b, s])) >= 7

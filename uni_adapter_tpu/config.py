@@ -68,6 +68,9 @@ class ModelConfig:
     # Use the Pallas FPS kernel instead of the XLA fori_loop twin
     # (ops/fps_pallas.py; identical indices, tested against the oracle)
     use_pallas_fps: bool = False
+    # approx_max_k kNN (TPU partial reduce, recall_target 0.99 — measured
+    # recall 1.0 on benchmark point distributions); default exact top_k
+    approx_knn: bool = False
     # CLIP logit scale: 100·f@W in the current reference
     # (Uni_Adapter.py:57); the older loop used 40 (Uni_Adapter copy.py:57).
     logit_scale: float = 100.0

@@ -32,13 +32,14 @@ class PointTransformer(nn.Module):
     group_size: int = 32
     encoder_dim: int = 256
     use_pallas_fps: bool = False
+    approx_knn: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, pts: jax.Array, return_attn: bool = False):
         neighborhood, center, _ = group_points(
             pts, None, self.num_group, self.group_size,
-            use_pallas_fps=self.use_pallas_fps)
+            use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn)
         tokens = MiniPointNet(self.encoder_dim, 3, dtype=self.dtype,
                               name="encoder")(neighborhood)
         tokens = nn.Dense(self.trans_dim, dtype=self.dtype,
@@ -88,6 +89,7 @@ class ULIP(nn.Module):
     encoder_dim: int = 256
     embed_dim: int = 512
     use_pallas_fps: bool = False
+    approx_knn: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -95,7 +97,7 @@ class ULIP(nn.Module):
         feat = PointTransformer(
             self.trans_dim, self.depth, self.num_heads, self.num_group,
             self.group_size, self.encoder_dim, self.use_pallas_fps,
-            self.dtype, name="point_encoder")(pc)
+            self.approx_knn, self.dtype, name="point_encoder")(pc)
         pc_projection = self.param(
             "pc_projection", nn.initializers.normal(0.02),
             (2 * self.trans_dim, self.embed_dim))
@@ -109,5 +111,6 @@ def create_ulip(cfg, dtype=None) -> ULIP:
         num_heads=cfg.ulip_heads, num_group=cfg.num_group,
         group_size=cfg.ulip_group_size, encoder_dim=cfg.ulip_encoder_dim,
         embed_dim=cfg.ulip_embed_dim, use_pallas_fps=cfg.use_pallas_fps,
+        approx_knn=cfg.approx_knn,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

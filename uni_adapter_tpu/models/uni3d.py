@@ -76,6 +76,7 @@ class PointcloudEncoder(nn.Module):
     depth: int = 24             # EVA02-L
     num_heads: int = 16
     use_pallas_fps: bool = False
+    approx_knn: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -83,7 +84,7 @@ class PointcloudEncoder(nn.Module):
                  return_attn: bool = False):
         _, center, features = group_points(
             xyz, color, self.num_group, self.group_size,
-            use_pallas_fps=self.use_pallas_fps)
+            use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn)
         tokens = MiniPointNet(self.encoder_dim, 6, dtype=self.dtype,
                               name="encoder")(features)
         tokens = nn.Dense(self.trans_dim, dtype=self.dtype,
@@ -131,6 +132,7 @@ class Uni3D(nn.Module):
     depth: int = 24
     num_heads: int = 16
     use_pallas_fps: bool = False
+    approx_knn: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -139,7 +141,8 @@ class Uni3D(nn.Module):
         out = PointcloudEncoder(
             self.trans_dim, self.embed_dim, self.num_group, self.group_size,
             self.encoder_dim, self.depth, self.num_heads,
-            self.use_pallas_fps, self.dtype, name="point_encoder",
+            self.use_pallas_fps, self.approx_knn, self.dtype,
+            name="point_encoder",
         )(xyz, color, return_attn=return_attn)
         if return_attn:
             feat, attn = out
@@ -157,5 +160,6 @@ def create_uni3d(cfg, dtype: Optional[jnp.dtype] = None) -> Uni3D:
         num_group=cfg.num_group, group_size=cfg.group_size,
         encoder_dim=cfg.pc_encoder_dim, depth=cfg.eva_depth,
         num_heads=cfg.eva_heads, use_pallas_fps=cfg.use_pallas_fps,
+        approx_knn=cfg.approx_knn,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

