@@ -14,6 +14,14 @@ start at -inf running distance so argmax never selects them.
 
 Start-index semantics match the CUDA kernel (first centroid = index 0), the
 same choice as ops/geometry.farthest_point_sample.
+
+Measured (v5e, 2026-08-16): 1.4× faster than the XLA fori_loop twin at
+N=8192 (3.3 vs 4.6 ms) where the VMEM-resident distance vector pays off;
+comparable at N=1024.  Numerics note: this kernel computes (x−c)² directly
+while the XLA twin uses the expanded |x|²−2x·c+|c|² form — on near-tied
+distances the argmax chains can diverge after some step (both are valid FPS
+solutions; SURVEY.md §7 hard part 1).  The CPU interpret-mode test checks
+exact agreement on tie-free clouds.
 """
 from __future__ import annotations
 
@@ -26,23 +34,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fps_kernel(npoint: int, n_real: int, xyz_ref, out_ref, dist_ref):
-    # xyz_ref: (1, 3, N) VMEM; out_ref: (1, npoint) int32; dist_ref: (1, N) f32 scratch
+    # xyz_ref: (1, 8, N) VMEM (3 coord rows + tile padding);
+    # out_ref: (1, 1, npoint) int32; dist_ref: (1, N) f32 scratch.
+    # The TPU lowering forbids scalar VMEM loads/stores, so the centroid
+    # extraction and the index write are masked vector ops on (1, N) /
+    # (1, npoint) rows; the running `farthest` index is a loop-carried sreg.
     n = xyz_ref.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
     valid = lane < n_real
     dist_ref[:, :] = jnp.where(valid, jnp.inf, -jnp.inf).astype(jnp.float32)
 
+    xs = xyz_ref[0, 0:1, :]
+    ys = xyz_ref[0, 1:2, :]
+    zs = xyz_ref[0, 2:3, :]
+
     def body(i, farthest):
-        out_ref[0, i] = farthest
-        cx = xyz_ref[0, 0, farthest]
-        cy = xyz_ref[0, 1, farthest]
-        cz = xyz_ref[0, 2, farthest]
-        dx = xyz_ref[0, 0, :] - cx
-        dy = xyz_ref[0, 1, :] - cy
-        dz = xyz_ref[0, 2, :] - cz
-        d = (dx * dx + dy * dy + dz * dz)[None, :]
+        # masked vector write of the chosen index into slot i
+        out_ref[0, :, :] = jnp.where(out_lane == i, farthest, out_ref[0, :, :])
+        # centroid coords via masked reduce (scalar loads are not lowerable)
+        sel = lane == farthest
+        cx = jnp.sum(jnp.where(sel, xs, 0.0))
+        cy = jnp.sum(jnp.where(sel, ys, 0.0))
+        cz = jnp.sum(jnp.where(sel, zs, 0.0))
+        dx = xs - cx
+        dy = ys - cy
+        dz = zs - cz
+        d = dx * dx + dy * dy + dz * dz
         dist_ref[:, :] = jnp.minimum(dist_ref[:, :], d)
-        return jnp.argmax(dist_ref[:, :], axis=-1)[0].astype(jnp.int32)
+        return jnp.argmax(dist_ref[:, :]).astype(jnp.int32)
 
     jax.lax.fori_loop(0, npoint, body, jnp.int32(0))
 
@@ -62,19 +82,19 @@ def fps_pallas(xyz: jax.Array, npoint: int, interpret: bool = False) -> jax.Arra
     B, N, _ = xyz.shape
     n_pad = -(-N // 128) * 128
     xt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
-    if n_pad != N:
-        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, n_pad - N)))
+    # pad coordinate rows 3→8 (fp32 sublane tile) and N to the 128-lane tile
+    xt = jnp.pad(xt, ((0, 0), (0, 5), (0, n_pad - N)))
 
     kernel = functools.partial(_fps_kernel, npoint, N)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, n_pad), lambda b: (b, 0, 0),
+        in_specs=[pl.BlockSpec((1, 8, n_pad), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, npoint), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((1, 1, npoint), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
         interpret=interpret,
     )(xt)
-    return out
+    return out[:, 0]
