@@ -82,8 +82,15 @@ def main(argv=None):
                               os.path.join(args.out, "head_averaged.png"))
     A.visualize_cls_evolution(maps,
                               os.path.join(args.out, "cls_evolution.png"))
+    A.visualize_per_head_grid(maps, -1,
+                              os.path.join(args.out, "per_head_grid.png"))
+    A.visualize_layer_evolution(maps, 0,
+                                os.path.join(args.out, "layer_evolution.png"))
     A.visualize_attention_3d(extractor, pc, -1,
                              os.path.join(args.out, "attention_3d.html"))
+    import json as _json
+    with open(os.path.join(args.out, "attention_stats.json"), "w") as f:
+        _json.dump(A.attention_statistics(maps), f, indent=2)
     np.savez(os.path.join(args.out, "attention_maps.npz"), **maps)
     logging.info("wrote figures + npz to %s", args.out)
 

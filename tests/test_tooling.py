@@ -327,3 +327,21 @@ def test_hyperparams_table():
     assert hp["use_new_approximation"] is False
     hp_m = get_hyperparams("modelnet")
     assert hp_m["lambda_reg"] == 0.11 and hp_m["use_new_approximation"]
+
+
+def test_attention_extra_figures(tiny_uni3d, tmp_path):
+    from uni_adapter_tpu.analysis import attention as A
+
+    model, params = tiny_uni3d
+    ex = A.AttentionExtractor(model, params, num_group=8, group_size=8)
+    maps = ex.extract(np.random.default_rng(0)
+                      .standard_normal((64, 3)).astype(np.float32))
+    assert os.path.exists(A.visualize_per_head_grid(
+        maps, -1, os.path.join(tmp_path, "heads.png")))
+    assert os.path.exists(A.visualize_layer_evolution(
+        maps, 0, os.path.join(tmp_path, "evo.png")))
+    stats = A.attention_statistics(maps)
+    assert set(stats) == {"layer_0", "layer_1"}
+    for v in stats.values():
+        assert 0 <= v["sparsity_mean"] <= 1
+        assert v["entropy_mean"] > 0

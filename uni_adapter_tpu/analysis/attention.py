@@ -185,6 +185,75 @@ def visualize_cls_evolution(attention_maps: Dict[str, np.ndarray],
     return save_path
 
 
+def visualize_per_head_grid(attention_maps: Dict[str, np.ndarray],
+                            layer_idx: int = -1,
+                            save_path: Optional[str] = None,
+                            cmap: str = "viridis"):
+    """All heads of one layer as a grid (reference per-head grids)."""
+    plt = _plt()
+    layers = sorted(attention_maps, key=lambda k: int(k.split("_")[1]))
+    key = layers[layer_idx]
+    attn = attention_maps[key][0]                  # (H, N, N)
+    H = attn.shape[0]
+    cols = min(H, 4)
+    rows = -(-H // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows),
+                             squeeze=False)
+    for h in range(H):
+        ax = axes[h // cols][h % cols]
+        ax.imshow(attn[h], cmap=cmap)
+        ax.set_title(f"{key} head {h}", fontsize=8)
+        ax.axis("off")
+    for j in range(H, rows * cols):
+        axes[j // cols][j % cols].axis("off")
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        fig.savefig(save_path, dpi=110)
+    plt.close(fig)
+    return save_path
+
+
+def visualize_layer_evolution(attention_maps: Dict[str, np.ndarray],
+                              token_idx: int = 0,
+                              save_path: Optional[str] = None):
+    """One token's outgoing attention across layers (reference
+    layer-evolution figure); defaults to the CLS token."""
+    plt = _plt()
+    layers = sorted(attention_maps, key=lambda k: int(k.split("_")[1]))
+    evo = np.stack([attention_maps[k][0].mean(0)[token_idx]
+                    for k in layers])              # (L, N)
+    fig, ax = plt.subplots(figsize=(10, 4))
+    im = ax.imshow(evo, aspect="auto", cmap="magma")
+    ax.set_xlabel("token")
+    ax.set_ylabel("layer")
+    ax.set_title(f"token {token_idx} outgoing attention across layers")
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        fig.savefig(save_path, dpi=110)
+    plt.close(fig)
+    return save_path
+
+
+def attention_statistics(attention_maps: Dict[str, np.ndarray]) -> dict:
+    """Per-layer entropy / sparsity / CLS-mass summary (reference
+    entropy-sparsity stats block)."""
+    layers = sorted(attention_maps, key=lambda k: int(k.split("_")[1]))
+    stats = {}
+    for k in layers:
+        attn = attention_maps[k]
+        cls_row = attn[:, :, 0, :]
+        stats[k] = {
+            "entropy_mean": float(attention_entropy(attn).mean()),
+            "sparsity_mean": float(attention_sparsity(attn).mean()),
+            "cls_self_attention": float(attn[:, :, 0, 0].mean()),
+            "cls_row_max": float(cls_row.max()),
+        }
+    return stats
+
+
 def visualize_attention_3d(extractor: AttentionExtractor,
                            point_cloud: np.ndarray, layer_idx: int = -1,
                            save_path: Optional[str] = None):
