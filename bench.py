@@ -68,8 +68,10 @@ def bench_jax() -> float:
     # opt-in experiment knobs (defaults keep exact reference numerics)
     approx = os.environ.get("BENCH_APPROX_KNN", "0") == "1"
     pallas_fps = os.environ.get("BENCH_PALLAS_FPS", "0") == "1"
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
     cfg = Config(model=ModelConfig(approx_knn=approx,
-                                   use_pallas_fps=pallas_fps),  # Uni3D-L bf16
+                                   use_pallas_fps=pallas_fps,
+                                   quantize_int8=int8),  # Uni3D-L bf16
                  dota=DotaConfig(use_mode_dota=True, mode_M=4,
                                  res_learning=True))
     model = create_uni3d(cfg.model)

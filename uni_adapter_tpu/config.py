@@ -71,6 +71,10 @@ class ModelConfig:
     # approx_max_k kNN (TPU partial reduce, recall_target 0.99 — measured
     # recall 1.0 on benchmark point distributions); default exact top_k
     approx_knn: bool = False
+    # int8 dynamic quantisation of the transformer trunk's dense layers
+    # (QuantDense): int8 MXU ≈ 2× bf16 throughput; opt-in — introduces
+    # quantisation noise (see tests/test_quant.py for the numerics bound)
+    quantize_int8: bool = False
     # CLIP logit scale: 100·f@W in the current reference
     # (Uni_Adapter.py:57); the older loop used 40 (Uni_Adapter copy.py:57).
     logit_scale: float = 100.0

@@ -38,6 +38,53 @@ def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+class QuantDense(nn.Module):
+    """Dense with dynamic int8×int8 MXU math (opt-in, beyond-parity speed).
+
+    The v5e's int8 MXU path doubles matmul throughput over bf16; with the
+    pipeline compute-bound at the measured bf16 roofline (BASELINE.md), this
+    is the remaining speed lever.  Quantisation is symmetric abs-max:
+    activations per row (token), weights per output channel, int32
+    accumulation, fp32 rescale.  Parameter names/shapes are identical to
+    nn.Dense so converted checkpoints overlay unchanged; quantisation
+    happens inside the program (weights requantise per call — ~0.6 ms for
+    the full trunk, amortised against the 2× matmul saving).
+    """
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        lead = x.shape[:-1]
+        xf = x.reshape(-1, in_features).astype(jnp.float32)
+        # per-row activation scales, per-column weight scales
+        sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0 + 1e-12
+        sw = jnp.max(jnp.abs(kernel), axis=0, keepdims=True) / 127.0 + 1e-12
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        wq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * sx * sw
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias
+        return out.reshape(*lead, self.features).astype(self.dtype)
+
+
+def make_dense(quant: bool):
+    """Dense-layer factory: nn.Dense or the int8 QuantDense."""
+    if quant:
+        return lambda features, use_bias=True, dtype=jnp.bfloat16, name=None: \
+            QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return lambda features, use_bias=True, dtype=jnp.bfloat16, name=None: \
+        nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
             mask: Optional[jax.Array] = None,
             bias: Optional[jax.Array] = None) -> jax.Array:
@@ -98,15 +145,17 @@ class EvaAttention(nn.Module):
     dim: int
     num_heads: int
     use_qk_norm: bool = True
+    quantize: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, return_attn=False):
+        dense = make_dense(self.quantize)
         hd = self.dim // self.num_heads
         B, N = x.shape[0], x.shape[1]
-        q = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="v_proj")(x)
+        q = dense(self.dim, use_bias=True, dtype=self.dtype, name="q_proj")(x)
+        k = dense(self.dim, use_bias=False, dtype=self.dtype, name="k_proj")(x)
+        v = dense(self.dim, use_bias=True, dtype=self.dtype, name="v_proj")(x)
         q = jnp.transpose(q.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
         k = jnp.transpose(k.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
         v = jnp.transpose(v.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
@@ -116,7 +165,7 @@ class EvaAttention(nn.Module):
         scale = hd ** -0.5
         out = _attend(q, k, v, scale)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, self.dim)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = dense(self.dim, dtype=self.dtype, name="proj")(out)
         if return_attn:
             attn = jax.nn.softmax(
                 jnp.einsum("bhnd,bhmd->bhnm", q, k,
@@ -143,15 +192,17 @@ class SwiGLU(nn.Module):
     """EVA02 SwiGLU MLP with mid LayerNorm (timm eva GluMlp structure)."""
     dim: int
     hidden_dim: int
+    quantize: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        g = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1_g")(x)
-        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1_x")(x)
+        dense = make_dense(self.quantize)
+        g = dense(self.hidden_dim, dtype=self.dtype, name="fc1_g")(x)
+        h = dense(self.hidden_dim, dtype=self.dtype, name="fc1_x")(x)
         x = nn.silu(g) * h
         x = LN(dtype=self.dtype, name="norm")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
 class ViTBlock(nn.Module):
@@ -189,12 +240,13 @@ class EvaBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4 * 2 / 3
+    quantize: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, return_attn=False):
-        a = EvaAttention(self.dim, self.num_heads, dtype=self.dtype,
-                         name="attn")(
+        a = EvaAttention(self.dim, self.num_heads, quantize=self.quantize,
+                         dtype=self.dtype, name="attn")(
             LN(dtype=self.dtype, name="norm1")(x),
             return_attn=return_attn)
         attn = None
@@ -202,7 +254,7 @@ class EvaBlock(nn.Module):
             a, attn = a
         x = x + a
         x = x + SwiGLU(self.dim, int(self.dim * self.mlp_ratio),
-                       dtype=self.dtype, name="mlp")(
+                       quantize=self.quantize, dtype=self.dtype, name="mlp")(
             LN(dtype=self.dtype, name="norm2")(x))
         return (x, attn) if return_attn else x
 

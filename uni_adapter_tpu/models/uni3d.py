@@ -77,6 +77,7 @@ class PointcloudEncoder(nn.Module):
     num_heads: int = 16
     use_pallas_fps: bool = False
     approx_knn: bool = False
+    quantize: bool = False      # int8 MXU trunk (opt-in, beyond parity)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -107,7 +108,8 @@ class PointcloudEncoder(nn.Module):
 
         attn_maps = []
         for i in range(self.depth):
-            x = EvaBlock(self.trans_dim, self.num_heads, dtype=self.dtype,
+            x = EvaBlock(self.trans_dim, self.num_heads,
+                         quantize=self.quantize, dtype=self.dtype,
                          name=f"blocks_{i}")(x, return_attn=return_attn)
             if return_attn:
                 x, attn = x
@@ -133,6 +135,7 @@ class Uni3D(nn.Module):
     num_heads: int = 16
     use_pallas_fps: bool = False
     approx_knn: bool = False
+    quantize: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -141,7 +144,7 @@ class Uni3D(nn.Module):
         out = PointcloudEncoder(
             self.trans_dim, self.embed_dim, self.num_group, self.group_size,
             self.encoder_dim, self.depth, self.num_heads,
-            self.use_pallas_fps, self.approx_knn, self.dtype,
+            self.use_pallas_fps, self.approx_knn, self.quantize, self.dtype,
             name="point_encoder",
         )(xyz, color, return_attn=return_attn)
         if return_attn:
@@ -160,6 +163,6 @@ def create_uni3d(cfg, dtype: Optional[jnp.dtype] = None) -> Uni3D:
         num_group=cfg.num_group, group_size=cfg.group_size,
         encoder_dim=cfg.pc_encoder_dim, depth=cfg.eva_depth,
         num_heads=cfg.eva_heads, use_pallas_fps=cfg.use_pallas_fps,
-        approx_knn=cfg.approx_knn,
+        approx_knn=cfg.approx_knn, quantize=cfg.quantize_int8,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )
