@@ -108,3 +108,13 @@ def test_psum_matches_global_batch(setup, method):
                                    rtol=1e-4, atol=1e-5)
     want = engine.summarize(outs, T)
     assert summary["acc1"] == pytest.approx(want["acc1"], abs=1e-5)
+
+
+def test_psum_rejects_cache_method(setup):
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_dota=False, use_mode_dota=False),
+                 cache=CacheConfig(shot_capacity=2, cg_max_iter=5))
+    with pytest.raises(ValueError, match="additive"):
+        pmesh.run_stream_psum(cfg, model, params, text, pcs, rgbs, targets,
+                              mesh=pmesh.make_mesh(2))

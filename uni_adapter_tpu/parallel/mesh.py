@@ -116,6 +116,13 @@ def run_stream_psum(cfg: Config, model, params, text_features_initial,
     The (T, B, ...) stream is reinterpreted as (T//n, n·B, ...): step t
     consumes samples t·n … t·n+n−1, one per device.
     """
+    if not (cfg.dota.use_dota or cfg.dota.use_mode_dota
+            or cfg.dota.use_gmm_dota or cfg.dota.use_adaptive_dota):
+        raise ValueError(
+            "psum mode requires an adaptation method with additive "
+            "sufficient statistics (DOTA family); the prototype cache's "
+            "insert-or-merge update is order-dependent and cannot be "
+            "psum-merged — use dist_mode='sharded' instead")
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     n = mesh.devices.size
