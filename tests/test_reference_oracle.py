@@ -330,3 +330,33 @@ def test_trajectory_matches_reference_oracle(stream, method):
                               torch.tensor(text).T, hp).detach().numpy()[:, 0]
 
     np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+
+def test_long_trajectory_drift(stream):
+    """64-step MODE-DOTA stream: quantify accumulated divergence from the
+    torch oracle (EM state feeds back into every subsequent step, so drift
+    compounds if any update term is wrong)."""
+    rng = np.random.default_rng(9)
+    T_long = 64
+    pcs = rng.standard_normal((T_long, 1, N, 3)).astype(np.float32)
+    targets = rng.integers(0, K, (T_long, 1)).astype(np.int32)
+    _, _, text = stream
+    W = make_projection()
+    cfg = cfg_for("mode")
+
+    model = ToyEncoder(W)
+    _, outs = engine.run_stream_scan(
+        cfg, model, {}, jnp.asarray(text), jnp.asarray(pcs),
+        jnp.asarray(np.ones_like(pcs)), jnp.asarray(targets))
+    ours = np.asarray(outs.final_logits)[:, 0]
+
+    feats = torch.stack([torch_features(pcs[i], W) for i in range(T_long)])
+    hp = {"shot_capacity": 3, "threshold": 0.3, "lambda_reg": 0.11,
+          "beta": 150.0}
+    theirs = run_torch_oracle("mode", feats, targets,
+                              torch.tensor(text).T, hp).detach().numpy()[:, 0]
+
+    # last-quarter steps carry 48+ steps of accumulated state
+    np.testing.assert_allclose(ours[-16:], theirs[-16:], rtol=5e-3, atol=5e-3)
+    # and the predictions agree everywhere
+    np.testing.assert_array_equal(ours.argmax(-1), theirs.argmax(-1))
