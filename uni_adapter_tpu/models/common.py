@@ -90,16 +90,27 @@ def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
             bias: Optional[jax.Array] = None) -> jax.Array:
     """Scaled dot-product attention on (B, H, N, hd) tensors.
 
-    Softmax in fp32 for stability regardless of compute dtype.
+    Softmax always runs in fp32.  Under bf16 compute the (B, H, N, N)
+    attention-logit buffers are kept bf16 (the MXU still accumulates fp32
+    internally; only the stored logits round) — these buffers dominate HBM
+    traffic for small-width trunks, and bf16 storage halves the 12-block
+    ULIP trunk's step time (30.5 → 16.4 ms at (30, 513, 384), v5e).  fp32
+    compute keeps fully-fp32 logits, so fp32-mode numerics are unchanged.
     """
-    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                      preferred_element_type=jnp.float32)
+    if v.dtype == jnp.bfloat16:
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)           # bf16 storage
+    else:
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+    attn = attn.astype(jnp.float32)
     if bias is not None:
         attn = attn + bias
     attn = attn * scale
     if mask is not None:
         attn = attn + mask
     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    if v.dtype == jnp.bfloat16:
+        return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
