@@ -67,7 +67,10 @@ def bench_jax() -> float:
 
     # opt-in experiment knobs (defaults keep exact reference numerics)
     approx = os.environ.get("BENCH_APPROX_KNN", "0") == "1"
-    pallas_fps = os.environ.get("BENCH_PALLAS_FPS", "0") == "1"
+    # Pallas FPS default-on for the TPU bench — the direct analogue of the
+    # reference defaulting to its CUDA FPS kernel (torch fallbacks as
+    # oracles); BENCH_PALLAS_FPS=0 falls back to the XLA twin.
+    pallas_fps = os.environ.get("BENCH_PALLAS_FPS", "1") == "1"
     int8 = os.environ.get("BENCH_INT8", "0") == "1"
     cfg = Config(model=ModelConfig(approx_knn=approx,
                                    use_pallas_fps=pallas_fps,

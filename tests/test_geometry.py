@@ -141,3 +141,19 @@ def test_knn_approx_matches_exact_sets(pts):
     for b in range(exact.shape[0]):
         for s in range(exact.shape[1]):
             assert len(set(exact[b, s]) & set(approx[b, s])) >= 7
+
+
+def test_fps_pallas_batched_matches_xla(pts):
+    from uni_adapter_tpu.ops.fps_pallas import fps_pallas_batched
+    want = np.asarray(G.farthest_point_sample(jnp.array(pts), 64))
+    got = np.asarray(fps_pallas_batched(jnp.array(pts), 64, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_pallas_batched_odd_batch():
+    from uni_adapter_tpu.ops.fps_pallas import fps_pallas_batched
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((5, 200, 3)).astype(np.float32)  # B,N unaligned
+    want = np_fps(pts, 32)
+    got = np.asarray(fps_pallas_batched(jnp.array(pts), 32, interpret=True))
+    np.testing.assert_array_equal(got, want)

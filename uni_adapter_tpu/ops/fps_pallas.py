@@ -67,6 +67,68 @@ def _fps_kernel(npoint: int, n_real: int, xyz_ref, out_ref, dist_ref):
     jax.lax.fori_loop(0, npoint, body, jnp.int32(0))
 
 
+def _fps_batched_kernel(npoint: int, n_real: int, xs_ref, ys_ref, zs_ref,
+                        out_ref, dist_ref):
+    """Batch-parallel FPS: every cloud advances in the same iteration.
+
+    All refs are (B_pad, N_pad) planes; the b-th sublane row carries cloud b,
+    so each of the `npoint` sequential iterations does ONE VPU sweep over
+    the whole batch (select centroid coords per row, distance update, row
+    argmin/argmax) instead of a separate kernel per cloud — FPS's serial
+    chain is over iterations only, never over the batch.
+    """
+    Bp, n = xs_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Bp, n), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (Bp, npoint), 1)
+    valid = lane < n_real
+    dist_ref[:, :] = jnp.where(valid, jnp.inf, -jnp.inf).astype(jnp.float32)
+
+    xs, ys, zs = xs_ref[:, :], ys_ref[:, :], zs_ref[:, :]
+
+    def body(i, farthest):
+        # farthest: (Bp, 1) int32 — per-row current centroid index
+        out_ref[:, :] = jnp.where(out_lane == i, farthest, out_ref[:, :])
+        sel = lane == farthest
+        cx = jnp.sum(jnp.where(sel, xs, 0.0), axis=1, keepdims=True)
+        cy = jnp.sum(jnp.where(sel, ys, 0.0), axis=1, keepdims=True)
+        cz = jnp.sum(jnp.where(sel, zs, 0.0), axis=1, keepdims=True)
+        d = (xs - cx) ** 2 + (ys - cy) ** 2 + (zs - cz) ** 2
+        new_dist = jnp.minimum(dist_ref[:, :], d)
+        dist_ref[:, :] = new_dist
+        return jnp.argmax(new_dist, axis=1, keepdims=True).astype(jnp.int32)
+
+    jax.lax.fori_loop(0, npoint, body,
+                      jnp.zeros((Bp, 1), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+def fps_pallas_batched(xyz: jax.Array, npoint: int,
+                       interpret: bool = False) -> jax.Array:
+    """Batch-parallel Pallas FPS — one kernel, batch on the sublane axis.
+
+    Same contract as fps_pallas / ops.geometry.farthest_point_sample.
+    Preferable when B > 1 (the grid variant serializes clouds; this one
+    advances all of them per iteration).
+    """
+    B, N, _ = xyz.shape
+    n_pad = -(-N // 128) * 128
+    b_pad = -(-B // 8) * 8
+    xt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)   # (B, 3, N)
+    xt = jnp.pad(xt, ((0, b_pad - B), (0, 0), (0, n_pad - N)))
+    xs, ys, zs = xt[:, 0], xt[:, 1], xt[:, 2]          # (B_pad, N_pad)
+
+    kernel = functools.partial(_fps_batched_kernel, npoint, N)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b_pad, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(xs, ys, zs)
+    return out[:B]
+
+
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
 def fps_pallas(xyz: jax.Array, npoint: int, interpret: bool = False) -> jax.Array:
     """Farthest point sampling via a Pallas TPU kernel.

@@ -217,8 +217,10 @@ def group_points(xyz: jax.Array, color: jax.Array | None, num_group: int,
       features: (B, G, M, 6) [rel-xyz ‖ color] if color given, else None
     """
     if use_pallas_fps:
-        from uni_adapter_tpu.ops.fps_pallas import fps_pallas
-        fps_idx = fps_pallas(xyz, num_group)
+        # batch-parallel kernel: 1.8 ms vs 6.5 ms XLA at (30, 1024)→512 on
+        # v5e (3.6×) — all clouds advance per iteration on the VPU sublanes
+        from uni_adapter_tpu.ops.fps_pallas import fps_pallas_batched
+        fps_idx = fps_pallas_batched(xyz, num_group)
     else:
         fps_idx = farthest_point_sample(xyz, num_group)
     center = index_points(xyz, fps_idx)                     # (B, G, 3)
