@@ -65,13 +65,15 @@ class SetAbstraction(nn.Module):
     radius: float
     nsample: int
     mlp: tuple
+    use_pallas_fps: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, xyz: jax.Array, points: jax.Array):
         from uni_adapter_tpu.models.common import BatchNormInference
         new_xyz, new_points = sample_and_group(
-            self.npoint, self.radius, self.nsample, xyz, points)
+            self.npoint, self.radius, self.nsample, xyz, points,
+            use_pallas_fps=self.use_pallas_fps)
         x = new_points.astype(self.dtype)            # (B, S, n, C)
         for i, ch in enumerate(self.mlp):
             x = nn.Dense(ch, dtype=self.dtype, name=f"conv{i}")(x)
@@ -127,6 +129,7 @@ class PointPatchTransformer(nn.Module):
     in_dim: int = 6
     dim_head: int = 64
     rel_pe: bool = False
+    use_pallas_fps: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -135,6 +138,7 @@ class PointPatchTransformer(nn.Module):
         p = self.preset
         centroids, feat = SetAbstraction(
             p.patches, p.prad, p.nsamp, (64, 64, p.sa_dim),
+            use_pallas_fps=self.use_pallas_fps,
             dtype=self.dtype, name="sa")(xyz, features)
         x = jnp.concatenate([centroids.astype(self.dtype), feat], axis=-1)
         x = nn.Dense(p.dim, dtype=self.dtype, name="lift")(x)
@@ -176,13 +180,15 @@ class Projected(nn.Module):
     rel_pe: bool = False
     cache_type: str = "global"
     n_cluster: int = 5
+    use_pallas_fps: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, xyz: jax.Array, features: jax.Array):
         want_tokens = self.cache_type != "global"
         out = PointPatchTransformer(
-            self.preset, self.in_dim, rel_pe=self.rel_pe, dtype=self.dtype,
+            self.preset, self.in_dim, rel_pe=self.rel_pe,
+            use_pallas_fps=self.use_pallas_fps, dtype=self.dtype,
             name="ppat")(xyz, features, return_tokens=want_tokens)
         proj = nn.Dense(self.out_channel, dtype=jnp.float32, name="proj")
         if not want_tokens:
@@ -203,5 +209,6 @@ def create_openshape(cfg, dtype=None) -> Projected:
     out = cfg.oshape_clip_dim if cfg.oshape_version == "vitg14" else 768
     return Projected(
         preset=PRESETS[scaling], out_channel=out,
+        use_pallas_fps=cfg.use_pallas_fps,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

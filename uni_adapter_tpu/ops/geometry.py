@@ -236,22 +236,29 @@ def group_points(xyz: jax.Array, color: jax.Array | None, num_group: int,
     return neighborhood, center, None
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "nsample"))
+@functools.partial(jax.jit, static_argnames=("npoint", "nsample",
+                                             "use_pallas_fps"))
 def sample_and_group(npoint: int, radius: float, nsample: int,
-                     xyz: jax.Array, points: jax.Array | None):
+                     xyz: jax.Array, points: jax.Array | None,
+                     use_pallas_fps: bool = False):
     """PointNet++ set-abstraction grouping (reference: pointnet_util.py:113-147).
 
     Returns:
       new_xyz: (B, npoint, 3) FPS centers
       new_points: (B, npoint, nsample, 3+D) rel-xyz ‖ point features
     """
-    fps_idx = farthest_point_sample(xyz, npoint)
+    if use_pallas_fps:
+        from uni_adapter_tpu.ops.fps_pallas import fps_pallas_batched
+        fps_idx = fps_pallas_batched(xyz, npoint)
+    else:
+        fps_idx = farthest_point_sample(xyz, npoint)
     new_xyz = index_points(xyz, fps_idx)
     idx = query_ball_point(radius, nsample, xyz, new_xyz)
-    grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
     if points is not None:
-        grouped_points = index_points(points, idx)
-        new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
+        joined = index_points_matmul(
+            jnp.concatenate([xyz, points], axis=-1), idx)
+        grouped_xyz = joined[..., :3] - new_xyz[:, :, None, :]
+        new_points = jnp.concatenate([grouped_xyz, joined[..., 3:]], axis=-1)
     else:
-        new_points = grouped_xyz
+        new_points = index_points_matmul(xyz, idx) - new_xyz[:, :, None, :]
     return new_xyz, new_points
