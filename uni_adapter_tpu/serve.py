@@ -53,9 +53,9 @@ class TTAServer:
         self.states[client_id] = engine.init_state(self.cfg, self.text, rng)
 
     def reset(self, client_id: str) -> None:
-        """Restart a client's adaptation from scratch."""
+        """Restart a client's adaptation from scratch (fresh seed — seed
+        slots are never reused, so restarted streams stay decorrelated)."""
         del self.states[client_id]
-        self._next_client -= 0  # ids are not reused; keep seeds unique
         rng = jax.random.PRNGKey(self.seed + self._next_client)
         self._next_client += 1
         self.states[client_id] = engine.init_state(self.cfg, self.text, rng)
