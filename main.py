@@ -174,10 +174,17 @@ def run_all_vmapped(cfg, model, params, text, corruptions, log_dir):
     logging.info("vmapped sweep: %d streams × %d steps", len(stacks), T)
 
     t0 = time.perf_counter()
-    _, outs = engine.run_streams_vmapped(
-        cfg, model, params, text, jnp.asarray(pcs), jnp.asarray(rgbs),
-        jnp.asarray(tgts), seed=cfg.run.seed)
-    summaries = engine.summarize_vmapped(outs, T * cfg.data.batch_size)
+    if cfg.run.dist_mode == "sharded":
+        from uni_adapter_tpu.parallel import mesh as pmesh
+
+        _, summary_s = pmesh.run_streams_sharded(
+            cfg, model, params, text, pcs, rgbs, tgts, seed=cfg.run.seed)
+        summaries = [{"acc1": a} for a in summary_s["acc1_per_stream"]]
+    else:
+        _, outs = engine.run_streams_vmapped(
+            cfg, model, params, text, jnp.asarray(pcs), jnp.asarray(rgbs),
+            jnp.asarray(tgts), seed=cfg.run.seed)
+        summaries = engine.summarize_vmapped(outs, T * cfg.data.batch_size)
     dt = time.perf_counter() - t0
     results = {c: float(s["acc1"]) for c, s in zip(corruptions, summaries)}
     total = len(stacks) * T * cfg.data.batch_size

@@ -118,3 +118,40 @@ def test_psum_rejects_cache_method(setup):
     with pytest.raises(ValueError, match="additive"):
         pmesh.run_stream_psum(cfg, model, params, text, pcs, rgbs, targets,
                               mesh=pmesh.make_mesh(2))
+
+
+def test_streams_sharded_matches_vmapped(setup):
+    """shard_map(vmap(scan)) over streams == single-device vmapped run."""
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = _cfg("mode", noise_std=0.0)
+    C = 4
+    rng = np.random.default_rng(1)
+    pcs_c = rng.standard_normal((C, 4, 1, N, 3)).astype(np.float32)
+    rgbs_c = np.ones_like(pcs_c)
+    tg_c = rng.integers(0, K, (C, 4, 1)).astype(np.int32)
+
+    states_s, summary_s = pmesh.run_streams_sharded(
+        cfg, model, params, text, pcs_c, rgbs_c, tg_c,
+        mesh=pmesh.make_mesh(2), seed=42)
+    states_v, outs_v = engine.run_streams_vmapped(
+        cfg, model, params, text, jnp.asarray(pcs_c), jnp.asarray(rgbs_c),
+        jnp.asarray(tg_c), seed=42)
+    summaries_v = engine.summarize_vmapped(outs_v, 4)
+
+    np.testing.assert_allclose(np.asarray(states_s.method_state.mu),
+                               np.asarray(states_v.method_state.mu),
+                               rtol=1e-4, atol=1e-5)
+    for c in range(C):
+        assert summary_s["acc1_per_stream"][c] == pytest.approx(
+            summaries_v[c]["acc1"], abs=1e-5)
+
+
+def test_streams_sharded_rejects_ragged(setup):
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = _cfg("mode")
+    bad = np.zeros((3, 2, 1, N, 3), np.float32)   # 3 streams over 2 devices
+    with pytest.raises(ValueError, match="divide"):
+        pmesh.run_streams_sharded(cfg, model, params, text, bad,
+                                  np.ones_like(bad),
+                                  np.zeros((3, 2, 1), np.int32),
+                                  mesh=pmesh.make_mesh(2))

@@ -107,6 +107,60 @@ def run_stream_sharded(cfg: Config, model, params, text_features_initial,
     return states, summary
 
 
+def run_streams_sharded(cfg: Config, model, params, text_features_initial,
+                        pcs, rgbs, targets, mesh: Optional[Mesh] = None,
+                        seed: int = 42):
+    """Shard independent STREAMS (e.g. the 15 corruptions) across devices,
+    each device running a vmapped scan over its subset — shard_map(vmap(scan)).
+
+    The realistic multi-chip deployment of the benchmark sweep: stream
+    trajectories are exactly those of engine.run_streams_vmapped (same
+    seeds), throughput scales with devices since streams are independent.
+
+    Args:
+      pcs: (C, T, B, N, 3); rgbs likewise; targets: (C, T, B).  C must be a
+        multiple of the mesh size (pad with repeated streams if needed).
+    Returns:
+      (stacked final EngineStates with leading C axis, summary dict with a
+       per-stream acc1 list).
+    """
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    C, T, B = pcs.shape[0], pcs.shape[1], pcs.shape[2]
+    if C % n:
+        raise ValueError(f"stream count {C} must divide over {n} devices")
+
+    scan_fn = engine.make_vmapped_scan_fn(cfg, model)
+    states = engine.init_states_vmapped(cfg, text_features_initial, C, seed)
+
+    def body(params, text, states, pcs_c, rgbs_c, tgts_c):
+        # local block: (C/n, T, ...) streams — time axis must lead the scan
+        tf = lambda a: jnp.swapaxes(a, 0, 1)
+        st, outs = scan_fn(params, text, states, tf(pcs_c), tf(rgbs_c),
+                           tf(tgts_c))
+        correct = jnp.sum(outs.correct, axis=0)          # (C/n, 3)
+        return st, correct
+
+    body_fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)), check_vma=False))
+    states_f, correct = body_fn(params, text_features_initial, states,
+                                jnp.asarray(pcs), jnp.asarray(rgbs),
+                                jnp.asarray(targets))
+    correct = np.asarray(correct)                        # (C, 3)
+    n_samples = T * B
+    summary = {
+        "acc1_per_stream": (100.0 * correct[:, 0] / n_samples).tolist(),
+        "acc1": float(100.0 * correct[:, 0].sum() / (C * n_samples)),
+        "acc3": float(100.0 * correct[:, 1].sum() / (C * n_samples)),
+        "acc5": float(100.0 * correct[:, 2].sum() / (C * n_samples)),
+        "n_samples": C * n_samples,
+    }
+    return states_f, summary
+
+
 def run_stream_psum(cfg: Config, model, params, text_features_initial,
                     pcs, rgbs, targets, mesh: Optional[Mesh] = None,
                     seed: int = 42):
