@@ -169,3 +169,26 @@ def test_get_text_anchors_precedence(tmp_path):
     cfg2 = Config(data=DataConfig(precomputed_text_features=None))
     with pytest.raises(ValueError):
         anchors.get_text_anchors(cfg2)
+
+
+def test_anchors_through_real_text_tower():
+    """Full on-the-fly anchor path: BPE tokenizer → CLIP text tower →
+    template ensemble (tiny tower dims)."""
+    import jax
+    import jax.numpy as jnp2
+
+    from uni_adapter_tpu.models.clip_text import TextEncoder
+
+    tower = TextEncoder(width=32, layers=1, heads=4, embed_dim=16,
+                        dtype=jnp2.float32)
+    params = tower.init(jax.random.PRNGKey(0),
+                        jnp2.zeros((1, 77), jnp2.int32))
+    encode = jax.jit(lambda t: tower.apply(params, t))
+    w = anchors.clip_classifier(
+        ["chair", "night_stand"], ["a photo of a {}.", "a sketch of a {}."],
+        encode)
+    assert w.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(w), axis=1), 1.0,
+                               atol=1e-5)
+    # different classes → different anchors
+    assert not np.allclose(np.asarray(w[0]), np.asarray(w[1]))
