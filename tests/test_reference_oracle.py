@@ -360,3 +360,104 @@ def test_long_trajectory_drift(stream):
     np.testing.assert_allclose(ours[-16:], theirs[-16:], rtol=5e-3, atol=5e-3)
     # and the predictions agree everywhere
     np.testing.assert_array_equal(ours.argmax(-1), theirs.argmax(-1))
+
+
+class TorchGMMDota:
+    """gmm_dota_adaptation_model.py:25-256 equations (old-μ covariance,
+    shrinkage toward ones, always-blended prior)."""
+
+    def __init__(self, mu_init):
+        # mu_init: (K, M, D) — injected so both sides share the QR init
+        self.mu = mu_init.clone()
+        # sigma auto-correct only when cfg sigma >= 0.1 (gmm model :36-40);
+        # SIGMA=0.004 stays as-is
+        self.sigma = torch.full((K, M, D), SIGMA)
+        self.sigma_reg = self.sigma.clone()
+        self.pi = torch.full((K, M), 1.0 / M)
+        self.C = torch.full((K, M), 1.0 / (K * M))
+        self.class_counts = torch.zeros(K)
+        self.t = 0
+
+    def _lg(self, x, mu, s):
+        s = s.clamp(min=1e-8)
+        d = x[:, None, None] - mu[None]
+        return -0.5 * ((d * d / s[None]).sum(-1) + s[None].log().sum(-1))
+
+    def fit(self, x, y):
+        ll = self._lg(x, self.mu, self.sigma)
+        r = torch.softmax(self.pi.clamp(min=1e-10).log()[None] + ll, dim=2)
+        gamma = y[:, :, None] * r
+        sg = gamma.sum(0)
+        newC = self.C + sg
+        wx = torch.einsum("bkm,bd->kmd", gamma, x)
+        mu_old = self.mu.clone()
+        self.mu = (self.C[..., None] * self.mu + wx) / newC[..., None].clamp(min=1e-10)
+        d = x[:, None, None] - mu_old[None]
+        wdsq = torch.einsum("bkm,bkmd->kmd", gamma, d * d)
+        self.sigma = ((self.C[..., None] * self.sigma + wdsq)
+                      / newC[..., None].clamp(min=1e-10)).clamp(min=1e-8)
+        self.C = newC
+        self.pi = self.C / self.C.sum(1, keepdim=True).clamp(min=1e-10)
+        self.class_counts += y.sum(0)
+        self.t += x.shape[0]
+
+    def update(self):
+        self.sigma_reg = ((1 - EPS) * self.sigma
+                          + EPS * torch.ones_like(self.sigma)).clamp(min=1e-8)
+
+    def predict(self, x, alpha_max=0.5):
+        ll = self._lg(x, self.mu, self.sigma_reg)
+        lcl = torch.logsumexp(self.pi.clamp(min=1e-10).log()[None] + ll, -1)
+        uniform = torch.full((K,), 1.0 / K)
+        if self.t > 0:
+            est = self.class_counts / self.class_counts.sum().clamp(min=1e-10)
+            a = min(alpha_max, self.t / (self.t + 100.0))
+            p = (1 - a) * uniform + a * est
+        else:
+            p = uniform
+        return lcl + p.clamp(min=1e-10).log()[None]
+
+
+def test_gmm_trajectory_matches_oracle(stream):
+    """Engine GMM-DOTA trajectory vs torch oracle, sharing the QR init."""
+    from uni_adapter_tpu.adapt import gmm
+
+    pcs, targets, text = stream
+    W = make_projection()
+    cfg = cfg_for("mode")
+    import dataclasses
+    cfg = dataclasses.replace(cfg, dota=DotaConfig(
+        use_dota=False, use_mode_dota=False, use_gmm_dota=True, mode_M=M,
+        epsilon=EPS, sigma=SIGMA, rho=RHO, eta=ETA, alpha_max=0.5))
+
+    model = ToyEncoder(W)
+    state_f, outs = engine.run_stream_scan(
+        cfg, model, {}, jnp.asarray(text), jnp.asarray(pcs),
+        jnp.asarray(np.ones_like(pcs)), jnp.asarray(targets), seed=42)
+    ours = np.asarray(outs.final_logits)[:, 0]
+
+    # recover the engine's QR-seeded mu init for the oracle
+    init_rng = jax.random.split(jax.random.PRNGKey(42))[1]
+    ms0 = gmm.init(EPS, SIGMA, D, K, jnp.asarray(text).T, num_modes=M,
+                   rng=init_rng)
+    mu0 = torch.tensor(np.asarray(ms0.mu))
+
+    feats = torch.stack([torch_features(pcs[i], W) for i in range(T)])
+    g = TorchGMMDota(mu0)
+    finals = []
+    for i in range(T):
+        f = feats[i]
+        logits = 100.0 * f @ torch.tensor(text).T
+        prob = torch.softmax(logits, 1)
+        d = g.predict(f.mean(0, keepdim=True))
+        g.fit(f, prob)
+        g.update()
+        wv = torch.clamp(RHO * g.C.sum(1).mean() / f.size(0), max=ETA)
+        dl = wv * d
+        ec, ed = softmax_entropy_t(logits), softmax_entropy_t(dl)
+        wc, wd = 1 / (ec + 1e-3), 1 / (ed + 1e-3)
+        wc = wc / (wc + wd)
+        wd = wd / (wc + wd)
+        finals.append(wc * logits + wd * dl)
+    theirs = torch.stack(finals).detach().numpy()[:, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
