@@ -3,7 +3,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from uni_adapter_tpu.ops.attention_pallas import attention_pallas
+from uni_adapter_tpu.ops.attention_pallas import (attention_pallas,
+                                                   attention_pallas_heads)
 
 
 def _xla_attention(q, k, v, scale):
@@ -30,3 +31,44 @@ def test_fused_attention_rows_are_convex():
     v = jnp.ones((1, 2, 16, 8), jnp.float32)
     out = np.asarray(attention_pallas(q, q, v, interpret=True))
     np.testing.assert_allclose(out, 1.0, atol=1e-5)  # convex combo of ones
+
+
+def test_heads_kernel_matches_xla():
+    """The round-2 per-batch-element kernel across mask modes and groupings
+    (odd N exercises the padded-key mask; N=128 the mask-free path)."""
+    rng = np.random.default_rng(2)
+    for B, H, N, hd in [(2, 3, 70, 32), (1, 2, 128, 64), (3, 4, 77, 16)]:
+        q, k, v = (jnp.asarray(rng.standard_normal((B, H, N, hd)),
+                               jnp.float32) for _ in range(3))
+        want = np.asarray(_xla_attention(q, k, v, hd ** -0.5))
+        for bg, hg in [(1, 8), (1, 2), (B, H)]:
+            got = np.asarray(attention_pallas_heads(
+                q, k, v, interpret=True, head_group=hg, batch_group=bg))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_heads_kernel_bf16_close_to_fp32():
+    """bf16 I/O: fp32 scores/softmax inside the kernel keep the error at
+    bf16 input-rounding scale."""
+    rng = np.random.default_rng(3)
+    B, H, N, hd = 2, 2, 60, 32
+    q32, k32, v32 = (jnp.asarray(rng.standard_normal((B, H, N, hd)),
+                                 jnp.float32) for _ in range(3))
+    want = np.asarray(_xla_attention(q32, k32, v32, hd ** -0.5))
+    got = np.asarray(attention_pallas_heads(
+        q32.astype(jnp.bfloat16), k32.astype(jnp.bfloat16),
+        v32.astype(jnp.bfloat16), interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+
+
+def test_model_flag_swaps_attention_numerically_consistent():
+    """use_pallas_attention=True (interpret fallback unavailable on CPU, so
+    compare the _attend dispatch directly in interpret mode)."""
+    from uni_adapter_tpu.models import common
+
+    rng = np.random.default_rng(4)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 3, 33, 16)),
+                           jnp.float32) for _ in range(3))
+    base = np.asarray(common._attend(q, k, v, 0.25))
+    fused = np.asarray(attention_pallas_heads(q, k, v, 0.25, interpret=True))
+    np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-5)

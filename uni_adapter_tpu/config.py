@@ -53,8 +53,10 @@ class ModelConfig:
     pc_encoder_dim: int = 512            # mini-PointNet output channels
     eva_depth: int = 24                  # EVA02-Large depth
     eva_heads: int = 16
-    patch_dropout: float = 0.0
-    drop_path_rate: float = 0.0
+    # patch_dropout / drop_path_rate are deliberately NOT fields: both are
+    # training-time regularisers that are inactive in the reference's eval
+    # loop (PatchDropout returns identity under model.eval()), so carrying
+    # them would advertise a capability the eval framework doesn't use.
     # ULIP / Point-BERT (reference: models/ulip/pointbert/point_encoder.py:120-141)
     ulip_trans_dim: int = 384
     ulip_depth: int = 12
@@ -68,6 +70,12 @@ class ModelConfig:
     # Use the Pallas FPS kernel instead of the XLA fori_loop twin
     # (ops/fps_pallas.py; identical indices, tested against the oracle)
     use_pallas_fps: bool = False
+    # Fused Pallas attention (ops/attention_pallas.attention_pallas_heads):
+    # QK^T → fp32 softmax → PV in one VMEM-resident kernel per batch
+    # element.  Measured on v5e: ULIP forward 44.3 → 38.5 ms at batch 30
+    # (strictly MORE precise than the XLA bf16-storage path — scores never
+    # round to bf16).  Off by default: TPU-only (no CPU lowering).
+    use_pallas_attention: bool = False
     # approx_max_k kNN (TPU partial reduce, recall_target 0.99 — measured
     # recall 1.0 on benchmark point distributions); default exact top_k
     approx_knn: bool = False

@@ -282,7 +282,7 @@ def make_scan_fn(cfg: Config, model,
 def run_stream_scan(cfg: Config, model, params,
                     text_features_initial: jax.Array,
                     pcs: jax.Array, rgbs: jax.Array, targets: jax.Array,
-                    seed: int = 42):
+                    seed: int = 42, scan_fn: Optional[Callable] = None):
     """Run the entire stream as one on-device lax.scan.
 
     The corrupted test sets are small (ModelNet40-C ≈ 30 MB), so the whole
@@ -292,10 +292,16 @@ def run_stream_scan(cfg: Config, model, params,
 
     Args:
       pcs: (T, B, N, 3); rgbs: (T, B, N, 3); targets: (T, B).
+      scan_fn: optional pre-jitted result of `jax.jit(make_scan_fn(cfg,
+        model))`.  Pass ONE such function across repeated calls (e.g. the
+        15-corruption loop in main.py) — rebuilding it per call creates a
+        fresh Python callable, which defeats jit's compile cache and costs
+        a full ~25 s recompile per corruption.
     Returns:
       (final EngineState, StepOutput with leading T axis)
     """
-    scan_fn = jax.jit(make_scan_fn(cfg, model))
+    if scan_fn is None:
+        scan_fn = jax.jit(make_scan_fn(cfg, model))
     state = init_state(cfg, text_features_initial, jax.random.PRNGKey(seed))
     return scan_fn(params, text_features_initial, state, pcs, rgbs, targets)
 
@@ -365,7 +371,8 @@ def summarize_vmapped(outputs: StepOutput, n_samples_per_stream: int) -> list:
 def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
                batches, seed: int = 42, print_freq: Optional[int] = None,
                checkpoint_every: Optional[int] = None,
-               checkpoint_path: Optional[str] = None):
+               checkpoint_path: Optional[str] = None,
+               step_fn: Optional[Callable] = None):
     """Host-iterator variant: identical numerics, one jitted step per batch.
 
     Elastic recovery (a capability the reference lacks — SURVEY.md §5.3/5.4):
@@ -382,7 +389,9 @@ def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
     from uni_adapter_tpu import checkpoint as ckpt
     from uni_adapter_tpu.utils.metrics import DeviceTimer
 
-    step = jax.jit(make_step_fn(cfg, model))
+    # reuse a caller-provided jitted step across corruptions (see
+    # run_stream_scan's scan_fn note)
+    step = step_fn if step_fn is not None else jax.jit(make_step_fn(cfg, model))
     state = init_state(cfg, text_features_initial, jax.random.PRNGKey(seed))
     totals = np.zeros(3)
     n = 0

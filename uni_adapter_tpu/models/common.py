@@ -87,8 +87,14 @@ def make_dense(quant: bool):
 
 def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
             mask: Optional[jax.Array] = None,
-            bias: Optional[jax.Array] = None) -> jax.Array:
+            bias: Optional[jax.Array] = None,
+            use_pallas: bool = False) -> jax.Array:
     """Scaled dot-product attention on (B, H, N, hd) tensors.
+
+    With `use_pallas` (TPU only) the unmasked/unbiased case runs as the
+    fused ops/attention_pallas.attention_pallas_heads kernel: the score
+    planes stay fp32 in VMEM (more precise than the bf16-storage XLA path
+    below) and never touch HBM.
 
     Softmax always runs in fp32.  Under bf16 compute the (B, H, N, N)
     attention-logit buffers are kept bf16 (the MXU still accumulates fp32
@@ -97,6 +103,10 @@ def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     ULIP trunk's step time (30.5 → 16.4 ms at (30, 513, 384), v5e).  fp32
     compute keeps fully-fp32 logits, so fp32-mode numerics are unchanged.
     """
+    if use_pallas and mask is None and bias is None:
+        from uni_adapter_tpu.ops.attention_pallas import attention_pallas_heads
+
+        return attention_pallas_heads(q, k, v, float(scale)).astype(v.dtype)
     if v.dtype == jnp.bfloat16:
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)           # bf16 storage
     else:
@@ -122,6 +132,7 @@ class ViTAttention(nn.Module):
     qkv_bias: bool = False
     inner_dim: Optional[int] = None       # PPTA allows inner != dim
     project_out: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -134,7 +145,8 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
         scale = hd ** -0.5
-        out = _attend(q, k, v, scale, mask, attn_bias)
+        out = _attend(q, k, v, scale, mask, attn_bias,
+                      use_pallas=self.use_pallas)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, inner)
         if self.project_out:
             out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -157,6 +169,7 @@ class EvaAttention(nn.Module):
     num_heads: int
     use_qk_norm: bool = True
     quantize: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -174,7 +187,7 @@ class EvaAttention(nn.Module):
             q = LN(dtype=self.dtype, name="q_norm")(q)
             k = LN(dtype=self.dtype, name="k_norm")(k)
         scale = hd ** -0.5
-        out = _attend(q, k, v, scale)
+        out = _attend(q, k, v, scale, use_pallas=self.use_pallas)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, self.dim)
         out = dense(self.dim, dtype=self.dtype, name="proj")(out)
         if return_attn:
@@ -223,11 +236,13 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, return_attn=False):
         a = ViTAttention(self.dim, self.num_heads, self.qkv_bias,
+                         use_pallas=self.use_pallas_attention,
                          dtype=self.dtype, name="attn")(
             LN(dtype=self.dtype, name="norm1")(x),
             return_attn=return_attn)
@@ -252,11 +267,13 @@ class EvaBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4 * 2 / 3
     quantize: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, return_attn=False):
         a = EvaAttention(self.dim, self.num_heads, quantize=self.quantize,
+                         use_pallas=self.use_pallas_attention,
                          dtype=self.dtype, name="attn")(
             LN(dtype=self.dtype, name="norm1")(x),
             return_attn=return_attn)

@@ -33,6 +33,7 @@ class PointTransformer(nn.Module):
     encoder_dim: int = 256
     use_pallas_fps: bool = False
     approx_knn: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -62,7 +63,9 @@ class PointTransformer(nn.Module):
         attn_maps = []
         for i in range(self.depth):
             # pos re-added every block (point_encoder.py:95-98)
-            out = ViTBlock(self.trans_dim, self.num_heads, dtype=self.dtype,
+            out = ViTBlock(self.trans_dim, self.num_heads,
+                           use_pallas_attention=self.use_pallas_attention,
+                           dtype=self.dtype,
                            name=f"blocks_{i}")(x + pos, return_attn=return_attn)
             if return_attn:
                 x, attn = out
@@ -90,6 +93,7 @@ class ULIP(nn.Module):
     embed_dim: int = 512
     use_pallas_fps: bool = False
     approx_knn: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -97,7 +101,8 @@ class ULIP(nn.Module):
         feat = PointTransformer(
             self.trans_dim, self.depth, self.num_heads, self.num_group,
             self.group_size, self.encoder_dim, self.use_pallas_fps,
-            self.approx_knn, self.dtype, name="point_encoder")(pc)
+            self.approx_knn, self.use_pallas_attention, self.dtype,
+            name="point_encoder")(pc)
         pc_projection = self.param(
             "pc_projection", nn.initializers.normal(0.02),
             (2 * self.trans_dim, self.embed_dim))
@@ -112,5 +117,6 @@ def create_ulip(cfg, dtype=None) -> ULIP:
         group_size=cfg.ulip_group_size, encoder_dim=cfg.ulip_encoder_dim,
         embed_dim=cfg.ulip_embed_dim, use_pallas_fps=cfg.use_pallas_fps,
         approx_knn=cfg.approx_knn,
+        use_pallas_attention=cfg.use_pallas_attention,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

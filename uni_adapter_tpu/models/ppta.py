@@ -103,6 +103,7 @@ class PPTABlockPair(nn.Module):
     dim_head: int
     mlp_dim: int
     rel_pe: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -114,6 +115,7 @@ class PPTABlockPair(nn.Module):
         a = ViTAttention(self.dim, self.heads, qkv_bias=False,
                          inner_dim=inner,
                          project_out=not (self.heads == 1 and inner == self.dim),
+                         use_pallas=self.use_pallas_attention,
                          dtype=self.dtype, name="attn")(
             LN(dtype=self.dtype, name="attn_norm")(x),
             attn_bias=bias)
@@ -130,6 +132,7 @@ class PointPatchTransformer(nn.Module):
     dim_head: int = 64
     rel_pe: bool = False
     use_pallas_fps: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -157,7 +160,9 @@ class PointPatchTransformer(nn.Module):
 
         for i in range(p.depth):
             x = PPTABlockPair(p.dim, p.heads, self.dim_head, p.mlp_dim,
-                              self.rel_pe, dtype=self.dtype,
+                              self.rel_pe,
+                              use_pallas_attention=self.use_pallas_attention,
+                              dtype=self.dtype,
                               name=f"layers_{i}")(x, delta)
         if return_tokens:
             return x[:, 0], x[:, 1:]
@@ -181,6 +186,7 @@ class Projected(nn.Module):
     cache_type: str = "global"
     n_cluster: int = 5
     use_pallas_fps: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -188,7 +194,8 @@ class Projected(nn.Module):
         want_tokens = self.cache_type != "global"
         out = PointPatchTransformer(
             self.preset, self.in_dim, rel_pe=self.rel_pe,
-            use_pallas_fps=self.use_pallas_fps, dtype=self.dtype,
+            use_pallas_fps=self.use_pallas_fps,
+            use_pallas_attention=self.use_pallas_attention, dtype=self.dtype,
             name="ppat")(xyz, features, return_tokens=want_tokens)
         proj = nn.Dense(self.out_channel, dtype=jnp.float32, name="proj")
         if not want_tokens:
@@ -210,5 +217,6 @@ def create_openshape(cfg, dtype=None) -> Projected:
     return Projected(
         preset=PRESETS[scaling], out_channel=out,
         use_pallas_fps=cfg.use_pallas_fps,
+        use_pallas_attention=cfg.use_pallas_attention,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

@@ -78,6 +78,7 @@ class PointcloudEncoder(nn.Module):
     use_pallas_fps: bool = False
     approx_knn: bool = False
     quantize: bool = False      # int8 MXU trunk (opt-in, beyond parity)
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -109,7 +110,9 @@ class PointcloudEncoder(nn.Module):
         attn_maps = []
         for i in range(self.depth):
             x = EvaBlock(self.trans_dim, self.num_heads,
-                         quantize=self.quantize, dtype=self.dtype,
+                         quantize=self.quantize,
+                         use_pallas_attention=self.use_pallas_attention,
+                         dtype=self.dtype,
                          name=f"blocks_{i}")(x, return_attn=return_attn)
             if return_attn:
                 x, attn = x
@@ -136,6 +139,7 @@ class Uni3D(nn.Module):
     use_pallas_fps: bool = False
     approx_knn: bool = False
     quantize: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -144,7 +148,8 @@ class Uni3D(nn.Module):
         out = PointcloudEncoder(
             self.trans_dim, self.embed_dim, self.num_group, self.group_size,
             self.encoder_dim, self.depth, self.num_heads,
-            self.use_pallas_fps, self.approx_knn, self.quantize, self.dtype,
+            self.use_pallas_fps, self.approx_knn, self.quantize,
+            self.use_pallas_attention, self.dtype,
             name="point_encoder",
         )(xyz, color, return_attn=return_attn)
         if return_attn:
@@ -164,5 +169,6 @@ def create_uni3d(cfg, dtype: Optional[jnp.dtype] = None) -> Uni3D:
         encoder_dim=cfg.pc_encoder_dim, depth=cfg.eva_depth,
         num_heads=cfg.eva_heads, use_pallas_fps=cfg.use_pallas_fps,
         approx_knn=cfg.approx_knn, quantize=cfg.quantize_int8,
+        use_pallas_attention=cfg.use_pallas_attention,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

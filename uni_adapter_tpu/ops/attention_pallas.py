@@ -12,12 +12,17 @@ Grid: one step per (batch, head); blocks are the (N_pad, hd_pad) q/k/v
 panes.  Numerics: fp32 scores and softmax, bf16 output — strictly more
 precise than the bf16-storage XLA path.
 
-Measured (v5e, 2026-08-16): correct to bf16 noise but NOT faster than the
-bf16-storage XLA attention at the sweep shapes (ULIP (30,6,513,64): 32.7 vs
-22.6 ms; Uni3D ≈ neutral) — the (B·H)-step grid serialises small kernels
-and hd 64 pads to the 128-lane tile, doubling matmul work.  Kept as a
-tested building block; the XLA path stays the default.  Round-2 shape:
-pack heads into the lane dimension (6×64=384 lanes → 3 panes of 128).
+Two kernels:
+  * `attention_pallas` — round-1 kernel, grid (B, H).  Measured (v5e,
+    2026-08-16): correct but NOT faster than the bf16-storage XLA attention
+    at the sweep shapes (ULIP (30,6,513,64): 32.7 vs 22.6 ms) — the
+    (B·H)-step grid serialises 180 small kernels, and the fp32 cast before
+    QK^T runs the MXU at fp32 rate.  Kept as a tested building block.
+  * `attention_pallas_heads` — round-2 kernel, grid (B,): one step holds
+    ALL heads of a batch element in VMEM and unrolls the head loop, so the
+    pipeline has B large steps instead of B·H tiny ones; matmuls stay bf16
+    (fp32 accumulation via preferred_element_type), softmax is fp32, and
+    the (H, N, N) score planes never leave VMEM.
 """
 from __future__ import annotations
 
@@ -76,6 +81,95 @@ def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, H, n_pad, hd_pad), v.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :N, :hd]
+
+
+_MASK_RAW = -3e4      # mask value on raw (pre-scale) scores
+
+
+def _attn_heads_kernel(n_real: int, scale: float, mask_mode: str,
+                       q_ref, k_ref, v_ref, o_ref):
+    # refs: (Bg, G, N_pad, hd_pad); one grid step = Bg batch elements ×
+    # G heads resident in VMEM, loops unrolled.
+    #
+    # VPU economy (the kernel is VMEM-traffic-bound, not matmul-bound):
+    #   * softmax(s·scale) == exp((s − max(s))·scale) / Σ — the scale folds
+    #     into the single fused sub·mul·exp·cast pass over the score plane;
+    #   * row normalisation divides the (N, hd) output, not the (N, N) plane.
+    Bg, G, n = q_ref.shape[0], q_ref.shape[1], q_ref.shape[2]
+    if mask_mode == "where":
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        key_pad = col >= n_real
+    for b in range(Bg):
+        for h in range(G):
+            q = q_ref[b, h, :, :]
+            k = k_ref[b, h, :, :]
+            v = v_ref[b, h, :, :]
+            # bf16 operands, fp32 accumulation — full-rate MXU.
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if mask_mode == "where":
+                s = jnp.where(key_pad, jnp.float32(_MASK_RAW), s)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp((s - m) * scale)
+            o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o = o / jnp.sum(p, axis=1, keepdims=True)
+            o_ref[b, h, :, :] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "head_group",
+                                    "batch_group"))
+def attention_pallas_heads(q: jax.Array, k: jax.Array, v: jax.Array,
+                           scale: float | None = None,
+                           interpret: bool = False,
+                           head_group: int = 8,
+                           batch_group: int = 1) -> jax.Array:
+    """Fused attention, one grid step per (batch element, head group).
+
+    Args:
+      q, k, v: (B, H, N, hd).  The (G, N_pad, hd_pad) q/k/v panes plus one
+        fp32 (N_pad, N_pad) score plane must fit the double-buffered VMEM
+        budget; G = min(H, head_group) heads per step keeps the worst case
+        (EVA02-L, 8×640×128 bf16 ×4 ×2 buffers + scores ≈ 14 MB) inside it.
+    Returns:
+      (B, H, N, hd), same dtype as v.
+    """
+    B, H, N, hd = q.shape
+    G = min(H, head_group)
+    while H % G:
+        G -= 1
+    Bg = min(B, batch_group)
+    while B % Bg:
+        Bg -= 1
+    scale = float(scale if scale is not None else hd ** -0.5)
+    n_pad = -(-N // 128) * 128
+    hd_pad = -(-hd // 128) * 128
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - N), (0, hd_pad - hd)))
+
+    # Measured (v5e): an explicit `where` mask pass beats baking the mask
+    # into a spare contraction lane — the XLA-side `.at[].set` writes cost
+    # more than the in-kernel mask pass saves (1.8 vs 2.5 ms at ULIP shapes).
+    mask_mode = "none" if n_pad == N else "where"
+    qp, kp, vp = pad(q), pad(k), pad(v)
+
+    spec = pl.BlockSpec((Bg, G, n_pad, hd_pad), lambda b, g: (b, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_heads_kernel, N, scale, mask_mode),
+        grid=(B // Bg, H // G),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, n_pad, hd_pad), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :, :N, :hd]
