@@ -63,6 +63,8 @@ def bench_jax() -> float:
     from uni_adapter_tpu import engine
     from uni_adapter_tpu.anchors import load_precomputed
     from uni_adapter_tpu.config import Config, DotaConfig, ModelConfig
+    from uni_adapter_tpu.models.pointbert import create_ulip
+    from uni_adapter_tpu.models.ppta import create_openshape
     from uni_adapter_tpu.models.uni3d import create_uni3d
 
     # opt-in experiment knobs (defaults keep exact reference numerics)
@@ -71,23 +73,43 @@ def bench_jax() -> float:
     # reference defaulting to its CUDA FPS kernel (torch fallbacks as
     # oracles); BENCH_PALLAS_FPS=0 falls back to the XLA twin.
     pallas_fps = os.environ.get("BENCH_PALLAS_FPS", "1") == "1"
-    # Fused Pallas attention likewise default-on (measured v5e: ULIP forward
-    # −13%, strictly tighter numerics than bf16-storage XLA attention).
-    pallas_attn = os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
     int8 = os.environ.get("BENCH_INT8", "0") == "1"
-    cfg = Config(model=ModelConfig(approx_knn=approx,
+    backbone = os.environ.get("BENCH_BACKBONE", "uni3d")  # uni3d|ulip|openshape
+    # Fused Pallas attention: default-on for the layout-bound small trunks
+    # (measured v5e sweeps: ULIP 372.8→466.9, OpenShape 513→615.7 pc/s) but
+    # OFF for Uni3D — the EVA trunk is matmul-bound and the kernel loses
+    # there (103.9→97.3).  BENCH_PALLAS_ATTN overrides either way.
+    pallas_attn_default = "0" if backbone == "uni3d" else "1"
+    pallas_attn = os.environ.get("BENCH_PALLAS_ATTN",
+                                 pallas_attn_default) == "1"
+    cfg = Config(model=ModelConfig(vlm3d=backbone, approx_knn=approx,
                                    use_pallas_fps=pallas_fps,
                                    use_pallas_attention=pallas_attn,
                                    quantize_int8=int8),  # Uni3D-L bf16
                  dota=DotaConfig(use_mode_dota=True, mode_M=4,
                                  res_learning=True))
-    model = create_uni3d(cfg.model)
 
     rng = np.random.default_rng(0)
-    pc0 = jnp.asarray(rng.standard_normal((1, N_POINTS, 6)), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), pc0)
+    if backbone == "ulip":
+        model = create_ulip(cfg.model)
+        init_args = (jnp.zeros((1, N_POINTS, 3), jnp.float32),)
+    elif backbone == "openshape":
+        model = create_openshape(cfg.model)
+        init_args = (jnp.zeros((1, N_POINTS, 3), jnp.float32),
+                     jnp.zeros((1, N_POINTS, 6), jnp.float32))
+    else:
+        model = create_uni3d(cfg.model)
+        init_args = (jnp.asarray(
+            rng.standard_normal((1, N_POINTS, 6)), jnp.float32),)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
     _progress("params initialised")
-    text = load_precomputed("large", "modelnet")          # (40, 1024) fp32
+    feat_dim = {"uni3d": "large", "ulip": None, "openshape": None}[backbone]
+    if feat_dim:
+        text = load_precomputed(feat_dim, "modelnet")     # (40, 1024) fp32
+    else:
+        d = {"ulip": 512, "openshape": 1280}[backbone]
+        t = rng.standard_normal((K_CLASSES, d)).astype(np.float32)
+        text = jnp.asarray(t / np.linalg.norm(t, axis=1, keepdims=True))
 
     pcs = jnp.asarray(rng.standard_normal(
         (N_STREAMS, T_TIMED, 1, N_POINTS, 3)), jnp.float32)
@@ -247,8 +269,10 @@ def main():
         print(f"torch baseline failed: {e}", file=sys.stderr)
         torch_pps = float("nan")
     vs = jax_pps / torch_pps if torch_pps == torch_pps else None
+    bb = os.environ.get("BENCH_BACKBONE", "uni3d")
+    name = "uni3d_large" if bb == "uni3d" else bb
     print(json.dumps({
-        "metric": "mode_dota_tta_throughput_uni3d_large_15corruption_sweep",
+        "metric": f"mode_dota_tta_throughput_{name}_15corruption_sweep",
         "value": round(jax_pps, 3),
         "unit": "point-clouds/sec/chip",
         "vs_baseline": round(vs, 3) if vs else None,

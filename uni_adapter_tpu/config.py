@@ -72,9 +72,11 @@ class ModelConfig:
     use_pallas_fps: bool = False
     # Fused Pallas attention (ops/attention_pallas.attention_pallas_heads):
     # QK^T → fp32 softmax → PV in one VMEM-resident kernel per batch
-    # element.  Measured on v5e: ULIP forward 44.3 → 38.5 ms at batch 30
-    # (strictly MORE precise than the XLA bf16-storage path — scores never
-    # round to bf16).  Off by default: TPU-only (no CPU lowering).
+    # element (strictly MORE precise than the XLA bf16-storage path —
+    # scores never round to bf16).  Measured v5e sweeps: ULIP 372.8→466.9,
+    # OpenShape 513→615.7 pc/s; Uni3D's matmul-bound EVA trunk is ~6%
+    # FASTER with plain XLA attention — enable for the small trunks only.
+    # Off by default: TPU-only (no CPU lowering).
     use_pallas_attention: bool = False
     # approx_max_k kNN (TPU partial reduce, recall_target 0.99 — measured
     # recall 1.0 on benchmark point distributions); default exact top_k
