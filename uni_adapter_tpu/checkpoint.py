@@ -54,3 +54,32 @@ def restore_state_orbax(path: str, template: Any = None) -> Any:
         if template is not None:
             return ckptr.restore(os.path.abspath(path), item=template)
         return ckptr.restore(os.path.abspath(path))
+
+
+class AsyncSnapshotter:
+    """Non-blocking orbax snapshots: `save` returns immediately while the
+    device→host fetch and serialisation run on orbax's background thread —
+    the serving tick never stalls on checkpoint IO.  Call `wait()` (or use
+    as a context manager) to drain before reading the files back."""
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save(self, path: str, state: Any) -> None:
+        self._ckptr.save(os.path.abspath(path), state, force=True)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def restore(self, path: str, template: Any = None) -> Any:
+        self.wait()
+        return restore_state_orbax(path, template)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.wait()
+        self._ckptr.close()

@@ -44,7 +44,9 @@ def init_distributed_device(coordinator_address: Optional[str] = None) -> dict:
     Returns a dict with rank/world metadata.
     """
     local_rank, rank, world = world_info_from_env()
-    if world > 1 and jax.process_count() == 1:
+    # IMPORTANT: do not touch the backend (jax.process_count/jax.devices)
+    # before initialize() — backend init makes initialize() illegal.
+    if world > 1 and not jax.distributed.is_initialized():
         addr = coordinator_address or os.environ.get(
             "MASTER_ADDR", "127.0.0.1")
         port = os.environ.get("MASTER_PORT", "1234")

@@ -9,15 +9,18 @@ corruption sweep uses (engine.run_streams_vmapped) while keeping every
 client's trajectory bitwise identical to a dedicated sequential run
 (tests/test_serve.py).
 
-Batching strategy: vmapped step programs are compiled per padded batch size
-from `sizes` (powers of two by default); a tick with n pending requests pads
-to the next size with inert copies of the first request (their state
-updates are discarded), so at most len(sizes) programs ever compile.
+Batching strategy: vmapped step programs are compiled per batch size from
+`sizes` (powers of two by default); a tick with n pending requests is
+greedily decomposed into compiled sizes (9 → 8+1, 13 → 8+4+1), so encoder
+FLOPs are exactly n per tick — nothing is padded away — while at most
+len(sizes) programs ever compile.  Only if the ladder cannot represent n
+exactly (no size 1) does the final chunk pad with an inert copy of its
+first request (state updates discarded).
 """
 from __future__ import annotations
 
-import bisect
 import logging
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -81,20 +84,27 @@ class TTAServer:
             if cid not in self.states:
                 raise KeyError(f"client {cid!r} not registered")
 
+        # greedy decomposition into compiled sizes: largest size ≤ remaining,
+        # falling back to the smallest size (padded) only for a final
+        # remainder the ladder cannot express exactly
+        result: Dict[str, np.ndarray] = {}
+        i = 0
+        while i < len(requests):
+            rem = len(requests) - i
+            fit = [s for s in self.sizes if s <= rem]
+            size = max(fit) if fit else self.sizes[0]
+            chunk = requests[i:i + size]
+            result.update(self._run_chunk(chunk, size))
+            i += len(chunk)
+        return result
+
+    def _run_chunk(self, requests, size: int) -> Dict[str, np.ndarray]:
+        """Run ≤size requests as one compiled vmapped step of width size."""
+        ids = [r[0] for r in requests]
         pcs = [np.asarray(r[1], np.float32) for r in requests]
         rgbs = [np.asarray(r[2], np.float32) if r[2] is not None
                 else np.ones_like(p) for r, p in zip(requests, pcs)]
-        n = len(requests)
-        size = self.sizes[bisect.bisect_left(self.sizes, n)] \
-            if n <= self.sizes[-1] else None
-        if size is None:
-            # split oversized ticks
-            out = self.submit(requests[:self.sizes[-1]])
-            out.update(self.submit(requests[self.sizes[-1]:]))
-            return out
-
-        # pad with inert copies of request 0 against a scratch state
-        pad = size - n
+        pad = size - len(requests)   # only a ladder-remainder chunk pads
         states = [self.states[c] for c in ids] + [self.states[ids[0]]] * pad
         pcs_b = jnp.asarray(np.stack(pcs + [pcs[0]] * pad))
         rgbs_b = jnp.asarray(np.stack(rgbs + [rgbs[0]] * pad))
@@ -110,14 +120,38 @@ class TTAServer:
             result[cid] = np.asarray(outs.final_logits[i])
         return result
 
-    def snapshot(self, client_id: str, path: str) -> None:
-        """Persist one client's adaptation state (exact-resume capable)."""
+    def snapshot(self, client_id: str, path: str,
+                 blocking: bool = True) -> None:
+        """Persist one client's adaptation state (exact-resume capable).
+
+        With `blocking=False`, the snapshot runs on orbax's async background
+        thread — the serving loop keeps ticking while IO drains (call
+        `drain_snapshots()` before shutdown)."""
         from uni_adapter_tpu import checkpoint
 
-        checkpoint.save_state(path, self.states[client_id])
+        if blocking:
+            checkpoint.save_state(path, self.states[client_id])
+            return
+        if not hasattr(self, "_snapshotter"):
+            self._snapshotter = checkpoint.AsyncSnapshotter()
+        self._snapshotter.save(path, self.states[client_id])
+
+    def drain_snapshots(self) -> None:
+        """Block until all async snapshots have hit disk."""
+        if hasattr(self, "_snapshotter"):
+            self._snapshotter.wait()
 
     def restore(self, client_id: str, path: str) -> None:
         from uni_adapter_tpu import checkpoint
 
-        self.states[client_id] = checkpoint.restore_state(path)
+        # orbax stores pytrees structurally (dirs); restore against the live
+        # state as template so the EngineState NamedTuple shape survives
+        template = self.states.get(client_id)
+        if os.path.isdir(path):
+            if hasattr(self, "_snapshotter"):
+                self._snapshotter.wait()
+            self.states[client_id] = checkpoint.restore_state_orbax(
+                path, template=template)
+        else:
+            self.states[client_id] = checkpoint.restore_state(path)
         logging.info("client %s state restored", client_id)
