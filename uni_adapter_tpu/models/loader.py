@@ -60,6 +60,8 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 #: torch name-fragment → flax name-fragment rewrites, applied in order.
 _RENAMES = [
+    # open_clip CustomTextCLIP wraps the text tower under `text.`
+    (r"^text\.", ""),
     # mini-PointNet sequential indices → named layers (uni3d.MiniPointNet)
     (r"first_conv\.0\.", "conv1."), (r"first_conv\.1\.", "bn1."),
     (r"first_conv\.3\.", "conv2."),
@@ -71,10 +73,31 @@ _RENAMES = [
     (r"visual\.blocks\.(\d+)\.", r"blocks_\1."),
     (r"^blocks\.(\d+)\.", r"blocks_\1."),
     (r"blocks\.blocks\.(\d+)\.", r"blocks_\1."),   # ULIP TransformerEncoder
+    # timm EVA separate-SwiGLU naming (w1=gate, w2=value, w3=out, ffn_ln=mid
+    # LayerNorm); the fused `w12` variant is split in _expand_structural
+    (r"mlp\.w1\.", "mlp.fc1_g."), (r"mlp\.w2\.", "mlp.fc1_x."),
+    (r"mlp\.w3\.", "mlp.fc2."), (r"mlp\.ffn_ln\.", "mlp.norm."),
     # timm EVA final norms
     (r"visual\.norm\.", "norm."), (r"visual\.fc_norm\.", "fc_norm."),
-    # CLIP text transformer resblocks
+    # CLIP text transformer resblocks (OpenAI / open_clip layout):
+    # nn.MultiheadAttention packs [q;k;v] rows of in_proj exactly like the
+    # fused qkv Dense's output columns, so a plain transpose suffices
     (r"transformer\.resblocks\.(\d+)\.", r"resblocks_\1."),
+    (r"attn\.in_proj_", "attn.qkv."),
+    (r"attn\.out_proj\.", "attn.proj."),
+    (r"mlp\.c_fc\.", "mlp.fc1."), (r"mlp\.c_proj\.", "mlp.fc2."),
+    # OpenShape PPTA (reference models/openshape/ppta.py state_dict layout)
+    (r"sa\.mlp_convs\.(\d+)\.", r"sa.conv\1."),
+    (r"sa\.mlp_bns\.(\d+)\.", r"sa.bn\1."),
+    (r"lift\.0\.", "lift."), (r"lift\.2\.", "lift_norm."),
+    (r"transformer\.layers\.(\d+)\.0\.norm\.", r"layers_\1.attn_norm."),
+    (r"transformer\.layers\.(\d+)\.0\.fn\.to_qkv\.", r"layers_\1.attn.qkv."),
+    (r"transformer\.layers\.(\d+)\.0\.fn\.to_out\.0\.", r"layers_\1.attn.proj."),
+    (r"transformer\.layers\.(\d+)\.0\.fn\.pe\.0\.", r"layers_\1.pe.fc1."),
+    (r"transformer\.layers\.(\d+)\.0\.fn\.pe\.2\.", r"layers_\1.pe.fc2."),
+    (r"transformer\.layers\.(\d+)\.1\.norm\.", r"layers_\1.ff_norm."),
+    (r"transformer\.layers\.(\d+)\.1\.fn\.net\.0\.", r"layers_\1.ff.fc1."),
+    (r"transformer\.layers\.(\d+)\.1\.fn\.net\.3\.", r"layers_\1.ff.fc2."),
 ]
 
 
@@ -84,14 +107,65 @@ def _rename(key: str) -> str:
     return key
 
 
+def _expand_structural(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pre-pass for published layouts that need splitting, not renaming.
+
+    * timm EVA02 fused attention: `attn.qkv.weight` (3W, W) with separate
+      `attn.q_bias` / `attn.v_bias` params (k has a zero non-persistent
+      buffer) → separate q/k/v projections.  Detected by the presence of
+      q_bias so the CLIP text towers' genuinely-fused qkv stays fused.
+    * timm EVA02 fused SwiGLU: `mlp.w12.{weight,bias}` chunks into
+      (gate, value) halves along the OUTPUT dim (timm GluMlp chunk order).
+    * rope buffers (`rope.freqs_*`): dropped — the reference drives the EVA
+      blocks as bare `blk(x)` with rotary embeddings inactive
+      (models/point_encoder.py:217-218).
+    """
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if ".rope." in k or k.startswith("rope."):
+            continue
+        if k.endswith("attn.qkv.weight") \
+                and k[: -len("qkv.weight")] + "q_bias" in sd:
+            p = k[: -len("qkv.weight")]
+            W = v.shape[0] // 3
+            out[p + "q_proj.weight"] = v[:W]
+            out[p + "k_proj.weight"] = v[W:2 * W]
+            out[p + "v_proj.weight"] = v[2 * W:]
+            continue
+        if k.endswith("attn.q_bias"):
+            out[k[: -len("q_bias")] + "q_proj.bias"] = v
+            continue
+        if k.endswith("attn.v_bias"):
+            out[k[: -len("v_bias")] + "v_proj.bias"] = v
+            continue
+        if k.endswith("attn.k_bias"):      # persistent zero buffer variants
+            continue
+        if k.endswith("mlp.w12.weight") or k.endswith("mlp.w12.bias"):
+            h = v.shape[0] // 2
+            out[k.replace("w12", "fc1_g")] = v[:h]
+            out[k.replace("w12", "fc1_x")] = v[h:]
+            continue
+        out[k] = v
+    return out
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Flatten-name converted dict: 'a.b.c/kernel' style flax leaf paths."""
     out: Dict[str, np.ndarray] = {}
-    for key, val in sd.items():
+    for key, val in _expand_structural(sd).items():
         key = _rename(key)
         parts = key.split(".")
         leaf = parts[-1]
         prefix = "/".join(parts[:-1])
+        if key.endswith("token_embedding.weight"):
+            # embedding table, not a Linear: stays (vocab, width)
+            out[prefix] = val
+            continue
+        if key.endswith("text_projection.weight"):
+            # open_clip stores the projection as a bias-free Linear (E, W);
+            # the flax side keeps CLIP's bare (W, E) parameter
+            out[prefix] = val.T
+            continue
         if leaf == "weight":
             if val.ndim == 2:                       # Linear
                 out[f"{prefix}/kernel"] = val.T
