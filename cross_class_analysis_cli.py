@@ -54,7 +54,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from uni_adapter_tpu.analysis.cross_class import (
-        CrossClassAttentionAnalyzer, plot_distance_matrices)
+        CrossClassAttentionAnalyzer, plot_distance_matrices,
+        top_confused_pairs, visualize_displacement_magnitudes,
+        visualize_severity_progression, visualize_top_confused_pairs,
+        visualize_tsne_with_displacement)
     from uni_adapter_tpu.config import Config, DataConfig, ModelConfig
     from uni_adapter_tpu.data.datasets import load_tta_dataset
     from uni_adapter_tpu.models.loader import init_or_load_params
@@ -103,17 +106,37 @@ def main(argv=None):
                               args.max_per_class)
 
     results = {"severities": {}}
+    progression = {}
     for s, cent in sweep.items():
         mats = an.distance_matrices(clean_cent, cent)
         conf = an.confusion_analysis(clean_cent, cent)
         emb = an.tsne_displacement(clean_cent, cent)
-        results["severities"][s] = {"confusion": conf}
+        analysis = top_confused_pairs(mats, class_names)
+        progression[s] = {"analysis": analysis,
+                          "clean_distances": mats["clean"],
+                          "corrupted_distances": mats["corrupted"]}
+        results["severities"][s] = {"confusion": conf,
+                                    "top_confused": analysis}
         np.save(os.path.join(args.out, f"centroids_s{s}.npy"), cent)
         np.save(os.path.join(args.out, f"tsne_s{s}.npy"), emb)
         plot_distance_matrices(mats, class_names,
                                os.path.join(args.out, f"distance_s{s}.png"))
+        # the reference's per-severity figure set (:372-536)
+        visualize_top_confused_pairs(
+            analysis, args.corruption, s,
+            os.path.join(args.out, f"confused_pairs_s{s}.png"))
+        visualize_tsne_with_displacement(
+            clean_cent, cent, class_names, args.corruption, s,
+            os.path.join(args.out, f"tsne_displacement_s{s}.png"))
+        visualize_displacement_magnitudes(
+            clean_cent, cent, class_names, args.corruption, s,
+            os.path.join(args.out, f"displacement_s{s}.png"))
         logging.info("severity %d: %d nearest-neighbour flips", s,
                      conf["n_flips"])
+    if len(progression) > 1:
+        visualize_severity_progression(
+            progression, class_names, args.corruption,
+            os.path.join(args.out, "severity_progression.png"))
     np.save(os.path.join(args.out, "centroids_clean.npy"), clean_cent)
     an.save_results(args.out, results)
     logging.info("analysis written to %s", args.out)

@@ -102,14 +102,29 @@ def main(argv=None):
     ex = A.AttentionExtractor(model, params, mc.num_group, mc.group_size)
 
     results = {}
+    all_maps = {}
     for tag, pc in [("clean", clean), ("corrupted", corrupted)]:
         maps = ex.extract(pc)
+        all_maps[tag] = maps
         results[tag] = {
             "cls": ex.get_cls_attention(-1).mean(1)[0],
             "evo": A.cls_attention_evolution(maps),
         }
         A.visualize_attention_3d(ex, pc, -1,
                                  os.path.join(args.out, f"overlay_{tag}.html"))
+        # the reference's viridis on-pointcloud overlay, per condition
+        A.visualize_attention_on_pointcloud(
+            pc, results[tag]["cls"], ex.get_group_centers(pc)[0],
+            title=f"{tag}: CLS attention on point cloud",
+            save_path=os.path.join(args.out,
+                                   f"attention_on_pointcloud_{tag}.html"))
+
+    # full comparison panel set (reference visualize_comparison, :117-345)
+    written = A.visualize_comparison(all_maps["clean"], all_maps["corrupted"],
+                                     args.out, class_name=name,
+                                     corruption_type=args.corruption,
+                                     severity=args.severity)
+    logging.info("comparison panels: %s", written)
 
     # side-by-side comparison figure (reference comparison figs)
     fig, axes = plt.subplots(2, 2, figsize=(14, 8))

@@ -88,6 +88,20 @@ def main(argv=None):
                                 os.path.join(args.out, "layer_evolution.png"))
     A.visualize_attention_3d(extractor, pc, -1,
                              os.path.join(args.out, "attention_3d.html"))
+
+    # on-pointcloud overlay family (reference extract_attention.py:636-935)
+    centers = extractor.get_group_centers(pc)[0]
+    cls_attn = extractor.get_cls_attention(-1)[0]          # (H, G)
+    A.visualize_attention_on_pointcloud(
+        pc, cls_attn.mean(0), centers,
+        title="CLS attention (last layer, head-averaged)",
+        save_path=os.path.join(args.out, "attention_on_pointcloud.html"))
+    A.visualize_attention_heads_on_pointcloud(
+        pc, cls_attn, centers,
+        save_path=os.path.join(args.out, "attention_heads_on_pointcloud"))
+    A.visualize_layer_attention_on_pointcloud_grid(
+        maps, pc, centers, args.layers,
+        save_path=os.path.join(args.out, "layer_attention_grid"))
     import json as _json
     with open(os.path.join(args.out, "attention_stats.json"), "w") as f:
         _json.dump(A.attention_statistics(maps), f, indent=2)

@@ -345,3 +345,86 @@ def test_attention_extra_figures(tiny_uni3d, tmp_path):
     for v in stats.values():
         assert 0 <= v["sparsity_mean"] <= 1
         assert v["entropy_mean"] > 0
+
+
+# ---------------- round-2 figure surface (VERDICT r1 next-step #4) ----------
+
+
+def test_on_pointcloud_overlay_family(tiny_uni3d, tmp_path):
+    """The three overlay families (reference extract_attention.py:636-935):
+    single overlay, per-head grid, per-layer grid — each writes a file."""
+    from uni_adapter_tpu.analysis import attention as A
+
+    model, params = tiny_uni3d
+    ex = A.AttentionExtractor(model, params, num_group=8, group_size=8)
+    pc = np.random.default_rng(2).standard_normal((64, 3)).astype(np.float32)
+    maps = ex.extract(pc)
+    centers = ex.get_group_centers(pc)[0]
+    cls = ex.get_cls_attention(-1)[0]                     # (H, G)
+
+    p1 = A.visualize_attention_on_pointcloud(
+        pc, cls.mean(0), centers,
+        save_path=os.path.join(tmp_path, "overlay.html"))
+    p2 = A.visualize_attention_heads_on_pointcloud(
+        pc, cls, centers, save_path=os.path.join(tmp_path, "heads"))
+    p3 = A.visualize_layer_attention_on_pointcloud_grid(
+        maps, pc, centers, save_path=os.path.join(tmp_path, "layers"))
+    for p in (p1, p2, p3):
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_comparison_panel_set(tiny_uni3d, tmp_path):
+    """Clean-vs-corrupted comparison panels (reference
+    example_attention_extraction.py:117-345): evolution, difference,
+    statistics — three PNGs."""
+    from uni_adapter_tpu.analysis import attention as A
+
+    model, params = tiny_uni3d
+    ex = A.AttentionExtractor(model, params, num_group=8, group_size=8)
+    rng = np.random.default_rng(3)
+    pc = rng.standard_normal((64, 3)).astype(np.float32)
+    clean_maps = dict(ex.extract(pc))
+    corr_maps = dict(ex.extract(
+        pc + 0.1 * rng.standard_normal(pc.shape).astype(np.float32)))
+    paths = A.visualize_comparison(clean_maps, corr_maps, str(tmp_path),
+                                   class_name="sphere",
+                                   corruption_type="gaussian")
+    assert len(paths) == 3
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_cross_class_figure_set(tmp_path):
+    """The four cross-class figures (reference
+    cross_class_attention_analysis.py:372-616) on synthetic centroids."""
+    from uni_adapter_tpu.analysis import cross_class as CC
+
+    rng = np.random.default_rng(4)
+    K, G = 6, 8
+    names = [f"class_{i}" for i in range(K)]
+    clean = rng.standard_normal((K, G))
+    progression = {}
+    for s in (1, 3, 5):
+        corr = clean + 0.1 * s * rng.standard_normal((K, G))
+        mats = {"clean": CC._cosine_distance_matrix(clean),
+                "corrupted": CC._cosine_distance_matrix(corr)}
+        mats["delta"] = mats["corrupted"] - mats["clean"]
+        analysis = CC.top_confused_pairs(mats, names, top_k=5)
+        assert len(analysis["top_confused_pairs"]) == 5
+        assert analysis["top_confused_pairs"][0]["distance_change"] <= \
+            analysis["top_confused_pairs"][-1]["distance_change"]
+        progression[s] = {"analysis": analysis,
+                          "clean_distances": mats["clean"],
+                          "corrupted_distances": mats["corrupted"]}
+        assert os.path.exists(CC.visualize_top_confused_pairs(
+            analysis, "gaussian", s,
+            os.path.join(tmp_path, f"pairs_{s}.png")))
+        assert os.path.exists(CC.visualize_tsne_with_displacement(
+            clean, corr, names, "gaussian", s,
+            os.path.join(tmp_path, f"tsne_{s}.png")))
+        assert os.path.exists(CC.visualize_displacement_magnitudes(
+            clean, corr, names, "gaussian", s,
+            os.path.join(tmp_path, f"disp_{s}.png")))
+    assert os.path.exists(CC.visualize_severity_progression(
+        progression, names, "gaussian",
+        os.path.join(tmp_path, "progression.png")))

@@ -254,6 +254,296 @@ def attention_statistics(attention_maps: Dict[str, np.ndarray]) -> dict:
     return stats
 
 
+def visualize_attention_on_pointcloud(point_cloud: np.ndarray,
+                                      attention_weights: np.ndarray,
+                                      group_centers: np.ndarray,
+                                      title: str = "Attention Visualization",
+                                      save_path: Optional[str] = None,
+                                      point_size: float = 1.5,
+                                      center_size: float = 5.0):
+    """3D overlay: gray point cloud + group centers coloured by a scalar
+    attention weight (reference extract_attention.py:762-843).
+
+    Uses plotly when importable; otherwise writes the self-contained
+    interactive canvas HTML (visualize.visualize_colored_pointcloud_html).
+    """
+    pc = np.asarray(point_cloud)[..., :3].reshape(-1, 3)
+    w = np.asarray(attention_weights).reshape(-1)
+    centers = np.asarray(group_centers).reshape(-1, 3)
+    try:
+        import plotly.graph_objects as go
+
+        wn = (w - w.min()) / (w.max() - w.min() + 1e-8)
+        fig = go.Figure()
+        fig.add_trace(go.Scatter3d(
+            x=pc[:, 0], y=pc[:, 1], z=pc[:, 2], mode="markers",
+            marker=dict(size=point_size, color="lightgray", opacity=0.3),
+            name="Point Cloud"))
+        fig.add_trace(go.Scatter3d(
+            x=centers[:, 0], y=centers[:, 1], z=centers[:, 2],
+            mode="markers",
+            marker=dict(size=center_size, color=wn, colorscale="Viridis",
+                        colorbar=dict(title="Attention"), opacity=0.9),
+            name="Group Centers (Attention)",
+            text=[f"Attention: {x:.3f}" for x in w], hoverinfo="text"))
+        fig.update_layout(title=title, scene=dict(aspectmode="data"))
+        if save_path:
+            if not save_path.lower().endswith(".html"):
+                save_path += ".html"
+            fig.write_html(save_path)
+        return save_path
+    except ImportError:
+        from uni_adapter_tpu.visualize import visualize_colored_pointcloud_html
+
+        return visualize_colored_pointcloud_html(
+            [{"name": "point cloud", "points": pc, "colors": "#555555",
+              "size": point_size, "opacity": 0.35},
+             {"name": "attention (viridis)", "points": centers, "colors": w,
+              "size": center_size}],
+            save_path, title=title)
+
+
+def _scatter3d_grid_png(panels, point_cloud, group_centers, save_path,
+                        suptitle):
+    """Matplotlib 3D grid fallback shared by the two multi-panel overlays.
+
+    panels: list of (title, (G,) scalar weights)."""
+    plt = _plt()
+    n = len(panels)
+    cols = min(3, n)
+    rows = -(-n // cols)
+    fig = plt.figure(figsize=(4.5 * cols, 4 * rows))
+    pc = np.asarray(point_cloud)[..., :3].reshape(-1, 3)
+    centers = np.asarray(group_centers).reshape(-1, 3)
+    for i, (title, w) in enumerate(panels):
+        ax = fig.add_subplot(rows, cols, i + 1, projection="3d")
+        ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], s=1, c="lightgray",
+                   alpha=0.2)
+        wn = (w - w.min()) / (w.max() - w.min() + 1e-8)
+        sc = ax.scatter(centers[:, 0], centers[:, 1], centers[:, 2], s=14,
+                        c=wn, cmap="viridis", alpha=0.9)
+        ax.set_title(title, fontsize=9)
+        ax.set_axis_off()
+    fig.colorbar(sc, ax=fig.axes, shrink=0.5, label="Attention")
+    fig.suptitle(suptitle)
+    if save_path:
+        if save_path.lower().endswith(".html"):
+            save_path = save_path[:-5]
+        if not save_path.lower().endswith(".png"):
+            save_path += ".png"
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        fig.savefig(save_path, dpi=110)
+    plt.close(fig)
+    return save_path
+
+
+def visualize_attention_heads_on_pointcloud(
+        point_cloud: np.ndarray, attention_weights: np.ndarray,
+        group_centers: np.ndarray, head_indices: Optional[List[int]] = None,
+        title: str = "Attention by Head", save_path: Optional[str] = None):
+    """Per-head overlay grid (reference extract_attention.py:845-935).
+
+    Args:
+      attention_weights: (H, G) per-head weights over group tokens.
+    """
+    attention_weights = np.asarray(attention_weights)
+    H = attention_weights.shape[0]
+    heads = head_indices if head_indices is not None else list(
+        range(min(4, H)))
+    try:
+        import plotly.graph_objects as go
+        from plotly.subplots import make_subplots
+
+        pc = np.asarray(point_cloud)[..., :3].reshape(-1, 3)
+        centers = np.asarray(group_centers).reshape(-1, 3)
+        cols = min(2, len(heads))
+        rows = -(-len(heads) // cols)
+        fig = make_subplots(
+            rows=rows, cols=cols,
+            specs=[[{"type": "scatter3d"}] * cols for _ in range(rows)],
+            subplot_titles=[f"Head {h}" for h in heads])
+        for i, h in enumerate(heads):
+            w = attention_weights[h]
+            wn = (w - w.min()) / (w.max() - w.min() + 1e-8)
+            r, c = i // cols + 1, i % cols + 1
+            fig.add_trace(go.Scatter3d(
+                x=pc[:, 0], y=pc[:, 1], z=pc[:, 2], mode="markers",
+                marker=dict(size=1, color="lightgray", opacity=0.2),
+                showlegend=False), row=r, col=c)
+            fig.add_trace(go.Scatter3d(
+                x=centers[:, 0], y=centers[:, 1], z=centers[:, 2],
+                mode="markers",
+                marker=dict(size=5, color=wn, colorscale="Viridis",
+                            opacity=0.9), showlegend=False), row=r, col=c)
+        fig.update_layout(title=title, height=400 * rows, width=500 * cols)
+        if save_path:
+            if not save_path.lower().endswith(".html"):
+                save_path += ".html"
+            fig.write_html(save_path)
+        return save_path
+    except ImportError:
+        return _scatter3d_grid_png(
+            [(f"Head {h}", attention_weights[h]) for h in heads],
+            point_cloud, group_centers, save_path, title)
+
+
+def visualize_layer_attention_on_pointcloud_grid(
+        attention_maps: Dict[str, np.ndarray], point_cloud: np.ndarray,
+        group_centers: np.ndarray,
+        layer_indices: Optional[List[int]] = None,
+        save_path: Optional[str] = None):
+    """Head-averaged CLS attention on the cloud, one panel per layer
+    (reference extract_attention.py:636-759).  Auto-selects 6 evenly spaced
+    layers when layer_indices is None."""
+    available = sorted(int(k.split("_")[1]) for k in attention_maps)
+    if layer_indices is None:
+        n_sel = min(6, len(available))
+        idx = np.linspace(0, len(available) - 1, n_sel).astype(int)
+        layer_indices = [available[i] for i in idx]
+    panels = []
+    for li in layer_indices:
+        attn = attention_maps[f"layer_{li}"][0]          # (H, N, N)
+        cls_attn = attn.mean(0)[0, 1:]                   # (G,)
+        panels.append((f"Layer {li}", cls_attn))
+    try:
+        import plotly.graph_objects as go
+        from plotly.subplots import make_subplots
+
+        pc = np.asarray(point_cloud)[..., :3].reshape(-1, 3)
+        centers = np.asarray(group_centers).reshape(-1, 3)
+        cols = min(3, len(panels))
+        rows = -(-len(panels) // cols)
+        fig = make_subplots(
+            rows=rows, cols=cols,
+            specs=[[{"type": "scatter3d"}] * cols for _ in range(rows)],
+            subplot_titles=[t for t, _ in panels])
+        for i, (_, w) in enumerate(panels):
+            wn = (w - w.min()) / (w.max() - w.min() + 1e-8)
+            r, c = i // cols + 1, i % cols + 1
+            fig.add_trace(go.Scatter3d(
+                x=pc[:, 0], y=pc[:, 1], z=pc[:, 2], mode="markers",
+                marker=dict(size=1, color="lightgray", opacity=0.15),
+                showlegend=False, hoverinfo="skip"), row=r, col=c)
+            fig.add_trace(go.Scatter3d(
+                x=centers[:, 0], y=centers[:, 1], z=centers[:, 2],
+                mode="markers",
+                marker=dict(size=5, color=wn, colorscale="Viridis",
+                            opacity=0.9, showscale=(i == 0)),
+                showlegend=False), row=r, col=c)
+        fig.update_layout(
+            title="CLS Attention on Point Cloud (Averaged Over Heads)",
+            height=400 * rows, width=450 * cols)
+        if save_path:
+            if not save_path.lower().endswith(".html"):
+                save_path += ".html"
+            fig.write_html(save_path)
+        return save_path
+    except ImportError:
+        return _scatter3d_grid_png(
+            panels, point_cloud, group_centers, save_path,
+            "CLS attention on point cloud (head-averaged) — layer comparison")
+
+
+def _per_layer_stats(attention_maps: Dict[str, np.ndarray]) -> dict:
+    layers = sorted(attention_maps, key=lambda k: int(k.split("_")[1]))
+    cls_rows = [attention_maps[k][0].mean(0)[0] for k in layers]  # (N,)
+    return {
+        "layers": [int(k.split("_")[1]) for k in layers],
+        "entropy": [float(attention_entropy(r[None])[0]) for r in cls_rows],
+        "max": [float(r.max()) for r in cls_rows],
+        "sparsity": [float(attention_sparsity(r[None])[0]) for r in cls_rows],
+        "cls_rows": np.stack(cls_rows),
+    }
+
+
+def visualize_comparison(clean_maps: Dict[str, np.ndarray],
+                         corrupted_maps: Dict[str, np.ndarray],
+                         out_dir: str, class_name: str = "object",
+                         corruption_type: str = "corruption",
+                         severity: int = 5) -> List[str]:
+    """Clean-vs-corrupted comparison panel set
+    (reference example_attention_extraction.py:117-345 visualize_comparison):
+
+      1. side-by-side CLS-attention evolution matrices (layer × token),
+      2. their signed difference map (RdBu, corrupted − clean),
+      3. a 2×2 statistics panel: per-layer entropy, max weight, sparsity,
+         and clean↔corrupted cosine similarity of the CLS rows.
+
+    Returns the list of files written.
+    """
+    plt = _plt()
+    os.makedirs(out_dir, exist_ok=True)
+    cs, xs = _per_layer_stats(clean_maps), _per_layer_stats(corrupted_maps)
+    paths = []
+
+    # 1. side-by-side evolution
+    fig, axes = plt.subplots(1, 2, figsize=(16, 6))
+    vmax = max(cs["cls_rows"].max(), xs["cls_rows"].max())
+    for ax, st, name in [(axes[0], cs, f"Clean - {class_name}"),
+                         (axes[1], xs,
+                          f"{corruption_type} (sev {severity}) - "
+                          f"{class_name}")]:
+        im = ax.imshow(st["cls_rows"], aspect="auto", cmap="viridis",
+                       vmin=0, vmax=vmax)
+        ax.set_title(name)
+        ax.set_xlabel("token")
+        ax.set_ylabel("layer")
+        fig.colorbar(im, ax=ax)
+    fig.suptitle("CLS Attention Evolution: Clean vs Corrupted "
+                 "(averaged over heads)")
+    p = os.path.join(out_dir, "comparison_evolution.png")
+    fig.tight_layout()
+    fig.savefig(p, dpi=110)
+    plt.close(fig)
+    paths.append(p)
+
+    # 2. difference map
+    diff = xs["cls_rows"] - cs["cls_rows"]
+    fig, ax = plt.subplots(figsize=(10, 6))
+    lim = np.abs(diff).max() + 1e-12
+    im = ax.imshow(diff, aspect="auto", cmap="RdBu_r", vmin=-lim, vmax=lim)
+    ax.set_title(f"Attention Difference (Corrupted − Clean)\n"
+                 f"{corruption_type} severity {severity} | {class_name}")
+    ax.set_xlabel("token")
+    ax.set_ylabel("layer")
+    fig.colorbar(im, ax=ax, label="Attention Difference")
+    p = os.path.join(out_dir, "comparison_difference.png")
+    fig.tight_layout()
+    fig.savefig(p, dpi=110)
+    plt.close(fig)
+    paths.append(p)
+
+    # 3. statistics panel
+    fig, axes = plt.subplots(2, 2, figsize=(13, 9))
+    L = cs["layers"]
+    for ax, key, title in [(axes[0][0], "entropy", "Attention Entropy"),
+                           (axes[0][1], "max", "Maximum Attention Weight"),
+                           (axes[1][0], "sparsity", "Attention Sparsity")]:
+        ax.plot(L, cs[key], "o-", label="Clean", color="tab:blue")
+        ax.plot(L, xs[key], "s-", label="Corrupted", color="tab:red")
+        ax.set_xlabel("layer")
+        ax.set_title(title)
+        ax.legend()
+        ax.grid(alpha=0.3)
+    cn = cs["cls_rows"] / (np.linalg.norm(cs["cls_rows"], axis=1,
+                                          keepdims=True) + 1e-12)
+    xn = xs["cls_rows"] / (np.linalg.norm(xs["cls_rows"], axis=1,
+                                          keepdims=True) + 1e-12)
+    sims = (cn * xn).sum(1)
+    axes[1][1].bar(L, sims, color="teal", alpha=0.7)
+    axes[1][1].set_title("Clean vs Corrupted Attention Similarity")
+    axes[1][1].set_xlabel("layer")
+    axes[1][1].set_ylim(0, 1.05)
+    fig.suptitle(f"Attention Statistics: Clean vs {corruption_type} | "
+                 f"{class_name}")
+    p = os.path.join(out_dir, "comparison_statistics.png")
+    fig.tight_layout()
+    fig.savefig(p, dpi=110)
+    plt.close(fig)
+    paths.append(p)
+    return paths
+
+
 def visualize_attention_3d(extractor: AttentionExtractor,
                            point_cloud: np.ndarray, layer_idx: int = -1,
                            save_path: Optional[str] = None):

@@ -127,6 +127,99 @@ def visualize_pointclouds_plotly(pointclouds: Union[dict, np.ndarray],
     return html
 
 
+_COLORED_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>body{{margin:0;background:#111;color:#eee;font-family:sans-serif}}
+#hud{{position:fixed;top:8px;left:12px}}canvas{{display:block}}</style>
+</head><body>
+<div id="hud"><b>{title}</b><br/>{legend}<br/>
+<small>drag: rotate &middot; wheel: zoom</small></div>
+<canvas id="c"></canvas>
+<script>
+const LAYERS = {data};
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+let rx = -1.1, rz = 0.6, zoom = 0.8;
+function resize(){{cv.width=innerWidth;cv.height=innerHeight;draw();}}
+function draw(){{
+  ctx.fillStyle='#111';ctx.fillRect(0,0,cv.width,cv.height);
+  const s = Math.min(cv.width,cv.height)*0.45*zoom;
+  const cx=cv.width/2, cy=cv.height/2;
+  const crz=Math.cos(rz),srz=Math.sin(rz),crx=Math.cos(rx),srx=Math.sin(rx);
+  LAYERS.forEach(L=>{{
+    const p=L.points, cols=L.colors, sz=L.size;
+    ctx.globalAlpha=L.opacity;
+    for(let i=0,j=0;i<p.length;i+=3,j++){{
+      const x=p[i],y=p[i+1],z=p[i+2];
+      const x1=x*crz-y*srz, y1=x*srz+y*crz;
+      const y2=y1*crx-z*srx, z2=y1*srx+z*crx;
+      ctx.fillStyle = (typeof cols === 'string') ? cols : cols[j];
+      ctx.fillRect(cx+x1*s, cy-z2*s, sz, sz);
+    }}
+  }});
+  ctx.globalAlpha=1;
+}}
+let drag=false,lx=0,ly=0;
+cv.onmousedown=e=>{{drag=true;lx=e.clientX;ly=e.clientY;}};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{{if(!drag)return;rz+=(e.clientX-lx)*0.01;rx+=(e.clientY-ly)*0.01;lx=e.clientX;ly=e.clientY;draw();}};
+cv.onwheel=e=>{{zoom*=e.deltaY<0?1.1:0.9;draw();e.preventDefault();}};
+window.onresize=resize; resize();
+</script></body></html>
+"""
+
+
+def scalars_to_viridis_hex(values: np.ndarray) -> list:
+    """Min-max-normalise scalars and map through viridis to hex strings."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import cm, colors as mcolors
+
+    v = np.asarray(values, np.float64)
+    v = (v - v.min()) / (v.max() - v.min() + 1e-12)
+    return [mcolors.to_hex(c) for c in cm.viridis(v)]
+
+
+def visualize_colored_pointcloud_html(layers, save_path: str,
+                                      title: str = "Point Cloud"):
+    """Self-contained interactive HTML with PER-POINT colours.
+
+    The role of the reference's plotly scalar-coloured Scatter3d overlays
+    (extract_attention.py:762-935) in this plotly-free environment: data is
+    embedded as JSON, rendered by an inline canvas with drag-rotate / zoom.
+
+    Args:
+      layers: list of dicts {"name", "points" (N,3), "colors": hex string OR
+        (N,) scalar array (mapped through viridis), "size", "opacity"}.
+    Returns the path written.
+    """
+    data = []
+    all_pts = np.concatenate([np.asarray(l["points"]) for l in layers], 0)
+    center = all_pts.mean(0, keepdims=True)
+    scale = np.abs(all_pts - center).max() + 1e-9
+    legend_bits = []
+    for l in layers:
+        pts = (np.asarray(l["points"]) - center) / scale
+        colors = l.get("colors", "#aaaaaa")
+        if not isinstance(colors, str):
+            colors = scalars_to_viridis_hex(colors)
+        data.append({"name": l["name"],
+                     "points": pts.reshape(-1).round(4).tolist(),
+                     "colors": colors,
+                     "size": float(l.get("size", 2.5)),
+                     "opacity": float(l.get("opacity", 0.9))})
+        swatch = colors if isinstance(colors, str) else "#26828e"
+        legend_bits.append(
+            f'<span style="color:{swatch}">&#9632;</span> {l["name"]}')
+    html = _COLORED_TEMPLATE.format(title=title, data=json.dumps(data),
+                                    legend="<br/>".join(legend_bits))
+    if not save_path.lower().endswith(".html"):
+        save_path += ".html"
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+    with open(save_path, "w") as f:
+        f.write(html)
+    return save_path
+
+
 def save_pointcloud_png(pointclouds: Union[dict, np.ndarray], save_path: str,
                         title: str = "Point Cloud", marker_size: int = 2):
     """Static matplotlib 3D scatter (PNG)."""
