@@ -82,8 +82,17 @@ def bench_jax() -> float:
     pallas_attn_default = "0" if backbone == "uni3d" else "1"
     pallas_attn = os.environ.get("BENCH_PALLAS_ATTN",
                                  pallas_attn_default) == "1"
+    # Fused Pallas kNN (ops/knn_pallas.py): 3.6× XLA sqdist+top_k at the
+    # encoder's (60,512,1024) k=32 on v5e; identical neighbour sets.
+    # (OpenShape's set abstraction uses ball query, not kNN — unaffected.)
+    pallas_knn = os.environ.get("BENCH_PALLAS_KNN", "1") == "1"
+    # Fused Pallas ball query: bitwise-exact vs the sqdist+sort twin, 2.2×
+    # at the OpenShape set-abstraction shapes on v5e.
+    pallas_ballq = os.environ.get("BENCH_PALLAS_BALLQ", "1") == "1"
     cfg = Config(model=ModelConfig(vlm3d=backbone, approx_knn=approx,
                                    use_pallas_fps=pallas_fps,
+                                   use_pallas_knn=pallas_knn,
+                                   use_pallas_ballq=pallas_ballq,
                                    use_pallas_attention=pallas_attn,
                                    quantize_int8=int8),  # Uni3D-L bf16
                  dota=DotaConfig(use_mode_dota=True, mode_M=4,

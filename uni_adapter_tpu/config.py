@@ -81,6 +81,18 @@ class ModelConfig:
     # approx_max_k kNN (TPU partial reduce, recall_target 0.99 — measured
     # recall 1.0 on benchmark point distributions); default exact top_k
     approx_knn: bool = False
+    # Fused Pallas kNN (ops/knn_pallas.knn_pallas): distance matrix computed
+    # on the MXU inside the kernel (never hits HBM) + iterative min
+    # extraction.  Same neighbour sets as the XLA twin (sub-ulp tie order
+    # may differ; downstream max-pools are order-invariant).  Measured v5e:
+    # 3.6× XLA sqdist+top_k at the encoder's (60,512,1024) k=32, 9.3× at
+    # N=8192.  Off by default: TPU-only (no CPU lowering).
+    use_pallas_knn: bool = False
+    # Fused Pallas ball query (ops/ballquery_pallas.query_ball_pallas) for
+    # the PointNet++/OpenShape set-abstraction path: bitwise-exact vs the
+    # sqdist+sort twin, 2.2× at PPTA shapes on v5e.  Off by default:
+    # TPU-only (no CPU lowering).
+    use_pallas_ballq: bool = False
     # int8 dynamic quantisation of the transformer trunk's dense layers
     # (QuantDense): int8 MXU ≈ 2× bf16 throughput; opt-in — introduces
     # quantisation noise (see tests/test_quant.py for the numerics bound)

@@ -33,6 +33,7 @@ class PointTransformer(nn.Module):
     encoder_dim: int = 256
     use_pallas_fps: bool = False
     approx_knn: bool = False
+    use_pallas_knn: bool = False
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -40,7 +41,8 @@ class PointTransformer(nn.Module):
     def __call__(self, pts: jax.Array, return_attn: bool = False):
         neighborhood, center, _ = group_points(
             pts, None, self.num_group, self.group_size,
-            use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn)
+            use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn,
+            use_pallas_knn=self.use_pallas_knn)
         tokens = MiniPointNet(self.encoder_dim, 3, dtype=self.dtype,
                               name="encoder")(neighborhood)
         tokens = nn.Dense(self.trans_dim, dtype=self.dtype,
@@ -93,6 +95,7 @@ class ULIP(nn.Module):
     embed_dim: int = 512
     use_pallas_fps: bool = False
     approx_knn: bool = False
+    use_pallas_knn: bool = False
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -100,8 +103,10 @@ class ULIP(nn.Module):
     def __call__(self, pc: jax.Array) -> jax.Array:
         feat = PointTransformer(
             self.trans_dim, self.depth, self.num_heads, self.num_group,
-            self.group_size, self.encoder_dim, self.use_pallas_fps,
-            self.approx_knn, self.use_pallas_attention, self.dtype,
+            self.group_size, self.encoder_dim,
+            use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn,
+            use_pallas_knn=self.use_pallas_knn,
+            use_pallas_attention=self.use_pallas_attention, dtype=self.dtype,
             name="point_encoder")(pc)
         pc_projection = self.param(
             "pc_projection", nn.initializers.normal(0.02),
@@ -116,7 +121,7 @@ def create_ulip(cfg, dtype=None) -> ULIP:
         num_heads=cfg.ulip_heads, num_group=cfg.num_group,
         group_size=cfg.ulip_group_size, encoder_dim=cfg.ulip_encoder_dim,
         embed_dim=cfg.ulip_embed_dim, use_pallas_fps=cfg.use_pallas_fps,
-        approx_knn=cfg.approx_knn,
+        approx_knn=cfg.approx_knn, use_pallas_knn=cfg.use_pallas_knn,
         use_pallas_attention=cfg.use_pallas_attention,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

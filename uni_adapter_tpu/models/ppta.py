@@ -66,6 +66,7 @@ class SetAbstraction(nn.Module):
     nsample: int
     mlp: tuple
     use_pallas_fps: bool = False
+    use_pallas_ballq: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -73,7 +74,8 @@ class SetAbstraction(nn.Module):
         from uni_adapter_tpu.models.common import BatchNormInference
         new_xyz, new_points = sample_and_group(
             self.npoint, self.radius, self.nsample, xyz, points,
-            use_pallas_fps=self.use_pallas_fps)
+            use_pallas_fps=self.use_pallas_fps,
+            use_pallas_ballq=self.use_pallas_ballq)
         x = new_points.astype(self.dtype)            # (B, S, n, C)
         for i, ch in enumerate(self.mlp):
             x = nn.Dense(ch, dtype=self.dtype, name=f"conv{i}")(x)
@@ -132,6 +134,7 @@ class PointPatchTransformer(nn.Module):
     dim_head: int = 64
     rel_pe: bool = False
     use_pallas_fps: bool = False
+    use_pallas_ballq: bool = False
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -142,6 +145,7 @@ class PointPatchTransformer(nn.Module):
         centroids, feat = SetAbstraction(
             p.patches, p.prad, p.nsamp, (64, 64, p.sa_dim),
             use_pallas_fps=self.use_pallas_fps,
+            use_pallas_ballq=self.use_pallas_ballq,
             dtype=self.dtype, name="sa")(xyz, features)
         x = jnp.concatenate([centroids.astype(self.dtype), feat], axis=-1)
         x = nn.Dense(p.dim, dtype=self.dtype, name="lift")(x)
@@ -186,6 +190,7 @@ class Projected(nn.Module):
     cache_type: str = "global"
     n_cluster: int = 5
     use_pallas_fps: bool = False
+    use_pallas_ballq: bool = False
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -195,6 +200,7 @@ class Projected(nn.Module):
         out = PointPatchTransformer(
             self.preset, self.in_dim, rel_pe=self.rel_pe,
             use_pallas_fps=self.use_pallas_fps,
+            use_pallas_ballq=self.use_pallas_ballq,
             use_pallas_attention=self.use_pallas_attention, dtype=self.dtype,
             name="ppat")(xyz, features, return_tokens=want_tokens)
         proj = nn.Dense(self.out_channel, dtype=jnp.float32, name="proj")
@@ -217,6 +223,7 @@ def create_openshape(cfg, dtype=None) -> Projected:
     return Projected(
         preset=PRESETS[scaling], out_channel=out,
         use_pallas_fps=cfg.use_pallas_fps,
+        use_pallas_ballq=cfg.use_pallas_ballq,
         use_pallas_attention=cfg.use_pallas_attention,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

@@ -77,6 +77,7 @@ class PointcloudEncoder(nn.Module):
     num_heads: int = 16
     use_pallas_fps: bool = False
     approx_knn: bool = False
+    use_pallas_knn: bool = False
     quantize: bool = False      # int8 MXU trunk (opt-in, beyond parity)
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
@@ -86,7 +87,8 @@ class PointcloudEncoder(nn.Module):
                  return_attn: bool = False):
         _, center, features = group_points(
             xyz, color, self.num_group, self.group_size,
-            use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn)
+            use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn,
+            use_pallas_knn=self.use_pallas_knn)
         tokens = MiniPointNet(self.encoder_dim, 6, dtype=self.dtype,
                               name="encoder")(features)
         tokens = nn.Dense(self.trans_dim, dtype=self.dtype,
@@ -138,6 +140,7 @@ class Uni3D(nn.Module):
     num_heads: int = 16
     use_pallas_fps: bool = False
     approx_knn: bool = False
+    use_pallas_knn: bool = False
     quantize: bool = False
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
@@ -148,8 +151,9 @@ class Uni3D(nn.Module):
         out = PointcloudEncoder(
             self.trans_dim, self.embed_dim, self.num_group, self.group_size,
             self.encoder_dim, self.depth, self.num_heads,
-            self.use_pallas_fps, self.approx_knn, self.quantize,
-            self.use_pallas_attention, self.dtype,
+            use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn,
+            use_pallas_knn=self.use_pallas_knn, quantize=self.quantize,
+            use_pallas_attention=self.use_pallas_attention, dtype=self.dtype,
             name="point_encoder",
         )(xyz, color, return_attn=return_attn)
         if return_attn:
@@ -168,7 +172,8 @@ def create_uni3d(cfg, dtype: Optional[jnp.dtype] = None) -> Uni3D:
         num_group=cfg.num_group, group_size=cfg.group_size,
         encoder_dim=cfg.pc_encoder_dim, depth=cfg.eva_depth,
         num_heads=cfg.eva_heads, use_pallas_fps=cfg.use_pallas_fps,
-        approx_knn=cfg.approx_knn, quantize=cfg.quantize_int8,
+        approx_knn=cfg.approx_knn, use_pallas_knn=cfg.use_pallas_knn,
+        quantize=cfg.quantize_int8,
         use_pallas_attention=cfg.use_pallas_attention,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

@@ -196,10 +196,11 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("num_group", "group_size",
-                                              "use_pallas_fps", "approx_knn"))
+                                              "use_pallas_fps", "approx_knn",
+                                              "use_pallas_knn"))
 def group_points(xyz: jax.Array, color: jax.Array | None, num_group: int,
                  group_size: int, use_pallas_fps: bool = False,
-                 approx_knn: bool = False):
+                 approx_knn: bool = False, use_pallas_knn: bool = False):
     """FPS centers + kNN neighbourhoods, center-relative coordinates.
 
     The Uni3D/Point-BERT grouping stage (reference:
@@ -224,7 +225,13 @@ def group_points(xyz: jax.Array, color: jax.Array | None, num_group: int,
     else:
         fps_idx = farthest_point_sample(xyz, num_group)
     center = index_points(xyz, fps_idx)                     # (B, G, 3)
-    idx = knn_point(group_size, xyz, center, approx=approx_knn)  # (B, G, M)
+    if use_pallas_knn:
+        # fused distance+selection kernel: 3.6× the sqdist+top_k path at
+        # encoder shapes on v5e (ops/knn_pallas.py)
+        from uni_adapter_tpu.ops.knn_pallas import knn_pallas
+        idx = knn_pallas(group_size, xyz, center)           # (B, G, M)
+    else:
+        idx = knn_point(group_size, xyz, center, approx=approx_knn)
     if color is not None:
         # one exact one-hot-matmul gather over the joined 6 channels
         joined = index_points_matmul(
@@ -236,11 +243,13 @@ def group_points(xyz: jax.Array, color: jax.Array | None, num_group: int,
     return neighborhood, center, None
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "nsample",
-                                             "use_pallas_fps"))
+@functools.partial(jax.jit, static_argnames=("npoint", "radius", "nsample",
+                                             "use_pallas_fps",
+                                             "use_pallas_ballq"))
 def sample_and_group(npoint: int, radius: float, nsample: int,
                      xyz: jax.Array, points: jax.Array | None,
-                     use_pallas_fps: bool = False):
+                     use_pallas_fps: bool = False,
+                     use_pallas_ballq: bool = False):
     """PointNet++ set-abstraction grouping (reference: pointnet_util.py:113-147).
 
     Returns:
@@ -253,7 +262,14 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
     else:
         fps_idx = farthest_point_sample(xyz, npoint)
     new_xyz = index_points(xyz, fps_idx)
-    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    if use_pallas_ballq:
+        # fused distance+index-selection kernel, bitwise-exact vs the twin:
+        # 2.2× the sqdist+sort path at PPTA shapes on v5e
+        # (ops/ballquery_pallas.py)
+        from uni_adapter_tpu.ops.ballquery_pallas import query_ball_pallas
+        idx = query_ball_pallas(radius, nsample, xyz, new_xyz)
+    else:
+        idx = query_ball_point(radius, nsample, xyz, new_xyz)
     if points is not None:
         joined = index_points_matmul(
             jnp.concatenate([xyz, points], axis=-1), idx)
