@@ -102,3 +102,73 @@ def test_partseg_loader(tmp_path):
     ds2 = ShapeNetPartSeg(str(tmp_path), "occlusion", npoints=32,
                           class_choice="chair")
     assert ds2.seg_num_all == 4 and ds2.seg_start_index == 12
+
+
+# ---------------------------------------------------------------------------
+# Training loop (beyond-parity: the reference ships inference only)
+
+def test_dvae_train_step_decreases_loss():
+    import optax  # noqa: F401  (env guard)
+    from uni_adapter_tpu.models.dvae_train import (
+        DVAESchedule, dvae_train_step, init_train_state, make_optimizer)
+
+    model = dvae.DiscreteVAE(num_group=8, group_size=8, encoder_dims=16,
+                        tokens_dims=16, decoder_dims=16, num_tokens=32)
+    rng = jax.random.PRNGKey(0)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 3), jnp.float32)
+    tx = make_optimizer(lr=3e-3, total_steps=100, warmup_steps=1)
+    sched = DVAESchedule(temp_anneal_steps=50, kl_warmup_steps=10)
+    state = init_train_state(model, rng, pts, tx)
+
+    losses = []
+    for _ in range(24):
+        state, metrics = dvae_train_step(model, tx, sched, state, pts, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 24
+    # per-step Gumbel noise makes single losses stochastic: compare windows
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_dvae_schedule_endpoints():
+    from uni_adapter_tpu.models.dvae_train import DVAESchedule, schedule_at
+
+    sched = DVAESchedule(temp_start=1.0, temp_end=0.0625,
+                         temp_anneal_steps=100, kl_weight=0.1,
+                         kl_warmup_steps=10)
+    t0, k0 = schedule_at(sched, jnp.int32(0))
+    t1, k1 = schedule_at(sched, jnp.int32(100))
+    t2, k2 = schedule_at(sched, jnp.int32(10_000))  # past the anneal: clamped
+    assert np.isclose(float(t0), 1.0) and np.isclose(float(k0), 0.0)
+    assert np.isclose(float(t1), 0.0625, rtol=1e-5)
+    assert np.isclose(float(t2), 0.0625, rtol=1e-5)
+    assert np.isclose(float(k1), 0.1) and np.isclose(float(k2), 0.1)
+
+
+def test_dvae_train_epoch_scan_matches_loop():
+    from uni_adapter_tpu.models.dvae_train import (
+        DVAESchedule, dvae_train_step, init_train_state, make_optimizer,
+        train_epoch)
+
+    model = dvae.DiscreteVAE(num_group=4, group_size=8, encoder_dims=8,
+                        tokens_dims=8, decoder_dims=8, num_tokens=16)
+    rng = jax.random.PRNGKey(2)
+    batches = jax.random.normal(jax.random.PRNGKey(3), (3, 2, 32, 3),
+                                jnp.float32)
+    tx = make_optimizer(lr=1e-3, total_steps=10, warmup_steps=1)
+    sched = DVAESchedule(temp_anneal_steps=5, kl_warmup_steps=2)
+    s_loop = init_train_state(model, rng, batches[0], tx)
+    s_scan = init_train_state(model, rng, batches[0], tx)
+
+    losses = []
+    for i in range(batches.shape[0]):
+        s_loop, m = dvae_train_step(model, tx, sched, s_loop, batches[i], rng)
+        losses.append(float(m["loss"]))
+    s_scan, metrics = train_epoch(model, tx, sched, s_scan, batches, rng)
+
+    np.testing.assert_allclose(np.asarray(metrics["loss"]),
+                               np.asarray(losses), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        s_loop.params, s_scan.params)
