@@ -89,14 +89,21 @@ def bench_jax() -> float:
     # Fused Pallas ball query: bitwise-exact vs the sqdist+sort twin, 2.2×
     # at the OpenShape set-abstraction shapes on v5e.
     pallas_ballq = os.environ.get("BENCH_PALLAS_BALLQ", "1") == "1"
+    # BENCH_METHOD=cache benches the Uni-Adapter prototype-cache path
+    # (single encoder forward + graph-Laplacian CG refinement per step)
+    # instead of the MODE-DOTA default.
+    method = os.environ.get("BENCH_METHOD", "mode_dota")
+    dota_cfg = (DotaConfig(use_mode_dota=False, use_dota=False)
+                if method == "cache"
+                else DotaConfig(use_mode_dota=True, mode_M=4,
+                                res_learning=True))
     cfg = Config(model=ModelConfig(vlm3d=backbone, approx_knn=approx,
                                    use_pallas_fps=pallas_fps,
                                    use_pallas_knn=pallas_knn,
                                    use_pallas_ballq=pallas_ballq,
                                    use_pallas_attention=pallas_attn,
                                    quantize_int8=int8),  # Uni3D-L bf16
-                 dota=DotaConfig(use_mode_dota=True, mode_M=4,
-                                 res_learning=True))
+                 dota=dota_cfg)
 
     rng = np.random.default_rng(0)
     if backbone == "ulip":
@@ -280,8 +287,9 @@ def main():
     vs = jax_pps / torch_pps if torch_pps == torch_pps else None
     bb = os.environ.get("BENCH_BACKBONE", "uni3d")
     name = "uni3d_large" if bb == "uni3d" else bb
+    method = os.environ.get("BENCH_METHOD", "mode_dota")
     print(json.dumps({
-        "metric": f"mode_dota_tta_throughput_{name}_15corruption_sweep",
+        "metric": f"{method}_tta_throughput_{name}_15corruption_sweep",
         "value": round(jax_pps, 3),
         "unit": "point-clouds/sec/chip",
         "vs_baseline": round(vs, 3) if vs else None,

@@ -172,3 +172,33 @@ def test_dvae_train_epoch_scan_matches_loop():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-6),
         s_loop.params, s_scan.params)
+
+
+def test_dvae_train_step_data_parallel_matches_single():
+    """The dVAE train step under a batch-sharded jit on the 8-device mesh
+    produces the same parameters as the single-device step (DP composes
+    from the outside — models/dvae_train.py design note)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from uni_adapter_tpu.models.dvae_train import (
+        DVAESchedule, dvae_train_step, init_train_state, make_optimizer)
+
+    model = dvae.DiscreteVAE(num_group=4, group_size=8, encoder_dims=8,
+                             tokens_dims=8, decoder_dims=8, num_tokens=16)
+    rng = jax.random.PRNGKey(4)
+    batch = jax.random.normal(jax.random.PRNGKey(5), (8, 32, 3), jnp.float32)
+    tx = make_optimizer(lr=1e-3, total_steps=10, warmup_steps=1)
+    sched = DVAESchedule(temp_anneal_steps=5, kl_warmup_steps=2)
+    state = init_train_state(model, rng, batch, tx)
+
+    s_single, m_single = dvae_train_step(model, tx, sched, state, batch, rng)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    sharded = jax.device_put(batch, NamedSharding(mesh, P("dp")))
+    s_dp, m_dp = dvae_train_step(model, tx, sched, state, sharded, rng)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-6),
+        s_single.params, s_dp.params)

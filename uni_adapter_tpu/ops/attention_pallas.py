@@ -91,16 +91,26 @@ _MASK_RAW = -3e4      # mask value on raw (pre-scale) scores
 
 def _attn_heads_kernel(n_real: int, scale: float, mask_mode: str,
                        q_ref, k_ref, v_ref, o_ref):
-    # refs: (Bg, G, N_pad, hd_pad); one grid step = Bg batch elements ×
-    # G heads resident in VMEM, loops unrolled.
+    # q/o refs: (Bg, G, Nq_pad, hd_pad) — query rows pad only to the
+    # 8-sublane tile (e.g. 513→520), not to 128: the 128-lane constraint
+    # applies to the KEY axis alone, and every matmul row / softmax pass
+    # scales with Nq_pad (513 tokens: 520 vs 640 = −19% work).
+    # k/v refs: (Bg, G, Nk_pad, hd_pad) — keys pad to the 128-lane tile.
     #
     # VPU economy (the kernel is VMEM-traffic-bound, not matmul-bound):
     #   * softmax(s·scale) == exp((s − max(s))·scale) / Σ — the scale folds
     #     into the single fused sub·mul·exp·cast pass over the score plane;
+    #   * the key-pad mask folds into that same pass (`where(pad, 0, exp)`),
+    #     so no separate masked-score plane is materialised.  The row max
+    #     then includes the pad columns' exact-zero raw scores (zero k rows
+    #     ⇒ q·k = 0) — a valid stability shift since softmax is invariant
+    #     to any m ≥ none in particular, and real scores at these scales
+    #     sit far above exp's underflow range;
     #   * row normalisation divides the (N, hd) output, not the (N, N) plane.
-    Bg, G, n = q_ref.shape[0], q_ref.shape[1], q_ref.shape[2]
+    Bg, G, nq = q_ref.shape[0], q_ref.shape[1], q_ref.shape[2]
+    nk = k_ref.shape[2]
     if mask_mode == "where":
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1)
         key_pad = col >= n_real
     for b in range(Bg):
         for h in range(G):
@@ -110,10 +120,10 @@ def _attn_heads_kernel(n_real: int, scale: float, mask_mode: str,
             # bf16 operands, fp32 accumulation — full-rate MXU.
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            if mask_mode == "where":
-                s = jnp.where(key_pad, jnp.float32(_MASK_RAW), s)
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp((s - m) * scale)
+            if mask_mode == "where":
+                p = jnp.where(key_pad, 0.0, p)
             o = jax.lax.dot_general(p.astype(v.dtype), v,
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
@@ -147,26 +157,30 @@ def attention_pallas_heads(q: jax.Array, k: jax.Array, v: jax.Array,
     while B % Bg:
         Bg -= 1
     scale = float(scale if scale is not None else hd ** -0.5)
-    n_pad = -(-N // 128) * 128
+    nq_pad = -(-N // 8) * 8         # query rows: sublane tile only
+    nk_pad = -(-N // 128) * 128     # key axis: lane tile
     hd_pad = -(-hd // 128) * 128
 
-    def pad(x):
+    def pad(x, n_pad):
         return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - N), (0, hd_pad - hd)))
 
-    # Measured (v5e): an explicit `where` mask pass beats baking the mask
-    # into a spare contraction lane — the XLA-side `.at[].set` writes cost
-    # more than the in-kernel mask pass saves (1.8 vs 2.5 ms at ULIP shapes).
-    mask_mode = "none" if n_pad == N else "where"
-    qp, kp, vp = pad(q), pad(k), pad(v)
+    # Measured (v5e): folding the key-pad mask into the exp pass beats both
+    # a separate masked-score plane and baking the mask into a spare
+    # contraction lane (the XLA-side `.at[].set` costs more than it saves).
+    mask_mode = "none" if nk_pad == N else "where"
+    qp, kp, vp = pad(q, nq_pad), pad(k, nk_pad), pad(v, nk_pad)
 
-    spec = pl.BlockSpec((Bg, G, n_pad, hd_pad), lambda b, g: (b, g, 0, 0),
-                        memory_space=pltpu.VMEM)
+    def mkspec(n_pad):
+        return pl.BlockSpec((Bg, G, n_pad, hd_pad),
+                            lambda b, g: (b, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         functools.partial(_attn_heads_kernel, N, scale, mask_mode),
         grid=(B // Bg, H // G),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, n_pad, hd_pad), v.dtype),
+        in_specs=[mkspec(nq_pad), mkspec(nk_pad), mkspec(nk_pad)],
+        out_specs=mkspec(nq_pad),
+        out_shape=jax.ShapeDtypeStruct((B, H, nq_pad, hd_pad), v.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
