@@ -26,11 +26,23 @@ def all_gather_batch(tensors, axis_name: Optional[str] = None):
 
 
 def info_nce(feat_a: jax.Array, feat_b: jax.Array, logit_scale: jax.Array,
-             labels: jax.Array) -> jax.Array:
-    """Symmetric InfoNCE between two normalised feature sets."""
-    logits_ab = logit_scale * jnp.matmul(feat_a, feat_b.T, precision=_HIGH)
+             labels: jax.Array,
+             feat_a_gathered: jax.Array | None = None,
+             feat_b_gathered: jax.Array | None = None) -> jax.Array:
+    """Symmetric InfoNCE between two normalised feature sets.
+
+    Under data parallelism each side scores its LOCAL rows against the
+    other side's GATHERED set (the reference's DDP semantics — local
+    queries, global negatives, losses.py:30-44); transposing one
+    rectangular local×gathered matrix would mislabel the b-side.  Without
+    gathered args this reduces to the plain symmetric square form.
+    """
+    a_g = feat_a if feat_a_gathered is None else feat_a_gathered
+    b_g = feat_b if feat_b_gathered is None else feat_b_gathered
+    logits_ab = logit_scale * jnp.matmul(feat_a, b_g.T, precision=_HIGH)
+    logits_ba = logit_scale * jnp.matmul(feat_b, a_g.T, precision=_HIGH)
     loss_a = _xent(logits_ab, labels)
-    loss_b = _xent(logits_ab.T, labels)
+    loss_b = _xent(logits_ba, labels)
     return 0.5 * (loss_a + loss_b)
 
 
@@ -63,7 +75,8 @@ def uni3d_text_image_loss(pc_embed: jax.Array, text_embed: jax.Array,
               else 0)
     labels = offset + jnp.arange(B)
 
-    loss_pt = info_nce(pc, tx_g, logit_scale, labels)
+    loss_pt = info_nce(pc, tx, logit_scale, labels,
+                       feat_a_gathered=pc_g, feat_b_gathered=tx_g)
     logits_pi = logit_scale * jnp.matmul(pc, im_g.T, precision=_HIGH)
     if mask is not None:
         m = mask.astype(jnp.float32)
