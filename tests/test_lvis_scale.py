@@ -121,3 +121,39 @@ def test_all_methods_run_at_k1156(method):
     logits = np.asarray(outs.final_logits)
     assert logits.shape == (T, 1, K_LVIS)
     assert np.isfinite(logits).all()
+
+
+def test_graph_mode_auto_resolution():
+    """'auto' == dense at benchmark scale; == prototype at LVIS scale
+    (the Config default must not OOM at K=1156)."""
+    from uni_adapter_tpu.adapt.cache import CacheState, compute_cache_logits
+    from uni_adapter_tpu.adapt.cache import init as init_cache
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    K, C, D = 12, 4, 16
+    state = init_cache(K, C, D)
+    feats = rng.standard_normal((K, C, D)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    state = state._replace(
+        feats=jnp.asarray(feats),
+        probs=jnp.asarray(rng.dirichlet(np.ones(K), (K, C)).astype(np.float32)),
+        valid=jnp.ones((K, C), bool),
+        conf=jnp.asarray(rng.uniform(0.1, 1.0, (K, C)).astype(np.float32)))
+    q = jnp.asarray(rng.standard_normal((2, D)).astype(np.float32))
+    dense = np.asarray(compute_cache_logits(q, state, 0.5, 0.11,
+                                            cg_max_iter=25,
+                                            graph_mode="dense"))
+    auto = np.asarray(compute_cache_logits(q, state, 0.5, 0.11,
+                                           cg_max_iter=25,
+                                           graph_mode="auto"))
+    np.testing.assert_array_equal(dense, auto)   # K·C=48 ≤ 4096 ⇒ dense
+
+    K2 = 1156
+    s2 = init_cache(K2, 4, D)
+    proto = np.asarray(compute_cache_logits(q, s2, 0.5, 0.11,
+                                            cg_max_iter=5,
+                                            graph_mode="prototype"))
+    auto2 = np.asarray(compute_cache_logits(q, s2, 0.5, 0.11,
+                                            cg_max_iter=5,
+                                            graph_mode="auto"))
+    np.testing.assert_array_equal(proto, auto2)  # K·C=4624 > 4096 ⇒ proto

@@ -139,16 +139,25 @@ def compute_cache_logits(pc_features: jax.Array, state: CacheState,
     milliseconds at LVIS scale.  At small K both modes exist; "dense"
     remains bitwise identical to round 1.
 
+    graph_mode="auto" (the Config default): dense while K·shot_capacity
+    ≤ 4096, prototype above — the default config cannot OOM at LVIS scale.
+
     Args:
       pc_features: (B, D).
     Returns:
       (B, K) cache logits (zeros while the cache is empty — the masked
       refinement yields all-zero values, matching Uni_Adapter.py:130-131).
     """
+    K, C, D = state.feats.shape
+    if graph_mode == "auto":
+        # dense up to 4096 nodes (covers every reference benchmark label
+        # space at shot_capacity 30: 40/15/55 classes ⇒ ≤1650 nodes,
+        # bitwise reference semantics); prototype above — the dense N²
+        # adjacency at Objaverse-LVIS scale (N=34,680) cannot exist in HBM
+        graph_mode = "dense" if K * C <= 4096 else "prototype"
     if graph_mode == "prototype":
         return _prototype_graph_logits(pc_features, state, threshold,
                                        lambda_reg, cg_max_iter)
-    K, C, D = state.feats.shape
     keys = state.feats.reshape(K * C, D)
     probs = state.probs.reshape(K * C, K)
     valid = state.valid.reshape(K * C)

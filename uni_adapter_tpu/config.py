@@ -148,8 +148,12 @@ class CacheConfig:
     # "dense" = exact reference node graph over K·shot_capacity entries;
     # "prototype" = scalable class-prototype graph (K nodes) for large label
     # spaces (Objaverse-LVIS K=1156) where the dense graph's per-step N²·D
-    # adjacency build is physically impossible (adapt/cache.py docstring)
-    graph_mode: str = "dense"
+    # adjacency build is physically impossible (adapt/cache.py docstring);
+    # "auto" = dense while K·shot_capacity ≤ 4096 (bitwise reference
+    # semantics at every benchmark label space), prototype above — without
+    # this the default OOMs at LVIS scale (a 34680² fp32 adjacency per
+    # stream)
+    graph_mode: str = "auto"
 
 
 @dataclass
