@@ -52,7 +52,7 @@ def test_discrete_vae_end_to_end(pts):
     whole_coarse, whole_fine, coarse, fine, neighborhood, logits = ret
     assert whole_fine.shape == (2, 8 * 8, 3)
     assert logits.shape == (2, 8, 16)
-    rec, klv = dvae.dvae_loss(ret, neighborhood)
+    rec, klv = dvae.dvae_loss(ret)
     assert np.isfinite(float(rec)) and np.isfinite(float(klv))
     assert float(rec) > 0
 

@@ -71,3 +71,38 @@ def test_dp_train_step_matches_single_device():
         s_single.params, s_dp.params)
     np.testing.assert_allclose(float(s_single.logit_scale),
                                float(s_dp.logit_scale), rtol=1e-5)
+
+
+def test_dp_train_step_matches_single_device_nonuniform_mask():
+    """The image-validity mask normalises by the GLOBAL mask count under
+    DP — shards with different numbers of valid images must still match
+    single-device training exactly (losses.py masked branch)."""
+    n_dev = 8
+    model, tx, state, pc, text, image, _ = _setup(B=n_dev * 2)
+    # first half of the global batch masked out entirely: shards 0-3 carry
+    # zero valid images, shards 4-7 carry two each
+    mask = jnp.concatenate([jnp.zeros((n_dev,), jnp.float32),
+                            jnp.ones((n_dev,), jnp.float32)])
+
+    s_single, m_single = train_step(model, tx, state, pc, text, image, mask)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+    dp_step = make_dp_train_step(model, tx, mesh)
+    s_dp, m_dp = dp_step(state, pc, text, image, mask)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=1e-6),
+        s_single.params, s_dp.params)
+
+
+def test_logit_scale_excluded_from_decay_and_clamped():
+    """Weight decay must not touch logit_scale, and the parameter is
+    clamped to log(100) after the step (the open_clip recipe)."""
+    model, tx, state, pc, text, image, mask = _setup(B=8)
+    # plant a logit_scale above the cap: the step must clamp it back
+    state = state._replace(logit_scale=jnp.float32(10.0))
+    state2, _ = train_step(model, tx, state, pc, text, image, mask)
+    assert float(state2.logit_scale) <= np.log(100.0) + 1e-6

@@ -157,7 +157,11 @@ def compute_cache_logits(pc_features: jax.Array, state: CacheState,
         graph_mode = "dense" if K * C <= 4096 else "prototype"
     if graph_mode == "prototype":
         return _prototype_graph_logits(pc_features, state, threshold,
-                                       lambda_reg, cg_max_iter)
+                                       lambda_reg, cg_max_iter,
+                                       use_new_approximation)
+    if graph_mode != "dense":
+        raise ValueError(f"unknown graph_mode {graph_mode!r} "
+                         "(expected 'auto', 'dense', or 'prototype')")
     keys = state.feats.reshape(K * C, D)
     probs = state.probs.reshape(K * C, K)
     valid = state.valid.reshape(K * C)
@@ -185,7 +189,8 @@ def compute_cache_logits(pc_features: jax.Array, state: CacheState,
 
 def _prototype_graph_logits(pc_features: jax.Array, state: CacheState,
                             threshold: float, lambda_reg: float,
-                            cg_max_iter: int) -> jax.Array:
+                            cg_max_iter: int,
+                            use_new_approximation: bool = True) -> jax.Array:
     """Class-prototype graph refinement (see compute_cache_logits docstring).
 
     One node per class: confidence-weighted mean of its valid shots
@@ -202,9 +207,17 @@ def _prototype_graph_logits(pc_features: jax.Array, state: CacheState,
                              precision=_HIGH) / (wsum + 1e-12)
     class_valid = state.valid.any(axis=1)                       # (K,)
 
-    refined = online_value_refinement_new(
-        proto, proto_probs, class_valid, threshold=threshold,
-        lambda_reg=lambda_reg, max_iter=cg_max_iter)
+    if use_new_approximation:
+        refined = online_value_refinement_new(
+            proto, proto_probs, class_valid, threshold=threshold,
+            lambda_reg=lambda_reg, max_iter=cg_max_iter)
+    else:
+        # honour the per-dataset use_new_approximation=False presets: the
+        # explicit-inverse 'old' refinement is perfectly affordable at K
+        # nodes (the prototype graph is K×K, not (K·C)²)
+        refined = online_value_refinement_old(
+            proto, proto_probs, class_valid, threshold=threshold,
+            lambda_reg=lambda_reg)
 
     values = jax.nn.one_hot(jnp.argmax(refined, axis=1), K, dtype=jnp.float32)
     values = values * class_valid[:, None].astype(jnp.float32)

@@ -308,6 +308,8 @@ def _scatter3d_grid_png(panels, point_cloud, group_centers, save_path,
     """Matplotlib 3D grid fallback shared by the two multi-panel overlays.
 
     panels: list of (title, (G,) scalar weights)."""
+    if not panels:
+        raise ValueError("panels must be non-empty")
     plt = _plt()
     n = len(panels)
     cols = min(3, n)
@@ -350,6 +352,9 @@ def visualize_attention_heads_on_pointcloud(
     H = attention_weights.shape[0]
     heads = head_indices if head_indices is not None else list(
         range(min(4, H)))
+    if not heads:
+        raise ValueError("head_indices must be non-empty (pass None for "
+                         "the default first-4-heads selection)")
     try:
         import plotly.graph_objects as go
         from plotly.subplots import make_subplots

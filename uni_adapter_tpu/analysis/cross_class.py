@@ -171,11 +171,7 @@ def _nn_indices(d: np.ndarray) -> np.ndarray:
     return d.argmin(1)
 
 
-def _plt():
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    return plt
+from uni_adapter_tpu.analysis.attention import _plt  # shared Agg bootstrap
 
 
 def _save(fig, save_path):

@@ -151,11 +151,16 @@ class ViTAttention(nn.Module):
         if self.project_out:
             out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         if return_attn:
-            attn = jax.nn.softmax(
-                jnp.einsum("bhnd,bhmd->bhnm", q, k,
+            # mirror _attend exactly: (qk + bias)·scale + mask, so the
+            # extracted maps match the attention actually applied
+            s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                            preferred_element_type=jnp.float32)
-                * scale + (mask if mask is not None else 0.0), axis=-1)
-            return out, attn
+            if attn_bias is not None:
+                s = s + attn_bias
+            s = s * scale
+            if mask is not None:
+                s = s + mask
+            return out, jax.nn.softmax(s, axis=-1)
         return out
 
 

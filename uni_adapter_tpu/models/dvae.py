@@ -176,8 +176,11 @@ def chamfer_l1(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(jnp.min(d, axis=2)) + jnp.mean(jnp.min(d, axis=1))
 
 
-def dvae_loss(ret, gt_neighborhood) -> Tuple[jax.Array, jax.Array]:
-    """Reconstruction + uniform-prior KL (dvae.py:300-328)."""
+def dvae_loss(ret) -> Tuple[jax.Array, jax.Array]:
+    """Reconstruction + uniform-prior KL (dvae.py:300-328).
+
+    `ret` is the DiscreteVAE forward tuple; the grouped ground truth is its
+    own 5th element (the encoder's neighbourhoods)."""
     _, _, coarse, fine, group_gt, logits = ret
     B, G = coarse.shape[:2]
     rec = (chamfer_l1(coarse.reshape(B * G, -1, 3),

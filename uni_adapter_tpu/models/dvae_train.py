@@ -87,7 +87,7 @@ def dvae_train_step(model: DiscreteVAE, tx: optax.GradientTransformation,
     def loss_fn(params):
         ret = model.apply({"params": params}, batch, step_rng,
                           temperature=temp, hard=hard)
-        rec, klv = dvae_loss(ret, ret[4])
+        rec, klv = dvae_loss(ret)
         return rec + kl_w * klv, (rec, klv)
 
     (loss, (rec, klv)), grads = jax.value_and_grad(loss_fn,

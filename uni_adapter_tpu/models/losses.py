@@ -82,7 +82,15 @@ def uni3d_text_image_loss(pc_embed: jax.Array, text_embed: jax.Array,
         m = mask.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits_pi, axis=-1)
         per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-        loss_pi = (per * m).sum() / jnp.maximum(m.sum(), 1.0)
+        num, den = (per * m).sum(), m.sum()
+        if axis_name is not None:
+            # normalise by the GLOBAL mask count, not the local one —
+            # otherwise shards with different numbers of valid images
+            # weight rows unequally and DP diverges from single-device
+            # training (AD through psum keeps the gradients exact)
+            num = jax.lax.psum(num, axis_name)
+            den = jax.lax.psum(den, axis_name)
+        loss_pi = num / jnp.maximum(den, 1.0)
     else:
         loss_pi = _xent(logits_pi, labels)
     loss = loss_pt + loss_pi

@@ -144,12 +144,15 @@ class TTAServer:
     def restore(self, client_id: str, path: str) -> None:
         from uni_adapter_tpu import checkpoint
 
+        # Drain in-flight async snapshots BEFORE probing the path: orbax
+        # commits via a tmp-dir rename, so isdir() is false while a save is
+        # in flight and the npz loader would be (mis)chosen.
+        if hasattr(self, "_snapshotter"):
+            self._snapshotter.wait()
         # orbax stores pytrees structurally (dirs); restore against the live
         # state as template so the EngineState NamedTuple shape survives
         template = self.states.get(client_id)
         if os.path.isdir(path):
-            if hasattr(self, "_snapshotter"):
-                self._snapshotter.wait()
             self.states[client_id] = checkpoint.restore_state_orbax(
                 path, template=template)
         else:

@@ -41,11 +41,22 @@ class TrainState(NamedTuple):
 def make_optimizer(lr: float = 1e-3, weight_decay: float = 0.05,
                    total_steps: int = 100_000,
                    warmup_steps: int = 2_000) -> optax.GradientTransformation:
-    """AdamW + linear warmup → cosine decay (the open_clip-family recipe)."""
+    """AdamW + linear warmup → cosine decay (the open_clip-family recipe).
+
+    Weight decay applies to matrices only — biases, norm gains, and the
+    logit scale are excluded, as in open_clip (decaying logit_scale would
+    fight the contrastive objective, which drives the scale toward ~100).
+    """
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
+
+    def decay_mask(grads_like):
+        params, _logit_scale = grads_like
+        return (jax.tree_util.tree_map(lambda p: p.ndim >= 2, params), False)
+
     return optax.chain(optax.clip_by_global_norm(10.0),
-                       optax.adamw(sched, weight_decay=weight_decay))
+                       optax.adamw(sched, weight_decay=weight_decay,
+                                   mask=decay_mask))
 
 
 def init_train_state(model, rng: jax.Array, example_pc: jax.Array,
@@ -61,11 +72,13 @@ def init_train_state(model, rng: jax.Array, example_pc: jax.Array,
 def _loss_fn(params, logit_scale, model, pc, text_embed, image_embed, mask,
              axis_name):
     pc_embed = model.apply({"params": params}, pc)
-    # clamp like CLIP: exp(log_scale) capped at 100
-    scale = jnp.minimum(jnp.exp(logit_scale), 100.0)
-    out = uni3d_text_image_loss(pc_embed, text_embed, image_embed, scale,
-                                mask=mask, axis_name=axis_name)
+    out = uni3d_text_image_loss(pc_embed, text_embed, image_embed,
+                                jnp.exp(logit_scale), mask=mask,
+                                axis_name=axis_name)
     return out["loss"], out
+
+
+_MAX_LOG_SCALE = float(np.log(100.0))
 
 
 def _apply_grads(state: TrainState, tx, grads) -> TrainState:
@@ -73,6 +86,10 @@ def _apply_grads(state: TrainState, tx, grads) -> TrainState:
                                    (state.params, state.logit_scale))
     params, logit_scale = optax.apply_updates(
         (state.params, state.logit_scale), updates)
+    # CLIP clamps the PARAMETER after the step (a forward-side jnp.minimum
+    # would zero the gradient above the cap, leaving nothing to pull the
+    # scale back down)
+    logit_scale = jnp.minimum(logit_scale, _MAX_LOG_SCALE)
     return TrainState(params, logit_scale, opt_state, state.step + 1)
 
 
