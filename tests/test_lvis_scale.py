@@ -157,3 +157,30 @@ def test_graph_mode_auto_resolution():
                                             cg_max_iter=5,
                                             graph_mode="auto"))
     np.testing.assert_array_equal(proto, auto2)  # K·C=4624 > 4096 ⇒ proto
+
+
+def test_prototype_graph_conf_underflow_fallback():
+    """A class whose cached shots all have exp(-beta*H) == 0 (fp32
+    underflow at high entropy) must fall back to an unweighted prototype,
+    not a zero node (cache.py _prototype_graph_logits)."""
+    from uni_adapter_tpu.adapt.cache import compute_cache_logits
+    from uni_adapter_tpu.adapt.cache import init as init_cache
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    K, C, D = 6, 3, 8
+    feats = rng.standard_normal((K, C, D)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    probs = rng.dirichlet(np.ones(K), (K, C)).astype(np.float32)
+    conf = rng.uniform(0.1, 1.0, (K, C)).astype(np.float32)
+    conf[2] = 0.0                      # class 2: all confidences underflowed
+    state = init_cache(K, C, D)._replace(
+        feats=jnp.asarray(feats), probs=jnp.asarray(probs),
+        valid=jnp.ones((K, C), bool), conf=jnp.asarray(conf))
+    q = jnp.asarray(feats[2, 0][None])  # query equal to one of class 2's shots
+    logits = np.asarray(compute_cache_logits(q, state, 0.5, 0.11,
+                                             cg_max_iter=10,
+                                             graph_mode="prototype"))
+    assert np.all(np.isfinite(logits))
+    # class 2's node must contribute: a query aligned with its shots gets
+    # nonzero affinity through that node
+    assert np.abs(logits).sum() > 0

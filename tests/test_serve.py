@@ -154,3 +154,21 @@ def test_async_snapshot_roundtrip(setup, tmp_path):
     server.restore("a", path)
     out_restored = server.submit([("a", streams[0, 2], None)])["a"]
     np.testing.assert_allclose(out_restored, out_live, rtol=1e-5, atol=1e-5)
+
+
+def test_restore_unregistered_client(setup, tmp_path):
+    """Restore into a FRESH server (the process-restart case): the client
+    is auto-registered so a typed state template exists, and subsequent
+    submits continue the restored trajectory exactly."""
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, sizes=(1,), seed=7)
+    server.register("a")
+    server.submit([("a", streams[0, 0], None)])
+    path = os.path.join(tmp_path, "client_a")
+    server.snapshot("a", path)
+    expected = server.submit([("a", streams[0, 1], None)])["a"]
+
+    fresh = TTAServer(cfg, model, params, text, sizes=(1,), seed=7)
+    fresh.restore("a", path)            # never registered on this server
+    got = fresh.submit([("a", streams[0, 1], None)])["a"]
+    np.testing.assert_allclose(expected, got, rtol=1e-5, atol=1e-6)

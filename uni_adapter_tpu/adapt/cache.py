@@ -174,16 +174,26 @@ def compute_cache_logits(pc_features: jax.Array, state: CacheState,
         refined = online_value_refinement_old(
             keys, probs, valid, threshold=threshold, lambda_reg=lambda_reg)
 
+    return _graph_readout(pc_features, keys, valid, refined, K)
+
+
+def _graph_readout(pc_features: jax.Array, nodes: jax.Array,
+                   node_valid: jax.Array, refined: jax.Array,
+                   K: int) -> jax.Array:
+    """Refined labels → one-hot → count-normalise → affinity readout.
+
+    Shared by the dense and prototype graph modes so the two stay provably
+    identical downstream of the refinement (Uni_Adapter.py:150-189)."""
     new_classes = jnp.argmax(refined, axis=1)
     values = jax.nn.one_hot(new_classes, K, dtype=jnp.float32)
-    values = values * valid[:, None].astype(jnp.float32)
+    values = values * node_valid[:, None].astype(jnp.float32)
     cache_counts = values.sum(axis=0) + 1e-6
     values = values / cache_counts
 
     pc = pc_features / (jnp.linalg.norm(pc_features, axis=-1,
                                         keepdims=True) + 1e-12)
-    affinity = jnp.matmul(pc.astype(jnp.float32), keys.T, precision=_HIGH)
-    affinity = affinity * valid[None, :].astype(jnp.float32)
+    affinity = jnp.matmul(pc.astype(jnp.float32), nodes.T, precision=_HIGH)
+    affinity = affinity * node_valid[None, :].astype(jnp.float32)
     return jnp.matmul(affinity, values, precision=_HIGH)
 
 
@@ -200,6 +210,13 @@ def _prototype_graph_logits(pc_features: jax.Array, state: CacheState,
     K, C, D = state.feats.shape
     w = (state.conf * state.valid.astype(jnp.float32))          # (K, C)
     wsum = w.sum(axis=1, keepdims=True)                         # (K, 1)
+    # conf = exp(-β·entropy) underflows to exact fp32 zero for high-entropy
+    # shots (β=150 ⇒ zero past normalized entropy ~0.69); a class whose
+    # shots all underflow would get a zero prototype.  Fall back to an
+    # unweighted mean over its valid shots in that case.
+    vmask = state.valid.astype(jnp.float32)
+    w = jnp.where(wsum > 0.0, w, vmask)
+    wsum = w.sum(axis=1, keepdims=True)
     proto = jnp.einsum("kc,kcd->kd", w, state.feats,
                        precision=_HIGH) / (wsum + 1e-12)
     proto = proto / (jnp.linalg.norm(proto, axis=1, keepdims=True) + 1e-12)
@@ -219,12 +236,4 @@ def _prototype_graph_logits(pc_features: jax.Array, state: CacheState,
             proto, proto_probs, class_valid, threshold=threshold,
             lambda_reg=lambda_reg)
 
-    values = jax.nn.one_hot(jnp.argmax(refined, axis=1), K, dtype=jnp.float32)
-    values = values * class_valid[:, None].astype(jnp.float32)
-    values = values / (values.sum(axis=0) + 1e-6)
-
-    pc = pc_features / (jnp.linalg.norm(pc_features, axis=-1,
-                                        keepdims=True) + 1e-12)
-    affinity = jnp.matmul(pc.astype(jnp.float32), proto.T, precision=_HIGH)
-    affinity = affinity * class_valid[None, :].astype(jnp.float32)
-    return jnp.matmul(affinity, values, precision=_HIGH)
+    return _graph_readout(pc_features, proto, class_valid, refined, K)

@@ -293,6 +293,10 @@ def visualize_attention_on_pointcloud(point_cloud: np.ndarray,
             fig.write_html(save_path)
         return save_path
     except ImportError:
+        if save_path is None:
+            # the plotly branch returns without writing when no path is
+            # given; the HTML fallback has nothing to show without a file
+            return None
         from uni_adapter_tpu.visualize import visualize_colored_pointcloud_html
 
         return visualize_colored_pointcloud_html(

@@ -86,9 +86,6 @@ def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :, :N, :hd]
 
 
-_MASK_RAW = -3e4      # mask value on raw (pre-scale) scores
-
-
 def _attn_heads_kernel(n_real: int, scale: float, mask_mode: str,
                        q_ref, k_ref, v_ref, o_ref):
     # q/o refs: (Bg, G, Nq_pad, hd_pad) — query rows pad only to the

@@ -29,14 +29,15 @@ _HIGH = jax.lax.Precision.HIGHEST
 
 
 def _ballquery_kernel(nsample: int, n_real: int, r2: float,
-                      q_ref, x_ref, out_ref, key_ref):
+                      q_ref, x_ref, out_ref):
     # q_ref: (1, S, 8) query xyz (channels zero-padded 3→8)
     # x_ref: (1, 8, N) points transposed (channel rows zero-padded)
     # out_ref: (1, S, nsample) int32 — ascending in-ball indices, sentinel N
-    # key_ref: (S, N) int32 scratch — lane index where in-ball, else N
+    # (the int32 key plane lives entirely in registers/VMEM values — no
+    # scratch buffer needed, unlike the kNN kernel's fp32 distance matrix)
     q = q_ref[0]
     x = x_ref[0]
-    S, N = key_ref.shape
+    S, N = q_ref.shape[1], x_ref.shape[2]
 
     cross = jax.lax.dot_general(
         q, x, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -56,8 +57,6 @@ def _ballquery_kernel(nsample: int, n_real: int, r2: float,
         m = jnp.min(key, axis=1, keepdims=True)                 # (S, 1)
         out_ref[0, :, :] = jnp.where(out_lane == i, m, out_ref[0, :, :])
         key = jnp.where(key == m, n_real, key)
-
-    key_ref[:, :] = key  # keep the scratch live (and lowering happy)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "nsample",
@@ -96,7 +95,6 @@ def query_ball_pallas(radius: float, nsample: int, xyz: jax.Array,
         out_specs=pl.BlockSpec((1, s_tile, nsample), lambda b, s: (b, s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, s_pad, nsample), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((s_tile, n_pad), jnp.int32)],
         interpret=interpret,
     )(q, xt)
     group_idx = out[:, :S]

@@ -150,7 +150,11 @@ class TTAServer:
         if hasattr(self, "_snapshotter"):
             self._snapshotter.wait()
         # orbax stores pytrees structurally (dirs); restore against the live
-        # state as template so the EngineState NamedTuple shape survives
+        # state as template so the EngineState NamedTuple shape survives.
+        # Restoring an unregistered client (the fresh-process restart case)
+        # registers it first so a typed template exists.
+        if client_id not in self.states:
+            self.register(client_id)
         template = self.states.get(client_id)
         if os.path.isdir(path):
             self.states[client_id] = checkpoint.restore_state_orbax(

@@ -125,11 +125,19 @@ def make_dp_train_step(model, tx, mesh, axis_name: str = "dp"):
         metrics = jax.lax.pmean(metrics, axis_name)
         return _apply_grads(state, tx, grads), metrics
 
-    sharded = shard_map(
+    sharded = jax.jit(shard_map(
         _shard_step, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name)),
         out_specs=(P(), P()),
         check_rep=False,
-    )
-    return jax.jit(sharded)
+    ))
+
+    def dp_step(state, pc, text_embed, image_embed, mask=None):
+        if mask is None:
+            # all-ones mask ≡ the unmasked image leg (mean over all rows),
+            # keeping this wrapper signature-compatible with train_step
+            mask = jnp.ones((pc.shape[0],), jnp.float32)
+        return sharded(state, pc, text_embed, image_embed, mask)
+
+    return dp_step
