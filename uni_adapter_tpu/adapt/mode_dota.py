@@ -80,7 +80,8 @@ def regularized_var(state: ModeDotaState, epsilon: float) -> jax.Array:
     return jnp.clip(state.var + epsilon, min=_VAR_FLOOR)
 
 
-def log_likelihood(x: jax.Array, mu: jax.Array, var: jax.Array) -> jax.Array:
+def log_likelihood(x: jax.Array, mu: jax.Array, var: jax.Array,
+                   precision: jax.lax.Precision = _HIGH) -> jax.Array:
     """Diagonal Gaussian log-likelihood, constant dropped.
 
     Reference (dota_mixture.py:123-156): -0.5·[Σ_d log var_d + Σ_d (x-μ)²/var].
@@ -103,8 +104,8 @@ def log_likelihood(x: jax.Array, mu: jax.Array, var: jax.Array) -> jax.Array:
     quad_const = jnp.sum(mu * mu / var, axis=-1)                 # (K, M)
     log_det = jnp.sum(jnp.log(var), axis=-1)                     # (K, M)
 
-    x_sq_term = jnp.matmul(x * x, inv_v.T, precision=_HIGH)      # (B, KM)
-    cross_term = jnp.matmul(x, mu_over_v.T, precision=_HIGH)     # (B, KM)
+    x_sq_term = jnp.matmul(x * x, inv_v.T, precision=precision)  # (B, KM)
+    cross_term = jnp.matmul(x, mu_over_v.T, precision=precision)  # (B, KM)
     maha = (x_sq_term - 2.0 * cross_term).reshape(-1, K, M) + quad_const
     return -0.5 * (log_det[None] + maha)
 

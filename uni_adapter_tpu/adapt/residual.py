@@ -41,7 +41,9 @@ def init(text_features_initial: jax.Array,
 
 
 def alignment_loss(class_embeddings: jax.Array, state: mode_dota.ModeDotaState,
-                   epsilon: float) -> jax.Array:
+                   epsilon: float,
+                   precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+                   ) -> jax.Array:
     """Alignment loss over the (K, K) likelihood matrix
     (Uni_Adapter.py:191-270).
 
@@ -50,7 +52,8 @@ def alignment_loss(class_embeddings: jax.Array, state: mode_dota.ModeDotaState,
       loss = −mean(diag/rowsum) − mean(diag/colsum).
     """
     cur_var = mode_dota.regularized_var(state, epsilon)
-    log_lik = mode_dota.log_likelihood(class_embeddings, state.mu, cur_var)
+    log_lik = mode_dota.log_likelihood(class_embeddings, state.mu, cur_var,
+                                       precision=precision)
     log_pi = jnp.log(state.pi + 1e-10)[None]                      # (1, K, M)
     lm = jax.scipy.special.logsumexp(log_pi + log_lik, axis=2)    # (K, K)
     lm_normalized = lm / jnp.max(lm)
@@ -63,7 +66,9 @@ def optimize_residuals(res_state: ResidualState,
                        text_features_initial: jax.Array,
                        mixture: mode_dota.ModeDotaState,
                        optimizer: optax.GradientTransformation,
-                       epsilon: float, num_steps: int = 10) -> ResidualState:
+                       epsilon: float, num_steps: int = 10,
+                       precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+                       ) -> ResidualState:
     """Run `num_steps` Adam updates of the residuals (Uni_Adapter.py:449-476).
 
     Each step: renormalise (initial + residuals) per class row, evaluate the
@@ -72,7 +77,7 @@ def optimize_residuals(res_state: ResidualState,
     def loss_fn(residuals):
         text = text_features_initial + residuals
         text = text / (jnp.linalg.norm(text, axis=1, keepdims=True) + 1e-12)
-        return alignment_loss(text, mixture, epsilon)
+        return alignment_loss(text, mixture, epsilon, precision=precision)
 
     grad_fn = jax.grad(loss_fn)
 

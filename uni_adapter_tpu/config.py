@@ -129,6 +129,12 @@ class DotaConfig:
     # Residual learning (Uni_Adapter.py:341-354,444-448)
     residual_lr: float = 1e-3
     residual_steps: int = 10
+    # Matmul precision of the alignment-loss (K,KM) log-likelihoods:
+    # "highest" = fp32-exact 6-pass (reference numerics, the default);
+    # "high" = 3-pass bf16 splits, ~2x faster — worthwhile at large label
+    # spaces (K=1156: the 10-step loop's matmuls dominate the step) where
+    # the ~1e-6-relative likelihood error is far below the EM noise floor
+    residual_precision: str = "highest"
 
 
 @dataclass

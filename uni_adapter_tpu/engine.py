@@ -207,10 +207,15 @@ def make_step_fn(cfg: Config, model,
                                axis_name=axis_name)
 
             if use_res:
+                res_prec = {"highest": jax.lax.Precision.HIGHEST,
+                            "high": jax.lax.Precision.HIGH,
+                            "default": jax.lax.Precision.DEFAULT}[
+                    dc.residual_precision]
+
                 def do_opt(rs):
                     return residual.optimize_residuals(
                         rs, text_init, ms, res_opt, dc.epsilon,
-                        num_steps=dc.residual_steps)
+                        num_steps=dc.residual_steps, precision=res_prec)
                 # i > 0 gate (Uni_Adapter.py:444)
                 res_state = jax.lax.cond(state.step > 0, do_opt,
                                          lambda rs: rs, state.res_state)
