@@ -301,3 +301,33 @@ def test_residual_optimization_reduces_loss(rng, clipw):
     w = residual.adapted_text_weights(rs2, text_init)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(w), axis=0), 1.0,
                                atol=1e-5)
+
+
+def test_residual_precision_tiers_agree():
+    """The 3-pass 'high' tier must track the fp32-exact 'highest' residual
+    trajectory to well under the EM noise floor at benchmark dims."""
+    import jax
+    from uni_adapter_tpu.adapt import mode_dota, residual
+
+    rng = np.random.default_rng(11)
+    K, M, D = 10, 2, 64
+    text = rng.standard_normal((K, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    state = mode_dota.init(1e-3, 0.004, D, K, jnp.asarray(text.T),
+                           num_modes=M)
+    x = rng.standard_normal((8, D)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    gamma = rng.dirichlet(np.ones(K), 8).astype(np.float32)
+    state = mode_dota.fit(state, jnp.asarray(x), jnp.asarray(gamma), 1e-3)
+
+    opt = residual.make_optimizer(1e-3)
+    rs = residual.init(jnp.asarray(text), opt)
+    out_hi = residual.optimize_residuals(
+        rs, jnp.asarray(text), state, opt, 1e-3, num_steps=10,
+        precision=jax.lax.Precision.HIGHEST)
+    out_h3 = residual.optimize_residuals(
+        rs, jnp.asarray(text), state, opt, 1e-3, num_steps=10,
+        precision=jax.lax.Precision.HIGH)
+    np.testing.assert_allclose(np.asarray(out_hi.residuals),
+                               np.asarray(out_h3.residuals),
+                               rtol=0, atol=5e-4)
