@@ -44,11 +44,23 @@ def main(argv=None):
     from uni_adapter_tpu.utils.logging import setup_logging
 
     setup_logging()
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu and not args.full_size:
+        # the tiny demo model trips an XLA TPU fusion-pass CHECK
+        # (fusion_util.cc TransformWindow) on the current toolchain when
+        # vmapped over clients — the full-size model compiles fine, so on
+        # TPU the demo always runs Uni3D-L; use --device cpu for the tiny
+        # configuration
+        logging.info("TPU backend: using the full-size Uni3D-L model")
+        args.full_size = True
     if args.full_size:
+        # the engine config must be the same ModelConfig the model is
+        # built from, so dtypes and dims describe the actual pipeline
         mc = ModelConfig()
         model = create_uni3d(mc)
         text = load_precomputed("large", "modelnet")
     else:
+        mc = ModelConfig(compute_dtype="float32")
         model = Uni3D(trans_dim=64, embed_dim=48, num_group=32, group_size=16,
                       encoder_dim=32, depth=2, num_heads=4,
                       dtype=jnp.float32)
@@ -56,7 +68,7 @@ def main(argv=None):
         text = rng0.standard_normal((40, 48)).astype(np.float32)
         text /= np.linalg.norm(text, axis=1, keepdims=True)
         text = jnp.asarray(text)
-    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+    cfg = Config(model=mc,
                  dota=DotaConfig(use_mode_dota=True, mode_M=4,
                                  res_learning=False))
 
