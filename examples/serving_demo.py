@@ -44,7 +44,9 @@ def main(argv=None):
     from uni_adapter_tpu.utils.logging import setup_logging
 
     setup_logging()
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # the fusion-pass CHECK is a TPU-toolchain bug — don't force full size
+    # on other accelerators ("axon" is this environment's tunneled TPU)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and not args.full_size:
         # the tiny demo model trips an XLA TPU fusion-pass CHECK
         # (fusion_util.cc TransformWindow) on the current toolchain when

@@ -160,27 +160,34 @@ def test_graph_mode_auto_resolution():
 
 
 def test_prototype_graph_conf_underflow_fallback():
-    """A class whose cached shots all have exp(-beta*H) == 0 (fp32
-    underflow at high entropy) must fall back to an unweighted prototype,
-    not a zero node (cache.py _prototype_graph_logits)."""
+    """Classes whose confidences are exactly zero (fp32 underflow) OR
+    tiny-but-nonzero must still produce a meaningful prototype — a query
+    aligned with that class's shots must be classified as that class
+    (cache.py _prototype_graph_logits weight normalisation + fallback)."""
     from uni_adapter_tpu.adapt.cache import compute_cache_logits
     from uni_adapter_tpu.adapt.cache import init as init_cache
     import jax.numpy as jnp
     rng = np.random.default_rng(3)
-    K, C, D = 6, 3, 8
-    feats = rng.standard_normal((K, C, D)).astype(np.float32)
+    K, C, D = 6, 3, 32
+    # clustered shots per class: base direction + small noise
+    base = rng.standard_normal((K, 1, D)).astype(np.float32)
+    feats = base + 0.05 * rng.standard_normal((K, C, D)).astype(np.float32)
     feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
-    probs = rng.dirichlet(np.ones(K), (K, C)).astype(np.float32)
+    # each class's shots believe in their own class
+    probs = np.full((K, C, K), 0.01, np.float32)
+    for k in range(K):
+        probs[k, :, k] = 1.0
+    probs /= probs.sum(-1, keepdims=True)
     conf = rng.uniform(0.1, 1.0, (K, C)).astype(np.float32)
-    conf[2] = 0.0                      # class 2: all confidences underflowed
+    conf[2] = 0.0       # class 2: all confidences underflowed to zero
+    conf[3] = 1e-26     # class 3: tiny-but-nonzero (subnormal band)
     state = init_cache(K, C, D)._replace(
         feats=jnp.asarray(feats), probs=jnp.asarray(probs),
         valid=jnp.ones((K, C), bool), conf=jnp.asarray(conf))
-    q = jnp.asarray(feats[2, 0][None])  # query equal to one of class 2's shots
-    logits = np.asarray(compute_cache_logits(q, state, 0.5, 0.11,
-                                             cg_max_iter=10,
-                                             graph_mode="prototype"))
-    assert np.all(np.isfinite(logits))
-    # class 2's node must contribute: a query aligned with its shots gets
-    # nonzero affinity through that node
-    assert np.abs(logits).sum() > 0
+    for cls in (2, 3):
+        q = jnp.asarray(feats[cls, 0][None])   # one of the class's shots
+        logits = np.asarray(compute_cache_logits(q, state, 0.5, 0.11,
+                                                 cg_max_iter=10,
+                                                 graph_mode="prototype"))
+        assert np.all(np.isfinite(logits))
+        assert int(np.argmax(logits[0])) == cls, (cls, logits[0])

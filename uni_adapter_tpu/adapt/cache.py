@@ -217,11 +217,16 @@ def _prototype_graph_logits(pc_features: jax.Array, state: CacheState,
     vmask = state.valid.astype(jnp.float32)
     w = jnp.where(wsum > 0.0, w, vmask)
     wsum = w.sum(axis=1, keepdims=True)
-    proto = jnp.einsum("kc,kcd->kd", w, state.feats,
-                       precision=_HIGH) / (wsum + 1e-12)
+    # normalise the weights BEFORE the reductions: dividing the weighted
+    # sums by (wsum + eps) instead would wipe out classes whose confidences
+    # are tiny-but-nonzero (wsum ≪ eps) — the same degeneracy the zero
+    # fallback guards, over the entropy band where exp(-β·H) is subnormal
+    # relative to eps.  Weights are purely relative per class, so this is
+    # exact for well-scaled classes too.
+    w = w / jnp.maximum(wsum, 1e-30)
+    proto = jnp.einsum("kc,kcd->kd", w, state.feats, precision=_HIGH)
     proto = proto / (jnp.linalg.norm(proto, axis=1, keepdims=True) + 1e-12)
-    proto_probs = jnp.einsum("kc,kcp->kp", w, state.probs,
-                             precision=_HIGH) / (wsum + 1e-12)
+    proto_probs = jnp.einsum("kc,kcp->kp", w, state.probs, precision=_HIGH)
     class_valid = state.valid.any(axis=1)                       # (K,)
 
     if use_new_approximation:

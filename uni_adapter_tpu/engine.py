@@ -209,8 +209,13 @@ def make_step_fn(cfg: Config, model,
             if use_res:
                 res_prec = {"highest": jax.lax.Precision.HIGHEST,
                             "high": jax.lax.Precision.HIGH,
-                            "default": jax.lax.Precision.DEFAULT}[
-                    dc.residual_precision]
+                            "default": jax.lax.Precision.DEFAULT}.get(
+                    dc.residual_precision)
+                if res_prec is None:
+                    raise ValueError(
+                        f"unknown residual_precision "
+                        f"{dc.residual_precision!r} (expected 'highest', "
+                        f"'high', or 'default')")
 
                 def do_opt(rs):
                     return residual.optimize_residuals(

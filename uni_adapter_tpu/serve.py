@@ -152,13 +152,22 @@ class TTAServer:
         # orbax stores pytrees structurally (dirs); restore against the live
         # state as template so the EngineState NamedTuple shape survives.
         # Restoring an unregistered client (the fresh-process restart case)
-        # registers it first so a typed template exists.
-        if client_id not in self.states:
+        # registers it first so a typed template exists — but unwinds the
+        # registration if the load fails, so a bad path surfaces as an
+        # error on the next submit instead of silently adapting from a
+        # fresh state.
+        fresh = client_id not in self.states
+        if fresh:
             self.register(client_id)
-        template = self.states.get(client_id)
-        if os.path.isdir(path):
-            self.states[client_id] = checkpoint.restore_state_orbax(
-                path, template=template)
-        else:
-            self.states[client_id] = checkpoint.restore_state(path)
+        try:
+            template = self.states.get(client_id)
+            if os.path.isdir(path):
+                self.states[client_id] = checkpoint.restore_state_orbax(
+                    path, template=template)
+            else:
+                self.states[client_id] = checkpoint.restore_state(path)
+        except Exception:
+            if fresh:
+                del self.states[client_id]
+            raise
         logging.info("client %s state restored", client_id)
