@@ -72,3 +72,20 @@ def test_model_flag_swaps_attention_numerically_consistent():
     base = np.asarray(common._attend(q, k, v, 0.25))
     fused = np.asarray(attention_pallas_heads(q, k, v, 0.25, interpret=True))
     np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-5)
+
+
+def test_heads_kernel_uniformly_negative_scores_no_nan():
+    """Underflow regression (ADVICE r2): when every REAL raw score in a row
+    sits far below the pad columns' exact-zero q·k, a row max taken over the
+    padded plane would underflow all real exp terms and the pad-zeroed row
+    sum would hit 0 → NaN.  The max must cover real keys only."""
+    rng = np.random.default_rng(5)
+    B, H, N, hd = 1, 2, 33, 16          # N=33 pads to 128 lanes ⇒ pad cols
+    # orthogonal-ish q with huge negative projections on every key
+    q = jnp.asarray(rng.standard_normal((B, H, N, hd)), jnp.float32)
+    k = -200.0 * q                       # q·k ≈ −200·|q|² ≪ −88/scale
+    v = jnp.asarray(rng.standard_normal((B, H, N, hd)), jnp.float32)
+    want = np.asarray(_xla_attention(q, k, v, hd ** -0.5))
+    got = np.asarray(attention_pallas_heads(q, k, v, interpret=True))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

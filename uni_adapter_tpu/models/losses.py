@@ -77,22 +77,32 @@ def uni3d_text_image_loss(pc_embed: jax.Array, text_embed: jax.Array,
 
     loss_pt = info_nce(pc, tx, logit_scale, labels,
                        feat_a_gathered=pc_g, feat_b_gathered=tx_g)
+    # Image leg is SYMMETRIC like the text leg (losses.py:52-53): the
+    # reference averages CE(pc→image_all) and CE(image→pc_all), both with
+    # the same local-row ignore-index mask.  Rows are local queries, columns
+    # the gathered negatives, so the mask applies to this shard's rows in
+    # both directions.
     logits_pi = logit_scale * jnp.matmul(pc, im_g.T, precision=_HIGH)
+    logits_ip = logit_scale * jnp.matmul(im, pc_g.T, precision=_HIGH)
     if mask is not None:
         m = mask.astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits_pi, axis=-1)
-        per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-        num, den = (per * m).sum(), m.sum()
-        if axis_name is not None:
-            # normalise by the GLOBAL mask count, not the local one —
-            # otherwise shards with different numbers of valid images
-            # weight rows unequally and DP diverges from single-device
-            # training (AD through psum keeps the gradients exact)
-            num = jax.lax.psum(num, axis_name)
-            den = jax.lax.psum(den, axis_name)
-        loss_pi = num / jnp.maximum(den, 1.0)
+
+        def masked_ce(logits):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            num, den = (per * m).sum(), m.sum()
+            if axis_name is not None:
+                # normalise by the GLOBAL mask count, not the local one —
+                # otherwise shards with different numbers of valid images
+                # weight rows unequally and DP diverges from single-device
+                # training (AD through psum keeps the gradients exact)
+                num = jax.lax.psum(num, axis_name)
+                den = jax.lax.psum(den, axis_name)
+            return num / jnp.maximum(den, 1.0)
+
+        loss_pi = 0.5 * (masked_ce(logits_pi) + masked_ce(logits_ip))
     else:
-        loss_pi = _xent(logits_pi, labels)
+        loss_pi = 0.5 * (_xent(logits_pi, labels) + _xent(logits_ip, labels))
     loss = loss_pt + loss_pi
 
     pc_text_acc = (jnp.argmax(logit_scale * pc @ tx_g.T, 1) == labels).mean()

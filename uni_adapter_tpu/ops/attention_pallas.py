@@ -98,11 +98,10 @@ def _attn_heads_kernel(n_real: int, scale: float, mask_mode: str,
     #   * softmax(s·scale) == exp((s − max(s))·scale) / Σ — the scale folds
     #     into the single fused sub·mul·exp·cast pass over the score plane;
     #   * the key-pad mask folds into that same pass (`where(pad, 0, exp)`),
-    #     so no separate masked-score plane is materialised.  The row max
-    #     then includes the pad columns' exact-zero raw scores (zero k rows
-    #     ⇒ q·k = 0) — a valid stability shift since softmax is invariant
-    #     to any m ≥ none in particular, and real scores at these scales
-    #     sit far above exp's underflow range;
+    #     so no separate masked-score plane is materialised; the row max is
+    #     taken over REAL keys only (pad lanes masked to −inf for the max)
+    #     so a row of uniformly very-negative real scores cannot underflow
+    #     to an all-zero sum;
     #   * row normalisation divides the (N, hd) output, not the (N, N) plane.
     Bg, G, nq = q_ref.shape[0], q_ref.shape[1], q_ref.shape[2]
     nk = k_ref.shape[2]
@@ -117,10 +116,18 @@ def _attn_heads_kernel(n_real: int, scale: float, mask_mode: str,
             # bf16 operands, fp32 accumulation — full-rate MXU.
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp((s - m) * scale)
             if mask_mode == "where":
-                p = jnp.where(key_pad, 0.0, p)
+                # Max over REAL keys only: if every real raw score sat below
+                # −88/scale, a max that included the pad columns' exact-zero
+                # q·k would underflow every real exp term and the pad-zeroed
+                # row sum would hit 0 → NaN.  Pad lanes may then overflow to
+                # +inf in the exp below; the where replaces them with 0.
+                m = jnp.max(jnp.where(key_pad, -jnp.inf, s), axis=1,
+                            keepdims=True)
+                p = jnp.where(key_pad, 0.0, jnp.exp((s - m) * scale))
+            else:
+                m = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp((s - m) * scale)
             o = jax.lax.dot_general(p.astype(v.dtype), v,
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)

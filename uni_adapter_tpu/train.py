@@ -88,8 +88,9 @@ def _apply_grads(state: TrainState, tx, grads) -> TrainState:
         (state.params, state.logit_scale), updates)
     # CLIP clamps the PARAMETER after the step (a forward-side jnp.minimum
     # would zero the gradient above the cap, leaving nothing to pull the
-    # scale back down)
-    logit_scale = jnp.minimum(logit_scale, _MAX_LOG_SCALE)
+    # scale back down).  Two-sided [0, log 100] per the open_clip recipe —
+    # the lower bound keeps a long run from driving the temperature negative.
+    logit_scale = jnp.clip(logit_scale, 0.0, _MAX_LOG_SCALE)
     return TrainState(params, logit_scale, opt_state, state.step + 1)
 
 
