@@ -352,3 +352,62 @@ def test_openshape_ppta_layout(tmp_path):
     with torch.no_grad():
         theirs = tm(grouped, torch.tensor(np.asarray(new_xyz))).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Conversion-report CLI (VERDICT r2 item 6)
+# ---------------------------------------------------------------------------
+
+def test_conversion_report_clean_and_diffed(tmp_path, capsys):
+    """conversion_report on a twin checkpoint: clean for the matching
+    layout; names missing keys / unexpected keys / shape mismatches when
+    the checkpoint disagrees with the model."""
+    from uni_adapter_tpu.models.common import EvaBlock
+    from uni_adapter_tpu.models.loader import (conversion_report,
+                                               print_conversion_report)
+
+    torch.manual_seed(1)
+    tm = TimmFusedEvaBlock().eval()
+    path = _save(tmp_path, "eva_report.pt", tm.state_dict())
+    model = EvaBlock(DIM, HEADS, mlp_ratio=HID / DIM, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, DIM), jnp.float32))
+    converted = convert_state_dict(load_torch_state_dict(path))
+
+    rep = conversion_report(params, converted)
+    assert not rep["missing"] and not rep["unexpected"]
+    assert not rep["shape_mismatches"]
+    assert len(rep["converted"]) == rep["n_model_leaves"]
+    print_conversion_report(rep)
+    assert "STRICT" not in capsys.readouterr().out  # report has no verdict
+
+    # corrupt the checkpoint: drop one key, add a stray one, break a shape
+    sd = load_torch_state_dict(path)
+    sd.pop("attn.proj.bias")
+    sd["stray.weight"] = np.zeros((3, 3), np.float32)
+    sd["mlp.w3.weight"] = np.zeros((DIM, HID + 1), np.float32)
+    rep2 = conversion_report(params, convert_state_dict(sd))
+    assert any(p.endswith("attn/proj/bias") for p in rep2["missing"])
+    assert any("stray" in k for k in rep2["unexpected"])
+    assert any(p.endswith("mlp/fc2/kernel")
+               for p, _, _, _ in rep2["shape_mismatches"])
+
+
+def test_conversion_report_cli_entrypoint(tmp_path):
+    """`python -m uni_adapter_tpu.models.loader <ckpt> --vlm3d clip_text`
+    runs end-to-end and reports diffs (twin tower is tiny → mostly missing,
+    exit code 1; the point is the artifact, not a clean match)."""
+    import subprocess
+    import sys
+
+    torch.manual_seed(2)
+    tm = OpenClipTextTwin().eval()
+    path = _save(tmp_path, "report_cli.pt", tm.state_dict())
+    proc = subprocess.run(
+        [sys.executable, "-m", "uni_adapter_tpu.models.loader", path,
+         "--vlm3d", "clip_text", "--text-preset", "ulip"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 1, proc.stderr
+    assert "model leaves:" in proc.stdout
+    assert "STRICT OVERLAY: DIFFS FOUND" in proc.stdout

@@ -40,6 +40,50 @@ def init(text_features_initial: jax.Array,
     return ResidualState(residuals, optimizer.init(residuals))
 
 
+class FrozenMixtureTerms(NamedTuple):
+    """Everything the alignment loss needs from the (frozen) mixture.
+
+    The mixture is constant across the 10-step Adam loop
+    (Uni_Adapter.py:449-476 re-reads the same fitted model every iteration),
+    so 1/var, μ/var, Σμ²/var, Σlog var, and log π are loop-invariant.
+    Precomputing them (a) removes ~5 elementwise K·M·D passes plus the
+    transcendentals from every step and (b) folds the two likelihood
+    matmuls into ONE [x², x] @ [1/v; −2μ/v]ᵀ contraction — the x-dependent
+    work per step drops to a single (K, 2D) @ (2D, KM) matmul and its VJP.
+    """
+    proj: jax.Array      # (K·M, 2D): [1/var ‖ −2·μ/var]
+    base: jax.Array      # (K, M): log π − ½·(Σ log var + Σ μ²/var)
+
+
+def frozen_mixture_terms(state: mode_dota.ModeDotaState,
+                         epsilon: float) -> FrozenMixtureTerms:
+    var = mode_dota.regularized_var(state, epsilon)       # (K, M, D)
+    K, M, D = var.shape
+    inv_v = 1.0 / var
+    mu_over_v = state.mu / var
+    quad_const = jnp.sum(state.mu * state.mu / var, axis=-1)      # (K, M)
+    log_det = jnp.sum(jnp.log(var), axis=-1)                      # (K, M)
+    proj = jnp.concatenate([inv_v.reshape(K * M, D),
+                            -2.0 * mu_over_v.reshape(K * M, D)], axis=1)
+    base = jnp.log(state.pi + 1e-10) - 0.5 * (log_det + quad_const)
+    return FrozenMixtureTerms(proj, base)
+
+
+def _alignment_loss_from_terms(class_embeddings: jax.Array,
+                               terms: FrozenMixtureTerms,
+                               precision: jax.lax.Precision) -> jax.Array:
+    K, M = terms.base.shape
+    x = class_embeddings.astype(jnp.float32)
+    X = jnp.concatenate([x * x, x], axis=1)               # (B, 2D)
+    maha_x = jnp.matmul(X, terms.proj.T, precision=precision)  # (B, KM)
+    log_joint = terms.base[None] - 0.5 * maha_x.reshape(-1, K, M)
+    lm = jax.scipy.special.logsumexp(log_joint, axis=2)   # (B, K)
+    lm_normalized = lm / jnp.max(lm)
+    e = jnp.exp(jnp.exp(lm_normalized))
+    diag = jnp.diagonal(e)
+    return -(diag / e.sum(axis=1)).mean() - (diag / e.sum(axis=0)).mean()
+
+
 def alignment_loss(class_embeddings: jax.Array, state: mode_dota.ModeDotaState,
                    epsilon: float,
                    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
@@ -51,15 +95,8 @@ def alignment_loss(class_embeddings: jax.Array, state: mode_dota.ModeDotaState,
     diagonal of exp(exp(L / max(L))):
       loss = −mean(diag/rowsum) − mean(diag/colsum).
     """
-    cur_var = mode_dota.regularized_var(state, epsilon)
-    log_lik = mode_dota.log_likelihood(class_embeddings, state.mu, cur_var,
-                                       precision=precision)
-    log_pi = jnp.log(state.pi + 1e-10)[None]                      # (1, K, M)
-    lm = jax.scipy.special.logsumexp(log_pi + log_lik, axis=2)    # (K, K)
-    lm_normalized = lm / jnp.max(lm)
-    e = jnp.exp(jnp.exp(lm_normalized))
-    diag = jnp.diagonal(e)
-    return -(diag / e.sum(axis=1)).mean() - (diag / e.sum(axis=0)).mean()
+    return _alignment_loss_from_terms(
+        class_embeddings, frozen_mixture_terms(state, epsilon), precision)
 
 
 def optimize_residuals(res_state: ResidualState,
@@ -73,11 +110,18 @@ def optimize_residuals(res_state: ResidualState,
 
     Each step: renormalise (initial + residuals) per class row, evaluate the
     alignment loss against the *current* (frozen) mixture, step Adam.
+
+    The mixture-dependent terms are computed ONCE here, outside the
+    fori_loop (see FrozenMixtureTerms) — at LVIS scale (K=1156) the 10-step
+    loop's likelihood matmuls dominate the whole pipeline step, so only the
+    genuinely x-dependent single fused matmul (+ its VJP) stays inside.
     """
+    terms = frozen_mixture_terms(mixture, epsilon)
+
     def loss_fn(residuals):
         text = text_features_initial + residuals
         text = text / (jnp.linalg.norm(text, axis=1, keepdims=True) + 1e-12)
-        return alignment_loss(text, mixture, epsilon, precision=precision)
+        return _alignment_loss_from_terms(text, terms, precision)
 
     grad_fn = jax.grad(loss_fn)
 

@@ -29,14 +29,32 @@ class AttentionExtractor:
     """
 
     def __init__(self, model, params, num_group: int = 512,
-                 group_size: int = 64):
+                 group_size: int = 64, vlm3d: str = "uni3d"):
+        """Args:
+          vlm3d: backbone kind — selects the forward-call convention
+            (Uni_Adapter.py:53-67): 'uni3d' consumes xyz‖color, 'ulip' xyz
+            only, 'openshape' (xyz, xyz‖color).  The reference's hook-based
+            extractor is generic over transformer blocks
+            (extract_attention.py:115-177); here each backbone's blocks
+            return their maps functionally, so all three are covered.
+        """
         self.model = model
         self.params = params
         self.num_group = num_group
         self.group_size = group_size
+        self.vlm3d = vlm3d
         self.attention_maps: Dict[str, np.ndarray] = {}
-        self._extract = jax.jit(
-            lambda p, pc: model.apply(p, pc, return_attn=True))
+        if vlm3d == "uni3d":
+            fwd = lambda p, pc: model.apply(p, pc, return_attn=True)
+        elif vlm3d == "ulip":
+            fwd = lambda p, pc: model.apply(p, pc[:, :, :3],
+                                            return_attn=True)
+        elif vlm3d == "openshape":
+            fwd = lambda p, pc: model.apply(p, pc[:, :, :3], pc,
+                                            return_attn=True)
+        else:
+            raise ValueError(f"unknown vlm3d {vlm3d!r}")
+        self._extract = jax.jit(fwd)
 
     def extract(self, point_cloud: np.ndarray) -> Dict[str, np.ndarray]:
         """Run one forward, stash every layer's (B, H, N, N) attention."""

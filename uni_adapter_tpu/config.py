@@ -129,6 +129,13 @@ class DotaConfig:
     # Residual learning (Uni_Adapter.py:341-354,444-448)
     residual_lr: float = 1e-3
     residual_steps: int = 10
+    # The reference rounds the predict input through fp16 —
+    # `predict(pc_features.mean(0).unsqueeze(0).half())` at
+    # Uni_Adapter.py:410,416; DOTA_mix.predict immediately `.float()`s it
+    # back (dota_mixture.py:250), so for MODE-DOTA this flag reproduces the
+    # reference numerics EXACTLY.  Off by default: the round-trip is a
+    # GPU-era artifact and fp32 is strictly more precise on TPU.
+    fp16_predict_input: bool = False
     # Matmul precision of the alignment-loss (K,KM) log-likelihoods:
     # "highest" = fp32-exact 6-pass (reference numerics, the default);
     # "high" = 3-pass bf16 splits, ~2x faster — worthwhile at large label

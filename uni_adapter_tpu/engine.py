@@ -180,11 +180,20 @@ def make_step_fn(cfg: Config, model,
             feat, clip_weights, scale=cfg.model.logit_scale)
 
         res_state = state.res_state
+
+        def predict_input(f):
+            # mean feature fed to predict; the reference rounds it through
+            # fp16 (`.half()`, Uni_Adapter.py:410,416) — emulated exactly
+            # when fp16_predict_input is set (see DotaConfig)
+            m = jnp.mean(f, axis=0, keepdims=True)
+            if dc.fp16_predict_input:
+                m = m.astype(jnp.float16).astype(jnp.float32)
+            return m
+
         # --- B. adapt ---
         if dc.use_dota and not dc.use_mode_dota:
             ms = state.method_state
-            dota_logits = dota.predict(ms, jnp.mean(feat, axis=0,
-                                                    keepdims=True),
+            dota_logits = dota.predict(ms, predict_input(feat),
                                        prior_pre_steps=dc.prior_pre_steps)
             ms = dota.fit(ms, feat, prob_map, axis_name=axis_name)
             ms = dota.update(ms, dc.epsilon)
@@ -194,8 +203,8 @@ def make_step_fn(cfg: Config, model,
 
         elif dc.use_mode_dota:
             ms = state.method_state
-            dota_logits = mode_dota.predict(
-                ms, jnp.mean(feat, axis=0, keepdims=True), dc.epsilon)
+            dota_logits = mode_dota.predict(ms, predict_input(feat),
+                                            dc.epsilon)
             ms = mode_dota.fit(ms, feat, prob_map, dc.epsilon,
                                axis_name=axis_name)
             # noise-augmented double fit with the CLEAN prob_map

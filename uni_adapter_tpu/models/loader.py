@@ -189,6 +189,43 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def _flat_param_paths(params: Any):
+    leaves, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in leaves:
+        parts = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        out.append(("/".join(str(p) for p in parts), leaf))
+    return out
+
+
+def _suffix_match(pstr: str, ckey: str) -> bool:
+    # match only on full path-component boundaries so e.g. checkpoint key
+    # 'norm/scale' cannot claim the model's 'fc_norm/scale' leaf
+    return pstr == ckey or pstr.endswith("/" + ckey)
+
+
+def _match_leaves(path_strs, converted: Dict[str, np.ndarray]):
+    """For each model leaf, the longest suffix-matching checkpoint key with
+    an identical shape; also name-matching keys whose shapes disagree."""
+    matches = {}
+    shape_mismatches = []
+    for pstr, leaf in path_strs:
+        hit, near = None, None
+        for ckey, cval in converted.items():
+            if _suffix_match(pstr, ckey):
+                if cval.shape == tuple(leaf.shape):
+                    if hit is None or len(ckey) > len(hit):
+                        hit = ckey
+                elif near is None or len(ckey) > len(near):
+                    near = ckey
+        if hit is not None:
+            matches[pstr] = hit
+        elif near is not None:
+            shape_mismatches.append(
+                (pstr, near, tuple(leaf.shape), converted[near].shape))
+    return matches, shape_mismatches
+
+
 def overlay_params(params: Any, converted: Dict[str, np.ndarray],
                    strict: bool = False):
     """Write converted leaves into the flax param pytree by path suffix.
@@ -196,33 +233,12 @@ def overlay_params(params: Any, converted: Dict[str, np.ndarray],
     Missing / unexpected keys are logged in grouped form — the role of the
     reference's checkpoint-key diagnostics
     (models/ulip/pointbert/checkpoint.py:9-126)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)
-    leaves, treedef = flat
-    path_strs = []
-    for path, leaf in leaves:
-        parts = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-        path_strs.append(("/".join(str(p) for p in parts), leaf))
-
-    def suffix_match(pstr: str, ckey: str) -> bool:
-        # match only on full path-component boundaries so e.g. checkpoint key
-        # 'norm/scale' cannot claim the model's 'fc_norm/scale' leaf
-        return pstr == ckey or pstr.endswith("/" + ckey)
-
-    used = set()
-    new_leaves = []
-    for pstr, leaf in path_strs:
-        # longest (most specific) matching checkpoint key wins
-        hit = None
-        for ckey, cval in converted.items():
-            if (suffix_match(pstr, ckey)
-                    and cval.shape == tuple(leaf.shape)
-                    and (hit is None or len(ckey) > len(hit))):
-                hit = ckey
-        if hit is not None:
-            used.add(hit)
-            new_leaves.append(np.asarray(converted[hit], leaf.dtype))
-        else:
-            new_leaves.append(leaf)
+    path_strs = _flat_param_paths(params)
+    matches, _ = _match_leaves(path_strs, converted)
+    used = set(matches.values())
+    new_leaves = [np.asarray(converted[matches[pstr]], leaf.dtype)
+                  if pstr in matches else leaf
+                  for pstr, leaf in path_strs]
 
     missing = [p for p, _ in path_strs
                if not any(p.endswith(c) for c in used)]
@@ -237,3 +253,106 @@ def overlay_params(params: Any, converted: Dict[str, np.ndarray],
         raise ValueError(f"strict overlay failed: missing={missing[:10]}, "
                          f"unexpected={unexpected[:10]}")
     return jax.tree.unflatten(jax.tree.structure(params), new_leaves)
+
+
+def conversion_report(params: Any,
+                      converted: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Structured strict-overlay diff for a converted checkpoint.
+
+    Returns a dict with:
+      converted:        {model_leaf_path: checkpoint_key} that would load
+      missing:          model leaves no checkpoint key covers (keep init)
+      unexpected:       checkpoint keys no model leaf consumed
+      shape_mismatches: (model_path, ckpt_key, model_shape, ckpt_shape)
+                        where the NAME matches but the shape does not —
+                        the usual symptom of a wrong dims config
+    """
+    path_strs = _flat_param_paths(params)
+    matches, shape_mismatches = _match_leaves(path_strs, converted)
+    used = set(matches.values())
+    missing = [p for p, _ in path_strs if p not in matches]
+    unexpected = sorted(set(converted) - used)
+    return {"converted": matches, "missing": missing,
+            "unexpected": unexpected, "shape_mismatches": shape_mismatches,
+            "n_model_leaves": len(path_strs)}
+
+
+def print_conversion_report(report: Dict[str, Any], max_items: int = 20):
+    print(f"model leaves:      {report['n_model_leaves']}")
+    print(f"converted:         {len(report['converted'])}")
+    print(f"missing (init):    {len(report['missing'])}")
+    print(f"unexpected (ckpt): {len(report['unexpected'])}")
+    print(f"shape mismatches:  {len(report['shape_mismatches'])}")
+    for title, items in (("MISSING", report["missing"]),
+                         ("UNEXPECTED", report["unexpected"])):
+        if items:
+            print(f"-- {title} ({len(items)}) --")
+            for it in items[:max_items]:
+                print(f"  {it}")
+            if len(items) > max_items:
+                print(f"  ... and {len(items) - max_items} more")
+    if report["shape_mismatches"]:
+        print("-- SHAPE MISMATCHES --")
+        for pstr, ckey, ms, cs in report["shape_mismatches"][:max_items]:
+            print(f"  {pstr}: model {ms} vs checkpoint {ckey} {cs}")
+
+
+def _report_main(argv: Optional[Sequence[str]] = None) -> int:
+    """`python -m uni_adapter_tpu.models.loader <ckpt> --vlm3d uni3d`:
+    print the strict-overlay diff for a torch checkpoint against the
+    selected backbone — so the moment real weights appear, conversion is
+    one command with a reviewable artifact (reference layouts:
+    utils/load_models.py:41-105)."""
+    import argparse
+
+    import jax.numpy as jnp
+
+    from uni_adapter_tpu.config import ModelConfig
+
+    ap = argparse.ArgumentParser(description=_report_main.__doc__)
+    ap.add_argument("checkpoint", help="torch checkpoint path (.pt)")
+    ap.add_argument("--vlm3d", default="uni3d",
+                    choices=["uni3d", "ulip", "openshape", "clip_text"])
+    ap.add_argument("--text-preset", default="ulip",
+                    help="clip_text tower preset "
+                         "(ulip/uni3d/openshape_vitg14/openshape_vitl14)")
+    ap.add_argument("--eva-depth", type=int, default=None)
+    ap.add_argument("--max-items", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    mc = ModelConfig(vlm3d=args.vlm3d if args.vlm3d != "clip_text"
+                     else "uni3d", compute_dtype="float32")
+    if args.eva_depth is not None:
+        import dataclasses
+        mc = dataclasses.replace(mc, eva_depth=args.eva_depth)
+
+    if args.vlm3d == "uni3d":
+        from uni_adapter_tpu.models.uni3d import create_uni3d
+        model = create_uni3d(mc)
+        init_args = (jnp.zeros((1, 128, 6), jnp.float32),)
+    elif args.vlm3d == "ulip":
+        from uni_adapter_tpu.models.pointbert import create_ulip
+        model = create_ulip(mc)
+        init_args = (jnp.zeros((1, 128, 3), jnp.float32),)
+    elif args.vlm3d == "openshape":
+        from uni_adapter_tpu.models.ppta import create_openshape
+        model = create_openshape(mc)
+        init_args = (jnp.zeros((1, 128, 3), jnp.float32),
+                     jnp.zeros((1, 128, 6), jnp.float32))
+    else:
+        from uni_adapter_tpu.models.clip_text import create_text_encoder
+        model = create_text_encoder(args.text_preset, dtype=jnp.float32)
+        init_args = (jnp.zeros((1, 77), jnp.int32),)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
+    converted = convert_state_dict(load_torch_state_dict(args.checkpoint))
+    report = conversion_report(params, converted)
+    print_conversion_report(report, max_items=args.max_items)
+    ok = (not report["missing"] and not report["unexpected"]
+          and not report["shape_mismatches"])
+    print("STRICT OVERLAY:", "CLEAN" if ok else "DIFFS FOUND")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(_report_main())

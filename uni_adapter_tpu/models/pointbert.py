@@ -100,19 +100,21 @@ class ULIP(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, pc: jax.Array) -> jax.Array:
-        feat = PointTransformer(
+    def __call__(self, pc: jax.Array, return_attn: bool = False):
+        out = PointTransformer(
             self.trans_dim, self.depth, self.num_heads, self.num_group,
             self.group_size, self.encoder_dim,
             use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn,
             use_pallas_knn=self.use_pallas_knn,
             use_pallas_attention=self.use_pallas_attention, dtype=self.dtype,
-            name="point_encoder")(pc)
+            name="point_encoder")(pc, return_attn=return_attn)
+        feat, attn_maps = out if return_attn else (out, None)
         pc_projection = self.param(
             "pc_projection", nn.initializers.normal(0.02),
             (2 * self.trans_dim, self.embed_dim))
-        return jnp.matmul(feat.astype(jnp.float32), pc_projection,
+        proj = jnp.matmul(feat.astype(jnp.float32), pc_projection,
                           precision=jax.lax.Precision.HIGHEST)
+        return (proj, attn_maps) if return_attn else proj
 
 
 def create_ulip(cfg, dtype=None) -> ULIP:

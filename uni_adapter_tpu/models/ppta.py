@@ -109,7 +109,7 @@ class PPTABlockPair(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, centroid_delta):
+    def __call__(self, x, centroid_delta, return_attn: bool = False):
         bias = None
         if self.rel_pe:
             bias = RelPE(dtype=self.dtype, name="pe")(centroid_delta)
@@ -120,11 +120,15 @@ class PPTABlockPair(nn.Module):
                          use_pallas=self.use_pallas_attention,
                          dtype=self.dtype, name="attn")(
             LN(dtype=self.dtype, name="attn_norm")(x),
-            attn_bias=bias)
+            attn_bias=bias, return_attn=return_attn)
+        attn = None
+        if return_attn:
+            a, attn = a
         x = x + a
         f = Mlp(self.dim, self.mlp_dim, dtype=self.dtype, name="ff")(
             LN(dtype=self.dtype, name="ff_norm")(x))
-        return x + f
+        out = x + f
+        return (out, attn) if return_attn else out
 
 
 class PointPatchTransformer(nn.Module):
@@ -140,7 +144,7 @@ class PointPatchTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jax.Array, features: jax.Array,
-                 return_tokens: bool = False):
+                 return_tokens: bool = False, return_attn: bool = False):
         p = self.preset
         centroids, feat = SetAbstraction(
             p.patches, p.prad, p.nsamp, (64, 64, p.sa_dim),
@@ -162,15 +166,21 @@ class PointPatchTransformer(nn.Module):
             [jnp.zeros((B, 1, 3), centroids.dtype), centroids], axis=1)
         delta = centroids[:, :, None, :] - centroids[:, None, :, :]  # (B,S+1,S+1,3)
 
+        attn_maps = []
         for i in range(p.depth):
-            x = PPTABlockPair(p.dim, p.heads, self.dim_head, p.mlp_dim,
-                              self.rel_pe,
-                              use_pallas_attention=self.use_pallas_attention,
-                              dtype=self.dtype,
-                              name=f"layers_{i}")(x, delta)
-        if return_tokens:
-            return x[:, 0], x[:, 1:]
-        return x[:, 0]
+            out = PPTABlockPair(p.dim, p.heads, self.dim_head, p.mlp_dim,
+                                self.rel_pe,
+                                use_pallas_attention=self.use_pallas_attention,
+                                dtype=self.dtype,
+                                name=f"layers_{i}")(x, delta,
+                                                    return_attn=return_attn)
+            if return_attn:
+                x, attn = out
+                attn_maps.append(attn)
+            else:
+                x = out
+        result = (x[:, 0], x[:, 1:]) if return_tokens else x[:, 0]
+        return (result, attn_maps) if return_attn else result
 
 
 class Projected(nn.Module):
@@ -195,16 +205,24 @@ class Projected(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, xyz: jax.Array, features: jax.Array):
+    def __call__(self, xyz: jax.Array, features: jax.Array,
+                 return_attn: bool = False):
         want_tokens = self.cache_type != "global"
+        if return_attn and want_tokens:
+            raise ValueError("return_attn is supported for "
+                             "cache_type='global' (the TTA/extraction path)")
         out = PointPatchTransformer(
             self.preset, self.in_dim, rel_pe=self.rel_pe,
             use_pallas_fps=self.use_pallas_fps,
             use_pallas_ballq=self.use_pallas_ballq,
             use_pallas_attention=self.use_pallas_attention, dtype=self.dtype,
-            name="ppat")(xyz, features, return_tokens=want_tokens)
+            name="ppat")(xyz, features, return_tokens=want_tokens,
+                         return_attn=return_attn)
         proj = nn.Dense(self.out_channel, dtype=jnp.float32, name="proj")
         if not want_tokens:
+            if return_attn:
+                cls_out, attn_maps = out
+                return proj(cls_out.astype(jnp.float32)), attn_maps
             return proj(out.astype(jnp.float32))
         cls_token, patch_tokens = out
         from uni_adapter_tpu.utils.kmeans import cluster_patches

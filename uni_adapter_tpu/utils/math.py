@@ -41,9 +41,14 @@ def conjugate_gradient(A: jax.Array, b: jax.Array, max_iter: int = 100,
     """Solve A @ x = b by CG, column-wise step sizes.
 
     Matches the reference solver (math_utils.py:21-45): per-column alpha/beta
-    (b may be (N, K)), no preconditioner.  The torch version breaks early when
-    all residuals drop below tol; for static shapes we run a fixed trip count
-    and freeze converged iterates, which yields the same fixed point.
+    (b may be (N, K)), no preconditioner.  The torch version iterates EVERY
+    column until ALL residuals drop below tol (`torch.all(rz_new < tol)`
+    then break) — converged columns keep refining until the last one lands.
+    For static shapes we run a fixed trip count with the whole update gated
+    on that same all-columns condition, which reproduces the reference's
+    iterate exactly (a per-column freeze would stop each column ~sqrt(tol)
+    early and diverge from the reference by ~3e-3 — caught by
+    tests/test_reference_import_oracle.py driving the reference's own CG).
     """
     x = jnp.zeros_like(b)
     r = b - A @ x
@@ -52,16 +57,16 @@ def conjugate_gradient(A: jax.Array, b: jax.Array, max_iter: int = 100,
 
     def body(_, carry):
         x, r, p, rz = carry
-        done = rz < tol
+        all_done = jnp.all(rz < tol)
         Ap = jnp.matmul(A, p, precision=_HIGH)
         alpha = rz / (jnp.sum(p * Ap, axis=0) + 1e-8)
-        alpha = jnp.where(done, 0.0, alpha)[None, :]
+        alpha = jnp.where(all_done, 0.0, alpha)[None, :]
         x = x + alpha * p
         r = r - alpha * Ap
         rz_new = jnp.sum(r * r, axis=0)
-        beta = jnp.where(done, 0.0, rz_new / (rz + 1e-8))[None, :]
+        beta = jnp.where(all_done, 0.0, rz_new / (rz + 1e-8))[None, :]
         p = r + beta * p
-        rz = jnp.where(done, rz, rz_new)
+        rz = jnp.where(all_done, rz, rz_new)
         return x, r, p, rz
 
     x, _, _, _ = jax.lax.fori_loop(0, max_iter, body, (x, r, p, rz))
