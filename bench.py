@@ -53,12 +53,12 @@ def _progress(msg: str) -> None:
           flush=True)
 
 
-def bench_jax() -> float:
+def bench_jax(backbone: str = "uni3d", method: str = "mode_dota") -> float:
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
-    _progress(f"devices: {jax.devices()}")
+    _progress(f"devices: {jax.devices()} backbone={backbone} method={method}")
 
     from uni_adapter_tpu import engine
     from uni_adapter_tpu.anchors import load_precomputed
@@ -74,7 +74,6 @@ def bench_jax() -> float:
     # oracles); BENCH_PALLAS_FPS=0 falls back to the XLA twin.
     pallas_fps = os.environ.get("BENCH_PALLAS_FPS", "1") == "1"
     int8 = os.environ.get("BENCH_INT8", "0") == "1"
-    backbone = os.environ.get("BENCH_BACKBONE", "uni3d")  # uni3d|ulip|openshape
     # Fused Pallas attention: default-on for the layout-bound small trunks
     # (measured v5e sweeps: ULIP 372.8→466.9, OpenShape 513→615.7 pc/s) but
     # OFF for Uni3D — the EVA trunk is matmul-bound and the kernel loses
@@ -89,10 +88,9 @@ def bench_jax() -> float:
     # Fused Pallas ball query: bitwise-exact vs the sqdist+sort twin, 2.2×
     # at the OpenShape set-abstraction shapes on v5e.
     pallas_ballq = os.environ.get("BENCH_PALLAS_BALLQ", "1") == "1"
-    # BENCH_METHOD=cache benches the Uni-Adapter prototype-cache path
-    # (single encoder forward + graph-Laplacian CG refinement per step)
-    # instead of the MODE-DOTA default.
-    method = os.environ.get("BENCH_METHOD", "mode_dota")
+    # method=cache benches the Uni-Adapter prototype-cache path (single
+    # encoder forward + graph-Laplacian CG refinement per step) instead of
+    # the MODE-DOTA default.
     dota_cfg = (DotaConfig(use_mode_dota=False, use_dota=False)
                 if method == "cache"
                 else DotaConfig(use_mode_dota=True, mode_M=4,
@@ -276,8 +274,15 @@ def bench_torch_cpu() -> float:
     return TORCH_STEPS / dt
 
 
+def _metric_name(backbone: str, method: str) -> str:
+    name = "uni3d_large" if backbone == "uni3d" else backbone
+    return f"{method}_tta_throughput_{name}_15corruption_sweep"
+
+
 def main():
-    jax_pps = bench_jax()
+    bb = os.environ.get("BENCH_BACKBONE", "uni3d")
+    method = os.environ.get("BENCH_METHOD", "mode_dota")
+    jax_pps = bench_jax(bb, method)
     _progress("jax bench done; measuring torch-CPU baseline")
     try:
         torch_pps = bench_torch_cpu()
@@ -285,15 +290,35 @@ def main():
         print(f"torch baseline failed: {e}", file=sys.stderr)
         torch_pps = float("nan")
     vs = jax_pps / torch_pps if torch_pps == torch_pps else None
-    bb = os.environ.get("BENCH_BACKBONE", "uni3d")
-    name = "uni3d_large" if bb == "uni3d" else bb
-    method = os.environ.get("BENCH_METHOD", "mode_dota")
-    print(json.dumps({
-        "metric": f"{method}_tta_throughput_{name}_15corruption_sweep",
+
+    # All four headline configurations in the same record (VERDICT r2 item
+    # 4: a regression in the small-trunk kernels must be visible in the
+    # round-over-round BENCH_r*.json).  Best-effort: a flaky-tunnel failure
+    # on a secondary metric never loses the primary one.
+    extra = {}
+    if os.environ.get("BENCH_MULTI", "1") == "1":
+        secondary = [("ulip", "mode_dota"), ("openshape", "mode_dota"),
+                     ("uni3d", "cache")]
+        for sb, sm in secondary:
+            if (sb, sm) == (bb, method):
+                continue
+            try:
+                extra[_metric_name(sb, sm)] = round(bench_jax(sb, sm), 3)
+            except Exception as e:
+                print(f"secondary bench {sb}/{sm} failed: {e}",
+                      file=sys.stderr)
+
+    record = {
+        "metric": _metric_name(bb, method),
         "value": round(jax_pps, 3),
         "unit": "point-clouds/sec/chip",
+        # NOTE: the torch-CPU baseline extrapolates from TORCH_STEPS=3 full
+        # pipeline steps (~40 s) — ample resolution for a 1000x ratio.
         "vs_baseline": round(vs, 3) if vs else None,
-    }))
+    }
+    if extra:
+        record["extra_metrics"] = extra
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -53,7 +53,13 @@ def main(argv=None):
         # vmapped over clients — the full-size model compiles fine, so on
         # TPU the demo always runs Uni3D-L; use --device cpu for the tiny
         # configuration
-        logging.info("TPU backend: using the full-size Uni3D-L model")
+        logging.warning(
+            "TPU backend: overriding the tiny demo config with full-size "
+            "Uni3D-L — the tiny point-transformer trips an XLA TPU "
+            "fusion-pass CHECK (fusion_util.cc TransformWindow) under "
+            "client-vmap on the current toolchain; repro committed at "
+            ".scratch/xla_fusion_check_repro.py (use --device cpu for the "
+            "tiny configuration)")
         args.full_size = True
     if args.full_size:
         # the engine config must be the same ModelConfig the model is

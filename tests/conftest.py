@@ -10,13 +10,23 @@ config must be updated after import, before any backend use.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-).strip()
+# UNI_ADAPTER_TPU_TESTS=1 leaves the real backend registered so
+# tests/test_tpu_hardware.py can validate the Pallas kernels on actual TPU
+# lowering (run that file alone on the TPU host:
+#   UNI_ADAPTER_TPU_TESTS=1 PYTHONPATH=/root/repo:/root/.axon_site \
+#     python -m pytest tests/test_tpu_hardware.py -q
+# ); everything else expects the virtual CPU mesh.
+_TPU_MODE = os.environ.get("UNI_ADAPTER_TPU_TESTS") == "1"
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-assert len(jax.devices()) >= 8, jax.devices()
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= 8, jax.devices()

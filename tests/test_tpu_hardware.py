@@ -1,0 +1,143 @@
+"""On-hardware validation of the Pallas kernels and the kernel-enabled
+engine trajectories — REAL TPU lowering, not interpret mode.
+
+The committed CPU suite exercises every kernel in interpret mode
+(test_knn_pallas.py etc.); this file is the repeatable hardware-correctness
+artifact (the role the CUDA kernel plays in the reference at
+models/point_encoder.py:12-13).  Run it alone on the TPU host:
+
+    UNI_ADAPTER_TPU_TESTS=1 PYTHONPATH=/root/repo:/root/.axon_site \
+        timeout 1800 python -m pytest tests/test_tpu_hardware.py -q
+
+Under the default CPU suite every test here skips (conftest pins the
+virtual CPU mesh unless UNI_ADAPTER_TPU_TESTS=1).  Expect multi-minute
+runtimes: each engine-trajectory case compiles a full-size encoder twice
+(kernels on / off) — full dims are deliberate, tiny point-transformer
+configs trip a known XLA TPU fusion-pass CHECK (see BASELINE.md 04:17).
+
+Measured contracts these tests pin (BASELINE.md round-2, 23:00):
+  * FPS / ball-query: index-exact vs the XLA twins on hardware;
+  * kNN: identical neighbour sets (lane-min extraction vs TopK may order
+    equidistant-free neighbours identically too, but sets are the contract);
+  * fused attention: fp32-softmax kernel vs fp32 XLA reference within
+    bf16 input-rounding tolerance;
+  * engine trajectories (12 TTA steps, batch 2): identical correctness
+    vectors and 100 % prediction agreement with kernels on vs off.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uni_adapter_tpu import engine
+from uni_adapter_tpu.config import Config, DotaConfig, ModelConfig
+from uni_adapter_tpu.ops import geometry as G
+from uni_adapter_tpu.ops.attention_pallas import attention_pallas_heads
+from uni_adapter_tpu.ops.ballquery_pallas import query_ball_pallas
+from uni_adapter_tpu.ops.fps_pallas import fps_pallas, fps_pallas_batched
+from uni_adapter_tpu.ops.knn_pallas import knn_pallas
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() in ("cpu", "gpu"),
+    reason="requires a TPU backend (run with UNI_ADAPTER_TPU_TESTS=1 on "
+           "the TPU host)")
+
+
+def _rand(shape, seed=0, dtype=np.float32):
+    return np.random.default_rng(seed).standard_normal(shape).astype(dtype)
+
+
+def test_fps_kernels_match_xla_on_hw():
+    xyz = jnp.asarray(_rand((30, 1024, 3), seed=1))
+    want = np.asarray(G.farthest_point_sample(xyz, 512))
+    np.testing.assert_array_equal(np.asarray(fps_pallas(xyz, 512)), want)
+    np.testing.assert_array_equal(np.asarray(fps_pallas_batched(xyz, 512)),
+                                  want)
+
+
+@pytest.mark.parametrize("B,S,N,k", [(30, 512, 1024, 32),   # ULIP shape
+                                     (30, 512, 1024, 64),   # Uni3D shape
+                                     (2, 100, 1000, 16)])   # odd shapes
+def test_knn_kernel_matches_xla_on_hw(B, S, N, k):
+    xyz = jnp.asarray(_rand((B, N, 3), seed=B + k))
+    q = jnp.asarray(_rand((B, S, 3), seed=B + k + 1))
+    want = np.sort(np.asarray(G.knn_point(k, xyz, q)), axis=-1)
+    got = np.sort(np.asarray(knn_pallas(k, xyz, q)), axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("B,S,N,k,r", [(60, 384, 1024, 64, 0.2),  # OpenShape
+                                       (2, 100, 1000, 32, 0.3)])
+def test_ballquery_kernel_matches_xla_on_hw(B, S, N, k, r):
+    rng = np.random.default_rng(B + k)
+    xyz = jnp.asarray(rng.uniform(-0.5, 0.5, (B, N, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (B, S, 3)).astype(np.float32))
+    want = np.asarray(G.query_ball_point(r, k, xyz, q))
+    got = np.asarray(query_ball_pallas(r, k, xyz, q))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("B,H,Nt,hd", [(2, 6, 513, 64),    # ULIP
+                                       (2, 16, 513, 64)])  # EVA02-L
+def test_attention_kernel_close_to_fp32_on_hw(B, H, Nt, hd):
+    q32 = jnp.asarray(_rand((B, H, Nt, hd), seed=3))
+    k32 = jnp.asarray(_rand((B, H, Nt, hd), seed=4))
+    v32 = jnp.asarray(_rand((B, H, Nt, hd), seed=5))
+    scale = hd ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q32, k32,
+                   precision=jax.lax.Precision.HIGHEST) * scale
+    want = np.asarray(jnp.einsum("bhqk,bhkd->bhqd",
+                                 jax.nn.softmax(s, axis=-1), v32,
+                                 precision=jax.lax.Precision.HIGHEST))
+    got = np.asarray(attention_pallas_heads(
+        q32.astype(jnp.bfloat16), k32.astype(jnp.bfloat16),
+        v32.astype(jnp.bfloat16))).astype(np.float32)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+
+
+def _run_engine(backbone, pallas):
+    """12-step MODE-DOTA trajectory, full-size encoder, random weights."""
+    cfg = Config(model=ModelConfig(
+        vlm3d=backbone, use_pallas_fps=pallas, use_pallas_knn=pallas,
+        use_pallas_ballq=pallas,
+        # attention kernel: ULIP only — Uni3D's default is XLA attention
+        # (matmul-bound; the kernel loses there) and OpenShape's fp32-softmax
+        # kernel amplifies random-weight degenerate margins over TTA steps
+        # (BASELINE.md 23:00) — fps/ballq stay bitwise-exact for it
+        use_pallas_attention=(pallas and backbone == "ulip")),
+        dota=DotaConfig(use_mode_dota=True, mode_M=4, res_learning=True))
+    rng = np.random.default_rng(0)
+    if backbone == "ulip":
+        from uni_adapter_tpu.models.pointbert import create_ulip
+        model, D = create_ulip(cfg.model), 512
+        init_args = (jnp.zeros((1, 1024, 3), jnp.float32),)
+    elif backbone == "openshape":
+        from uni_adapter_tpu.models.ppta import create_openshape
+        model, D = create_openshape(cfg.model), 1280
+        init_args = (jnp.zeros((1, 1024, 3), jnp.float32),
+                     jnp.zeros((1, 1024, 6), jnp.float32))
+    else:
+        from uni_adapter_tpu.models.uni3d import create_uni3d
+        model, D = create_uni3d(cfg.model), 1024
+        init_args = (jnp.zeros((1, 1024, 6), jnp.float32),)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
+    t = rng.standard_normal((40, D)).astype(np.float32)
+    text = jnp.asarray(t / np.linalg.norm(t, axis=1, keepdims=True))
+    T = 12
+    pcs = jnp.asarray(rng.standard_normal((T, 2, 1024, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, 40, (T, 2)), jnp.int32)
+    scan_fn = jax.jit(engine.make_scan_fn(cfg, model))
+    state = engine.init_state(cfg, text, jax.random.PRNGKey(0))
+    _, out = scan_fn(params, text, state, pcs, jnp.ones_like(pcs), tgt)
+    return np.asarray(out.final_logits), np.asarray(out.correct)
+
+
+@pytest.mark.parametrize("backbone", ["uni3d", "ulip", "openshape"])
+def test_engine_trajectory_kernels_on_vs_off_on_hw(backbone):
+    logits_p, correct_p = _run_engine(backbone, True)
+    logits_x, correct_x = _run_engine(backbone, False)
+    np.testing.assert_array_equal(correct_p, correct_x)
+    pred_agreement = (logits_p.argmax(-1) == logits_x.argmax(-1)).mean()
+    assert pred_agreement == 1.0

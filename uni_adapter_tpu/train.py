@@ -114,7 +114,7 @@ def make_dp_train_step(model, tx, mesh, axis_name: str = "dp"):
     gather across shards inside the loss; grads/metrics pmean across shards
     — step-for-step equal to single-device training on the global batch.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def _shard_step(state, pc, text_embed, image_embed, mask):
@@ -131,7 +131,7 @@ def make_dp_train_step(model, tx, mesh, axis_name: str = "dp"):
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     ))
 
     def dp_step(state, pc, text_embed, image_embed, mask=None):
