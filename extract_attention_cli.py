@@ -39,6 +39,11 @@ def main(argv=None):
     parser.add_argument("--heads", type=int, nargs="*", default=[0, 1])
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--depth", type=int, default=24)
+    parser.add_argument("--vlm3d", default="uni3d",
+                        choices=["uni3d", "ulip", "openshape"],
+                        help="backbone to extract from (the reference's "
+                             "hook extractor is generic over blocks; all "
+                             "three are covered here)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -47,16 +52,32 @@ def main(argv=None):
     from uni_adapter_tpu.config import Config, DataConfig, ModelConfig
     from uni_adapter_tpu.data.datasets import load_tta_dataset
     from uni_adapter_tpu.models.loader import init_or_load_params
-    from uni_adapter_tpu.models.uni3d import create_uni3d
     from uni_adapter_tpu.utils.logging import setup_logging
 
     os.makedirs(args.out, exist_ok=True)
     setup_logging(os.path.join(args.out, "extract.log"))
 
-    mc = ModelConfig(eva_depth=args.depth, checkpoint_path=args.checkpoint)
-    model = create_uni3d(mc)
-    example = jnp.zeros((1, 1024, 6), jnp.float32)
-    params = init_or_load_params(model, (example,), args.checkpoint)
+    mc = ModelConfig(vlm3d=args.vlm3d, eva_depth=args.depth,
+                     checkpoint_path=args.checkpoint)
+    if args.vlm3d == "ulip":
+        from uni_adapter_tpu.models.pointbert import create_ulip
+        model = create_ulip(mc)
+        init_args = (jnp.zeros((1, 1024, 3), jnp.float32),)
+        num_group, group_size = mc.num_group, mc.ulip_group_size
+    elif args.vlm3d == "openshape":
+        from uni_adapter_tpu.models.ppta import create_openshape
+        model = create_openshape(mc)
+        init_args = (jnp.zeros((1, 1024, 3), jnp.float32),
+                     jnp.zeros((1, 1024, 6), jnp.float32))
+        # PPTA tokens sit on the set-abstraction FPS centers — same FPS as
+        # group_points, so the 3D overlays stay aligned
+        num_group, group_size = model.preset.patches, model.preset.nsamp
+    else:
+        from uni_adapter_tpu.models.uni3d import create_uni3d
+        model = create_uni3d(mc)
+        init_args = (jnp.zeros((1, 1024, 6), jnp.float32),)
+        num_group, group_size = mc.num_group, mc.group_size
+    params = init_or_load_params(model, init_args, args.checkpoint)
 
     if args.root:
         cfg = Config(data=DataConfig(root=args.root,
@@ -70,8 +91,8 @@ def main(argv=None):
         pc = synthetic_sphere()
         logging.info("no --root given: using the synthetic sphere")
 
-    extractor = A.AttentionExtractor(model, params, mc.num_group,
-                                     mc.group_size)
+    extractor = A.AttentionExtractor(model, params, num_group, group_size,
+                                     vlm3d=args.vlm3d)
     maps = extractor.extract(pc)
     logging.info("extracted %d layers, map shape %s", len(maps),
                  maps["layer_0"].shape)
