@@ -172,3 +172,11 @@ def test_restore_unregistered_client(setup, tmp_path):
     fresh.restore("a", path)            # never registered on this server
     got = fresh.submit([("a", streams[0, 1], None)])["a"]
     np.testing.assert_allclose(expected, got, rtol=1e-5, atol=1e-6)
+
+
+def test_reset_unknown_client_descriptive_error(setup):
+    from uni_adapter_tpu.serve import TTAServer
+    cfg, model, params, text, _ = setup
+    srv = TTAServer(cfg, model, params, text, sizes=(1,), seed=7)
+    with pytest.raises(ValueError, match="not registered"):
+        srv.reset("nobody")

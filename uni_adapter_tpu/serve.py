@@ -58,6 +58,9 @@ class TTAServer:
     def reset(self, client_id: str) -> None:
         """Restart a client's adaptation from scratch (fresh seed — seed
         slots are never reused, so restarted streams stay decorrelated)."""
+        if client_id not in self.states:
+            raise ValueError(f"client {client_id!r} is not registered "
+                             f"(known: {sorted(self.states)})")
         del self.states[client_id]
         rng = jax.random.PRNGKey(self.seed + self._next_client)
         self._next_client += 1
