@@ -75,3 +75,27 @@ def test_group_points_pallas_knn_same_neighbourhoods():
     np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_got))
     np.testing.assert_array_equal(np.asarray(n_ref), np.asarray(n_got))
     np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_got))
+
+
+@pytest.mark.parametrize("B,S,N,k,C", [
+    (2, 16, 128, 4, 6),
+    (3, 40, 200, 8, 6),      # S and N off the tile boundaries
+    (2, 16, 128, 4, 3),      # xyz-only gather
+])
+def test_knn_gather_pallas_fused_exact(B, S, N, k, C):
+    """Fused kNN+gather: identical indices AND bitwise-identical gathered
+    features vs knn_point + index_points_matmul (the winner one-hot matmul
+    inside the kernel has one nonzero per row, so fp32-HIGHEST reproduces
+    each value exactly)."""
+    from uni_adapter_tpu.ops.geometry import index_points_matmul
+    from uni_adapter_tpu.ops.knn_pallas import knn_gather_pallas
+
+    rng = np.random.default_rng(B * N + k)
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, S, 3)).astype(np.float32))
+    vals = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    idx_ref = knn_point(k, xyz, q)
+    g_ref = np.asarray(index_points_matmul(vals, idx_ref))
+    idx, g = knn_gather_pallas(k, xyz, q, vals, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_array_equal(np.asarray(g), g_ref)

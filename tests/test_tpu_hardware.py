@@ -60,12 +60,17 @@ def _rand(shape, seed=0, dtype=np.float32):
 
 
 def _assert_twins_equal(compute_want, compute_got):
-    """Equality with one retry: recompute BOTH sides on mismatch.  A
-    transient tunnel transfer corruption does not repeat; a real kernel
-    divergence does (see module docstring)."""
+    """Equality with one retry AFTER clearing the jit cache.  Observed
+    failure mode on the tunneled device: a compiled-program upload that
+    lands during heavy tunnel traffic is corrupted, so every execution of
+    that cached program is wrong while a fresh compile is clean (the same
+    comparison passes 12/12 standalone).  Re-executing the cached program
+    cannot recover that — the retry recompiles both sides.  A real kernel
+    divergence survives the recompile and still fails."""
     want, got = np.asarray(compute_want()), np.asarray(compute_got())
     if np.array_equal(want, got):
         return
+    jax.clear_caches()
     want2, got2 = np.asarray(compute_want()), np.asarray(compute_got())
     np.testing.assert_array_equal(got2, want2)
 

@@ -76,6 +76,108 @@ def _knn_kernel(k: int, n_real: int, q_ref, x_ref, out_ref):
         d_i = body(i, d_i)
 
 
+def _knn_gather_kernel(k: int, n_real: int, q_ref, x_ref, v_ref,
+                       out_ref, vals_ref):
+    # Like _knn_kernel, plus: the winner one-hot of every extraction step is
+    # already a full (S, N) plane in VMEM — one MXU matmul against the
+    # (N, C) value pane gathers that neighbour's features EXACTLY (one-hot
+    # rows have a single nonzero, so fp32-HIGHEST accumulation reproduces
+    # the value bit-for-bit), replacing the separate one-hot-gather pass
+    # over HBM that follows the unfused kernel.
+    q = q_ref[0]                                     # (S, 8)
+    x = x_ref[0]                                     # (8, N)
+    v = v_ref[0]                                     # (N, 8) gather values
+    S, N = q_ref.shape[1], x_ref.shape[2]
+
+    cross = jax.lax.dot_general(
+        q, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_HIGH, preferred_element_type=jnp.float32)   # (S, N)
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)
+    x2 = jnp.sum(x * x, axis=0, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
+    d = q2 + x2 - 2.0 * cross
+    d_i = jnp.where(lane < n_real, d, jnp.inf)
+
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (S, k), 1)
+
+    def body(i, d_i):
+        m = jnp.min(d_i, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(d_i == m, lane, N), axis=1,
+                      keepdims=True).astype(jnp.int32)
+        onehot = lane == idx                                     # (S, N)
+        out_ref[0, :, :] = jnp.where(out_lane == i, idx, out_ref[0, :, :])
+        g = jax.lax.dot_general(
+            onehot.astype(jnp.float32), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=_HIGH, preferred_element_type=jnp.float32)  # (S, 8)
+        vals_ref[0, :, i, :] = g
+        return jnp.where(onehot, jnp.inf, d_i)
+
+    for i in range(k):
+        d_i = body(i, d_i)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_gather_pallas(k: int, xyz: jax.Array, new_xyz: jax.Array,
+                      values: jax.Array, interpret: bool = False):
+    """Fused kNN + neighbour-feature gather in one kernel.
+
+    Same selection contract as knn_pallas; additionally gathers
+    `values[b, idx]` for every selected neighbour while the winner one-hot
+    is still in VMEM (exact — see kernel comment), so the caller's separate
+    one-hot-matmul gather pass (ops/geometry.index_points_matmul) and the
+    HBM round-trip of the indicator disappear.
+
+    Args:
+      k: neighbours per query (static).
+      xyz: (B, N, 3) points (distance space).
+      new_xyz: (B, S, 3) queries.
+      values: (B, N, C) features to gather, C ≤ 8 (e.g. xyz‖color).
+    Returns:
+      (idx (B, S, k) int32, gathered (B, S, k, C) float32)
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    C = values.shape[-1]
+    assert C <= 8, f"values channels {C} > 8"
+    n_pad = -(-N // 128) * 128
+    s_tile = max(8, min(-(-S // 8) * 8, ((4 << 20) // (4 * n_pad)) // 8 * 8))
+    s_pad = -(-S // s_tile) * s_tile
+
+    xt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
+    xt = jnp.pad(xt, ((0, 0), (0, 5), (0, n_pad - N)))
+    q = jnp.pad(new_xyz.astype(jnp.float32),
+                ((0, 0), (0, s_pad - S), (0, 5)))
+    vp = jnp.pad(values.astype(jnp.float32),
+                 ((0, 0), (0, n_pad - N), (0, 8 - C)))   # (B, N_pad, 8)
+
+    kernel = functools.partial(_knn_gather_kernel, k, N)
+    idx, gathered = pl.pallas_call(
+        kernel,
+        grid=(B, s_pad // s_tile),
+        in_specs=[
+            pl.BlockSpec((1, s_tile, 8), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, n_pad), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 8), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s_tile, k), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, k, 8), lambda b, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, s_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, s_pad, k, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, xt, vp)
+    return idx[:, :S], gathered[:, :S, :, :C]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def knn_pallas(k: int, xyz: jax.Array, new_xyz: jax.Array,
                interpret: bool = False) -> jax.Array:
