@@ -49,6 +49,8 @@ def main(argv=None):
     parser.add_argument("--out", default="outputs/cross_class")
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--depth", type=int, default=24)
+    parser.add_argument("--vlm3d", default="uni3d",
+                        choices=["uni3d", "ulip", "openshape"])
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -67,11 +69,24 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     setup_logging(os.path.join(args.out, "analysis.log"))
 
-    mc = ModelConfig(eva_depth=args.depth, checkpoint_path=args.checkpoint)
-    model = create_uni3d(mc)
-    params = init_or_load_params(model, (jnp.zeros((1, 1024, 6),
-                                                   jnp.float32),),
-                                 args.checkpoint)
+    mc = ModelConfig(vlm3d=args.vlm3d, eva_depth=args.depth,
+                     checkpoint_path=args.checkpoint)
+    if args.vlm3d == "ulip":
+        from uni_adapter_tpu.models.pointbert import create_ulip
+        model = create_ulip(mc)
+        init_args = (jnp.zeros((1, 1024, 3), jnp.float32),)
+        num_group, group_size = mc.num_group, mc.ulip_group_size
+    elif args.vlm3d == "openshape":
+        from uni_adapter_tpu.models.ppta import create_openshape
+        model = create_openshape(mc)
+        init_args = (jnp.zeros((1, 1024, 3), jnp.float32),
+                     jnp.zeros((1, 1024, 6), jnp.float32))
+        num_group, group_size = model.preset.patches, model.preset.nsamp
+    else:
+        model = create_uni3d(mc)
+        init_args = (jnp.zeros((1, 1024, 6), jnp.float32),)
+        num_group, group_size = mc.num_group, mc.group_size
+    params = init_or_load_params(model, init_args, args.checkpoint)
 
     if args.root:
         def load(severity, corruption=None):
@@ -95,8 +110,9 @@ def main(argv=None):
         sev_loader = lambda s: synthetic_class_set(noise=0.05 * s, seed=s)
 
     an = CrossClassAttentionAnalyzer(model, params, class_names,
-                                     num_group=mc.num_group,
-                                     group_size=mc.group_size)
+                                     num_group=num_group,
+                                     group_size=group_size,
+                                     vlm3d=args.vlm3d)
 
     from uni_adapter_tpu.analysis.cross_class import _subsample_per_class
     clean_pcs, clean_labels = _subsample_per_class(clean_pcs, clean_labels,

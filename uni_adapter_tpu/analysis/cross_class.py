@@ -30,9 +30,9 @@ class CrossClassAttentionAnalyzer:
 
     def __init__(self, model, params, class_names: List[str],
                  layer_idx: int = -1, num_group: int = 512,
-                 group_size: int = 64):
+                 group_size: int = 64, vlm3d: str = "uni3d"):
         self.extractor = AttentionExtractor(model, params, num_group,
-                                            group_size)
+                                            group_size, vlm3d=vlm3d)
         self.class_names = class_names
         self.layer_idx = layer_idx
 
