@@ -107,6 +107,7 @@ struct Prefetcher {
   std::vector<std::vector<char>> ring;
   std::vector<std::atomic<int64_t>> slot_idx;  // which sample a slot holds
   std::atomic<int64_t> next_load{0};
+  std::atomic<int64_t> consumer{0};   // next sample the consumer will ask for
   std::atomic<bool> stop{false};
   std::mutex mu;
   std::condition_variable cv;
@@ -116,7 +117,11 @@ struct Prefetcher {
     const int64_t n = arr->shape[0];
     while (!stop.load()) {
       int64_t i = next_load.load();
-      if (i >= n) {
+      // stay at most ring_size ahead of the consumer — otherwise the loader
+      // races through the whole archive and wraps the ring over slots the
+      // consumer has not read yet (correct via the direct-copy fallback,
+      // but with zero actual overlap for everything past the first lap)
+      if (i >= n || i >= consumer.load() + ring_size) {
         std::this_thread::sleep_for(std::chrono::milliseconds(1));
         continue;
       }
@@ -255,6 +260,12 @@ void* ua_prefetch_start(void* h, int ring_size) {
 int64_t ua_prefetch_get(void* hp, int64_t i, char* out) {
   auto* p = static_cast<Prefetcher*>(hp);
   if (!p || i < 0 || i >= p->arr->shape[0]) return -1;
+  // advance the consumer cursor so the loader keeps filling ahead of us
+  // (monotonic: out-of-order reads behind the cursor stay served by the
+  // fallback path below)
+  int64_t cur = p->consumer.load();
+  while (cur < i + 1 && !p->consumer.compare_exchange_weak(cur, i + 1)) {
+  }
   int slot = static_cast<int>(i % p->ring_size);
   if (p->slot_idx[slot].load() == i) {
     std::memcpy(out, p->ring[slot].data(), p->sample_bytes);
