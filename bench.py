@@ -85,6 +85,10 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota") -> float:
     # encoder's (60,512,1024) k=32 on v5e; identical neighbour sets.
     # (OpenShape's set abstraction uses ball query, not kNN — unaffected.)
     pallas_knn = os.environ.get("BENCH_PALLAS_KNN", "1") == "1"
+    # Fused kNN+gather (ops/knn_pallas.knn_gather_pallas): selection and the
+    # exact neighbour-feature gather in one kernel; opt-in until the
+    # on-device A/B decides the default.
+    pallas_knn_gather = os.environ.get("BENCH_PALLAS_KNN_GATHER", "0") == "1"
     # Fused Pallas ball query: bitwise-exact vs the sqdist+sort twin, 2.2×
     # at the OpenShape set-abstraction shapes on v5e.
     pallas_ballq = os.environ.get("BENCH_PALLAS_BALLQ", "1") == "1"
@@ -98,6 +102,7 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota") -> float:
     cfg = Config(model=ModelConfig(vlm3d=backbone, approx_knn=approx,
                                    use_pallas_fps=pallas_fps,
                                    use_pallas_knn=pallas_knn,
+                                   use_pallas_knn_gather=pallas_knn_gather,
                                    use_pallas_ballq=pallas_ballq,
                                    use_pallas_attention=pallas_attn,
                                    quantize_int8=int8),  # Uni3D-L bf16

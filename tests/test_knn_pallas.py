@@ -99,3 +99,31 @@ def test_knn_gather_pallas_fused_exact(B, S, N, k, C):
     idx, g = knn_gather_pallas(k, xyz, q, vals, interpret=True)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
     np.testing.assert_array_equal(np.asarray(g), g_ref)
+
+
+def test_group_points_fused_gather_bitwise():
+    """group_points(use_pallas_knn_gather=True) is bitwise-identical to the
+    XLA path — same FPS centers, same neighbourhoods/features (the fused
+    kernel's in-VMEM one-hot gather is exact)."""
+    import functools
+
+    import uni_adapter_tpu.ops.knn_pallas as kp
+
+    xyz = jnp.array(_rand(2, 128, seed=13))
+    color = jnp.array(_rand(2, 128, seed=14))
+    orig = kp.knn_gather_pallas
+    kp.knn_gather_pallas = functools.partial(orig, interpret=True)
+    try:
+        for col in (color, None):
+            n_ref, c_ref, f_ref = group_points(xyz, col, 16, 8)
+            n_got, c_got, f_got = group_points(xyz, col, 16, 8,
+                                               use_pallas_knn_gather=True)
+            np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_got))
+            np.testing.assert_array_equal(np.asarray(n_ref), np.asarray(n_got))
+            if col is None:
+                assert f_ref is None and f_got is None
+            else:
+                np.testing.assert_array_equal(np.asarray(f_ref),
+                                              np.asarray(f_got))
+    finally:
+        kp.knn_gather_pallas = orig

@@ -88,6 +88,10 @@ class ModelConfig:
     # 3.6× XLA sqdist+top_k at the encoder's (60,512,1024) k=32, 9.3× at
     # N=8192.  Off by default: TPU-only (no CPU lowering).
     use_pallas_knn: bool = False
+    # selection + exact neighbour-feature gather fused in one kernel
+    # (ops/knn_pallas.knn_gather_pallas); opt-in pending the on-device
+    # benchmark decision
+    use_pallas_knn_gather: bool = False
     # Fused Pallas ball query (ops/ballquery_pallas.query_ball_pallas) for
     # the PointNet++/OpenShape set-abstraction path: bitwise-exact vs the
     # sqdist+sort twin, 2.2× at PPTA shapes on v5e.  Off by default:

@@ -34,6 +34,7 @@ class PointTransformer(nn.Module):
     use_pallas_fps: bool = False
     approx_knn: bool = False
     use_pallas_knn: bool = False
+    use_pallas_knn_gather: bool = False
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -42,7 +43,8 @@ class PointTransformer(nn.Module):
         neighborhood, center, _ = group_points(
             pts, None, self.num_group, self.group_size,
             use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn,
-            use_pallas_knn=self.use_pallas_knn)
+            use_pallas_knn=self.use_pallas_knn,
+            use_pallas_knn_gather=self.use_pallas_knn_gather)
         tokens = MiniPointNet(self.encoder_dim, 3, dtype=self.dtype,
                               name="encoder")(neighborhood)
         tokens = nn.Dense(self.trans_dim, dtype=self.dtype,
@@ -96,6 +98,7 @@ class ULIP(nn.Module):
     use_pallas_fps: bool = False
     approx_knn: bool = False
     use_pallas_knn: bool = False
+    use_pallas_knn_gather: bool = False
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -106,6 +109,7 @@ class ULIP(nn.Module):
             self.group_size, self.encoder_dim,
             use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn,
             use_pallas_knn=self.use_pallas_knn,
+            use_pallas_knn_gather=self.use_pallas_knn_gather,
             use_pallas_attention=self.use_pallas_attention, dtype=self.dtype,
             name="point_encoder")(pc, return_attn=return_attn)
         feat, attn_maps = out if return_attn else (out, None)
@@ -124,6 +128,7 @@ def create_ulip(cfg, dtype=None) -> ULIP:
         group_size=cfg.ulip_group_size, encoder_dim=cfg.ulip_encoder_dim,
         embed_dim=cfg.ulip_embed_dim, use_pallas_fps=cfg.use_pallas_fps,
         approx_knn=cfg.approx_knn, use_pallas_knn=cfg.use_pallas_knn,
+        use_pallas_knn_gather=cfg.use_pallas_knn_gather,
         use_pallas_attention=cfg.use_pallas_attention,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

@@ -78,6 +78,7 @@ class PointcloudEncoder(nn.Module):
     use_pallas_fps: bool = False
     approx_knn: bool = False
     use_pallas_knn: bool = False
+    use_pallas_knn_gather: bool = False
     quantize: bool = False      # int8 MXU trunk (opt-in, beyond parity)
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
@@ -88,7 +89,8 @@ class PointcloudEncoder(nn.Module):
         _, center, features = group_points(
             xyz, color, self.num_group, self.group_size,
             use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn,
-            use_pallas_knn=self.use_pallas_knn)
+            use_pallas_knn=self.use_pallas_knn,
+            use_pallas_knn_gather=self.use_pallas_knn_gather)
         tokens = MiniPointNet(self.encoder_dim, 6, dtype=self.dtype,
                               name="encoder")(features)
         tokens = nn.Dense(self.trans_dim, dtype=self.dtype,
@@ -141,6 +143,7 @@ class Uni3D(nn.Module):
     use_pallas_fps: bool = False
     approx_knn: bool = False
     use_pallas_knn: bool = False
+    use_pallas_knn_gather: bool = False
     quantize: bool = False
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
@@ -152,7 +155,9 @@ class Uni3D(nn.Module):
             self.trans_dim, self.embed_dim, self.num_group, self.group_size,
             self.encoder_dim, self.depth, self.num_heads,
             use_pallas_fps=self.use_pallas_fps, approx_knn=self.approx_knn,
-            use_pallas_knn=self.use_pallas_knn, quantize=self.quantize,
+            use_pallas_knn=self.use_pallas_knn,
+            use_pallas_knn_gather=self.use_pallas_knn_gather,
+            quantize=self.quantize,
             use_pallas_attention=self.use_pallas_attention, dtype=self.dtype,
             name="point_encoder",
         )(xyz, color, return_attn=return_attn)
@@ -173,6 +178,7 @@ def create_uni3d(cfg, dtype: Optional[jnp.dtype] = None) -> Uni3D:
         encoder_dim=cfg.pc_encoder_dim, depth=cfg.eva_depth,
         num_heads=cfg.eva_heads, use_pallas_fps=cfg.use_pallas_fps,
         approx_knn=cfg.approx_knn, use_pallas_knn=cfg.use_pallas_knn,
+        use_pallas_knn_gather=cfg.use_pallas_knn_gather,
         quantize=cfg.quantize_int8,
         use_pallas_attention=cfg.use_pallas_attention,
         dtype=dtype or jnp.dtype(cfg.compute_dtype),

@@ -197,10 +197,12 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("num_group", "group_size",
                                               "use_pallas_fps", "approx_knn",
-                                              "use_pallas_knn"))
+                                              "use_pallas_knn",
+                                              "use_pallas_knn_gather"))
 def group_points(xyz: jax.Array, color: jax.Array | None, num_group: int,
                  group_size: int, use_pallas_fps: bool = False,
-                 approx_knn: bool = False, use_pallas_knn: bool = False):
+                 approx_knn: bool = False, use_pallas_knn: bool = False,
+                 use_pallas_knn_gather: bool = False):
     """FPS centers + kNN neighbourhoods, center-relative coordinates.
 
     The Uni3D/Point-BERT grouping stage (reference:
@@ -225,6 +227,18 @@ def group_points(xyz: jax.Array, color: jax.Array | None, num_group: int,
     else:
         fps_idx = farthest_point_sample(xyz, num_group)
     center = index_points(xyz, fps_idx)                     # (B, G, 3)
+    if use_pallas_knn_gather:
+        # selection + exact feature gather in ONE kernel (the winner
+        # one-hot plane never leaves VMEM) — ops/knn_pallas.knn_gather_pallas
+        from uni_adapter_tpu.ops.knn_pallas import knn_gather_pallas
+        vals = xyz if color is None else jnp.concatenate([xyz, color],
+                                                         axis=-1)
+        _, joined = knn_gather_pallas(group_size, xyz, center, vals)
+        neighborhood = joined[..., :3] - center[:, :, None, :]
+        if color is None:
+            return neighborhood, center, None
+        features = jnp.concatenate([neighborhood, joined[..., 3:]], axis=-1)
+        return neighborhood, center, features
     if use_pallas_knn:
         # fused distance+selection kernel: 3.6× the sqdist+top_k path at
         # encoder shapes on v5e (ops/knn_pallas.py)

@@ -141,7 +141,13 @@ def knn_gather_pallas(k: int, xyz: jax.Array, new_xyz: jax.Array,
     C = values.shape[-1]
     assert C <= 8, f"values channels {C} > 8"
     n_pad = -(-N // 128) * 128
-    s_tile = max(8, min(-(-S // 8) * 8, ((4 << 20) // (4 * n_pad)) // 8 * 8))
+    # Mosaic software-pipelines the k gather matmuls and keeps every step's
+    # (s_tile, N) one-hot plane live — the dominant VMEM term scales with k,
+    # so the query tile must shrink as k grows (measured: 72.8 MB of scoped
+    # stack at s_tile=512, k=32).
+    s_tile = max(8, min(-(-S // 8) * 8,
+                        ((4 << 20) // (4 * n_pad)) // 8 * 8,
+                        ((24 << 20) // (4 * n_pad * k)) // 8 * 8))
     s_pad = -(-S // s_tile) * s_tile
 
     xt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
@@ -173,6 +179,10 @@ def knn_gather_pallas(k: int, xyz: jax.Array, new_xyz: jax.Array,
             jax.ShapeDtypeStruct((B, s_pad, k), jnp.int32),
             jax.ShapeDtypeStruct((B, s_pad, k, 8), jnp.float32),
         ],
+        # the extra value pane + (s_tile, k, 8) output push the step past
+        # the 16M default scoped-vmem limit at encoder shapes
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q, xt, vp)
     return idx[:, :S], gathered[:, :S, :, :C]
