@@ -426,3 +426,62 @@ def test_full_loop_pure_dota_reference_bug(ref, cpu_cuda_shim, tmp_path):
           "beta": 150.0}
     with pytest.raises(NameError):
         _run_reference_loop(ref, cpu_cuda_shim, args, hp, pcs, targets, W)
+
+
+def test_dota_prior_path_parity(ref):
+    """DOTA with prior_pre_steps (update_prior branch, dota.py:32-38,44-46,
+    81-85): cumulative-soft-label prior added to the predict scores.
+
+    B=1 streams (the benchmark protocol): at B>1 the reference's
+    `cum_soft_labels + y` broadcasts (1,K)+(B,K) into PER-ROW partial sums
+    — a shape quirk our summed-over-batch accumulation deliberately
+    resolves; the two coincide exactly at batch 1."""
+    feats = _feature_stream(51, 6, 1)
+    probs = np.asarray(jax.nn.softmax(
+        10.0 * jnp.asarray(feats) @ jnp.asarray(_text_anchors()).T, axis=-1))
+
+    const = torch.full((D, K), 0.001)
+    theirs = ref.dota.DOTA({"epsilon": EPS, "sigma": SIGMA}, D, K, const,
+                           prior_pre_steps=100)
+    ours = our_dota.init(EPS, SIGMA, D, K, jnp.full((D, K), 0.001),
+                         prior_pre_steps=100)
+    for t in range(6):
+        theirs.fit(torch.tensor(feats[t]), torch.tensor(probs[t]))
+        theirs.update()
+        ours = our_dota.fit(ours, jnp.asarray(feats[t]), jnp.asarray(probs[t]))
+        ours = our_dota.update(ours, EPS)
+
+    q = _feature_stream(52, 1, 1)[0]
+    s_theirs = theirs.predict(torch.tensor(q).half()).float().numpy()
+    s_ours = np.asarray(our_dota.predict(
+        ours, jnp.asarray(q).astype(jnp.float16).astype(jnp.float32),
+        prior_pre_steps=100))
+    np.testing.assert_allclose(s_ours, s_theirs, rtol=2e-2, atol=2e-2)
+
+
+def test_mode_dota_source_priors_parity(ref):
+    """DOTA_mix.predict with source_priors (alpha-blended empirical prior,
+    dota_mixture.py:260-265)."""
+    text = _text_anchors()
+    feats = _feature_stream(53, 6, 2)
+    probs = np.asarray(jax.nn.softmax(
+        100.0 * jnp.asarray(feats) @ jnp.asarray(text).T, axis=-1))
+
+    theirs = ref.dota_mixture.DOTA_mix(
+        {"epsilon": EPS, "sigma": SIGMA, "alpha_max": 0.5}, D, K,
+        torch.tensor(text).T, num_modes=M)
+    ours = our_mode_dota.init(EPS, SIGMA, D, K, jnp.asarray(text).T,
+                              num_modes=M)
+    for t in range(6):
+        theirs.fit(torch.tensor(feats[t]), torch.tensor(probs[t]))
+        ours = our_mode_dota.fit(ours, jnp.asarray(feats[t]),
+                                 jnp.asarray(probs[t]), EPS)
+
+    uniform = np.full((K,), 1.0 / K, np.float32)
+    q = _feature_stream(54, 1, 2)[0]
+    s_theirs = theirs.predict(torch.tensor(q),
+                              source_priors=torch.tensor(uniform)).numpy()
+    s_ours = np.asarray(our_mode_dota.predict(
+        ours, jnp.asarray(q), EPS, source_priors=jnp.asarray(uniform),
+        alpha_max=0.5))
+    np.testing.assert_allclose(s_ours, s_theirs, rtol=1e-4, atol=1e-4)

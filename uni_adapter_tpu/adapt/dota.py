@@ -125,6 +125,12 @@ def predict(state: DOTAState, x: jax.Array,
     c = 0.5 * jnp.sum(M * W, axis=0)                             # (K,)
     scores = jnp.matmul(x.astype(jnp.float32), W, precision=_HIGH) - c
     if prior_pre_steps is not None:
+        # cum_soft_labels here is summed over the batch; the reference's
+        # `self.cum_soft_labels + y` (dota.py:45) broadcasts (1,K)+(B,K)
+        # into per-batch-row partial sums — a shape quirk that only
+        # coincides with a real cumulative prior at the protocol's B=1,
+        # where the two are identical (tests/test_reference_import_oracle
+        # .test_dota_prior_path_parity)
         k = state.mu.shape[0]
         prior = state.cum_soft_labels + (prior_pre_steps / k)
         prior = prior / (prior_pre_steps + state.prior_step)
