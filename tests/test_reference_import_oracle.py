@@ -485,3 +485,38 @@ def test_mode_dota_source_priors_parity(ref):
         ours, jnp.asarray(q), EPS, source_priors=jnp.asarray(uniform),
         alpha_max=0.5))
     np.testing.assert_allclose(s_ours, s_theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_full_loop_cache_old_approximation_parity(ref, cpu_cuda_shim,
+                                                  tmp_path):
+    """Cache path with use_new_approximation=False — the reference's
+    compute_cache_logits_old / explicit-inverse refinement
+    (Uni_Adapter.py:159-189, math_utils.py:95-110; the ShapeNet
+    hyperparameter row disables the CG approximation)."""
+    text = _text_anchors()
+    W = _make_projection()
+    pcs, targets = _stream_batches(47, T)
+    args = _ref_args(tmp_path, text, use_new_approximation=False)
+    hp = {"shot_capacity": 3, "threshold": 0.3, "lambda_reg": 0.11,
+          "beta": 150.0}
+
+    theirs, their_result = _run_reference_loop(
+        ref, cpu_cuda_shim, args, hp, pcs, targets, W)
+
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_dota=False, use_mode_dota=False),
+                 cache=CacheConfig(shot_capacity=3, threshold=0.3,
+                                   lambda_reg=0.11, beta=150.0,
+                                   use_new_approximation=False))
+    model = _JaxToyEncoder(W)
+    rgbs = np.ones_like(pcs)
+    _, outs = engine.run_stream_scan(
+        cfg, model, {}, jnp.asarray(text), jnp.asarray(pcs),
+        jnp.asarray(rgbs), jnp.asarray(targets.astype(np.int32)))
+    ours = np.asarray(outs.final_logits)
+
+    np.testing.assert_allclose(ours[:, 0], theirs[:, 0], rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(ours[:, 0].argmax(-1),
+                                  theirs[:, 0].argmax(-1))
+    assert engine.summarize(outs, pcs.shape[0])["acc1"] == pytest.approx(
+        their_result["acc1"])
