@@ -51,7 +51,9 @@ class FrozenMixtureTerms(NamedTuple):
     matmuls into ONE [x², x] @ [1/v; −2μ/v]ᵀ contraction — the x-dependent
     work per step drops to a single (K, 2D) @ (2D, KM) matmul and its VJP.
     """
-    proj: jax.Array      # (K·M, 2D): [1/var ‖ −2·μ/var]
+    proj_t: jax.Array    # (2D, K·M): [1/var ‖ −2·μ/var]ᵀ — stored
+                         # pre-transposed so the loop body contains no
+                         # layout change of the 568 MB (LVIS-scale) operand
     base: jax.Array      # (K, M): log π − ½·(Σ log var + Σ μ²/var)
 
 
@@ -63,10 +65,10 @@ def frozen_mixture_terms(state: mode_dota.ModeDotaState,
     mu_over_v = state.mu / var
     quad_const = jnp.sum(state.mu * state.mu / var, axis=-1)      # (K, M)
     log_det = jnp.sum(jnp.log(var), axis=-1)                      # (K, M)
-    proj = jnp.concatenate([inv_v.reshape(K * M, D),
-                            -2.0 * mu_over_v.reshape(K * M, D)], axis=1)
+    proj_t = jnp.concatenate([inv_v.reshape(K * M, D),
+                              -2.0 * mu_over_v.reshape(K * M, D)], axis=1).T
     base = jnp.log(state.pi + 1e-10) - 0.5 * (log_det + quad_const)
-    return FrozenMixtureTerms(proj, base)
+    return FrozenMixtureTerms(proj_t, base)
 
 
 def _alignment_loss_from_terms(class_embeddings: jax.Array,
@@ -75,7 +77,7 @@ def _alignment_loss_from_terms(class_embeddings: jax.Array,
     K, M = terms.base.shape
     x = class_embeddings.astype(jnp.float32)
     X = jnp.concatenate([x * x, x], axis=1)               # (B, 2D)
-    maha_x = jnp.matmul(X, terms.proj.T, precision=precision)  # (B, KM)
+    maha_x = jnp.matmul(X, terms.proj_t, precision=precision)  # (B, KM)
     log_joint = terms.base[None] - 0.5 * maha_x.reshape(-1, K, M)
     lm = jax.scipy.special.logsumexp(log_joint, axis=2)   # (B, K)
     lm_normalized = lm / jnp.max(lm)
