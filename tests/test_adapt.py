@@ -331,3 +331,22 @@ def test_residual_precision_tiers_agree():
     np.testing.assert_allclose(np.asarray(out_hi.residuals),
                                np.asarray(out_h3.residuals),
                                rtol=0, atol=5e-4)
+
+
+def test_optimize_residuals_unroll_equivalent():
+    """unroll=True is the same math as the fori_loop form (fusion-order
+    differences at ulp level only)."""
+    from uni_adapter_tpu.adapt import mode_dota, residual
+
+    K, D, M = 12, 16, 2
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.standard_normal((K, D)).astype(np.float32))
+    ms = mode_dota.init(1e-3, 0.004, D, K, text.T, num_modes=M)
+    x = jnp.asarray(rng.standard_normal((4, D)).astype(np.float32))
+    ms = mode_dota.fit(ms, x, jax.nn.softmax(x @ text.T), 1e-3)
+    opt = residual.make_optimizer()
+    rs = residual.init(text, opt)
+    a = residual.optimize_residuals(rs, text, ms, opt, 1e-3, unroll=False)
+    b = residual.optimize_residuals(rs, text, ms, opt, 1e-3, unroll=True)
+    np.testing.assert_allclose(np.asarray(a.residuals),
+                               np.asarray(b.residuals), rtol=1e-5, atol=1e-7)

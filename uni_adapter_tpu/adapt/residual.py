@@ -106,8 +106,8 @@ def optimize_residuals(res_state: ResidualState,
                        mixture: mode_dota.ModeDotaState,
                        optimizer: optax.GradientTransformation,
                        epsilon: float, num_steps: int = 10,
-                       precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
-                       ) -> ResidualState:
+                       precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+                       unroll: bool = False) -> ResidualState:
     """Run `num_steps` Adam updates of the residuals (Uni_Adapter.py:449-476).
 
     Each step: renormalise (initial + residuals) per class row, evaluate the
@@ -133,6 +133,17 @@ def optimize_residuals(res_state: ResidualState,
         return ResidualState(optax.apply_updates(rs.residuals, updates),
                              opt_state)
 
+    if unroll:
+        # same math, flat program (XLA fusion order may differ at ulp
+        # level): lets XLA overlap one step's
+        # elementwise tail (lse/loss/Adam passes) with the next step's
+        # likelihood matmul — the fori_loop's serial body can't (the
+        # non-matmul passes are the dominant residual cost at K=1156,
+        # BASELINE.md round-3 decomposition); costs ~num_steps× body
+        # compile time
+        for i in range(num_steps):
+            res_state = body(i, res_state)
+        return res_state
     return jax.lax.fori_loop(0, num_steps, body, res_state)
 
 

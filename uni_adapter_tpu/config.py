@@ -146,6 +146,11 @@ class DotaConfig:
     # spaces (K=1156: the 10-step loop's matmuls dominate the step) where
     # the ~1e-6-relative likelihood error is far below the EM noise floor
     residual_precision: str = "highest"
+    # Unroll the 10-step Adam loop into a flat program — same math
+    # (ulp-level fusion-order differences only); lets XLA overlap one step's elementwise tail with the next
+    # step's likelihood matmul at the cost of ~10x the loop-body compile
+    # time.  Opt-in pending the on-device measurement.
+    residual_unroll: bool = False
 
 
 @dataclass

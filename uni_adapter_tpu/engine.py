@@ -229,7 +229,8 @@ def make_step_fn(cfg: Config, model,
                 def do_opt(rs):
                     return residual.optimize_residuals(
                         rs, text_init, ms, res_opt, dc.epsilon,
-                        num_steps=dc.residual_steps, precision=res_prec)
+                        num_steps=dc.residual_steps, precision=res_prec,
+                        unroll=dc.residual_unroll)
                 # i > 0 gate (Uni_Adapter.py:444)
                 res_state = jax.lax.cond(state.step > 0, do_opt,
                                          lambda rs: rs, state.res_state)
