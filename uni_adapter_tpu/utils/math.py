@@ -44,32 +44,36 @@ def conjugate_gradient(A: jax.Array, b: jax.Array, max_iter: int = 100,
     (b may be (N, K)), no preconditioner.  The torch version iterates EVERY
     column until ALL residuals drop below tol (`torch.all(rz_new < tol)`
     then break) — converged columns keep refining until the last one lands.
-    For static shapes we run a fixed trip count with the whole update gated
-    on that same all-columns condition, which reproduces the reference's
-    iterate exactly (a per-column freeze would stop each column ~sqrt(tol)
-    early and diverge from the reference by ~3e-3 — caught by
-    tests/test_reference_import_oracle.py driving the reference's own CG).
+    A lax.while_loop reproduces that break exactly (a per-column freeze
+    would stop each column ~sqrt(tol) early and diverge from the reference
+    by ~3e-3 — caught by tests/test_reference_import_oracle.py driving the
+    reference's own CG), and unlike a gated fixed-trip fori_loop it stops
+    PAYING for the matvec once converged — CG on the cache graphs typically
+    lands in far fewer than max_iter trips, and each dead trip is a full
+    (N, N) @ (N, K) matmul.
     """
     x = jnp.zeros_like(b)
     r = b - A @ x
     p = r
     rz = jnp.sum(r * r, axis=0)
 
-    def body(_, carry):
-        x, r, p, rz = carry
-        all_done = jnp.all(rz < tol)
+    def cond(carry):
+        i, x, r, p, rz = carry
+        return (i < max_iter) & ~jnp.all(rz < tol)
+
+    def body(carry):
+        i, x, r, p, rz_old = carry
         Ap = jnp.matmul(A, p, precision=_HIGH)
-        alpha = rz / (jnp.sum(p * Ap, axis=0) + 1e-8)
-        alpha = jnp.where(all_done, 0.0, alpha)[None, :]
+        alpha = (rz_old / (jnp.sum(p * Ap, axis=0) + 1e-8))[None, :]
         x = x + alpha * p
         r = r - alpha * Ap
         rz_new = jnp.sum(r * r, axis=0)
-        beta = jnp.where(all_done, 0.0, rz_new / (rz + 1e-8))[None, :]
+        beta = (rz_new / (rz_old + 1e-8))[None, :]
         p = r + beta * p
-        rz = jnp.where(all_done, rz, rz_new)
-        return x, r, p, rz
+        return i + 1, x, r, p, rz_new
 
-    x, _, _, _ = jax.lax.fori_loop(0, max_iter, body, (x, r, p, rz))
+    _, x, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), x, r, p, rz))
     return x
 
 
