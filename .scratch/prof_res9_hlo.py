@@ -57,8 +57,6 @@ for blk in blocks:
             continue
         sz = nbytes(m)
         if sz >= 8 * 2**20:
-            kind = ln.split(" = ", 1)[1].split("(", 1)[0].split()[1] \
-                if len(ln.split(" = ", 1)[1].split()) > 1 else "?"
             op = re.search(r"= \S+ (\w+)", ln)
             big.append((sz, op.group(1) if op else "?", ln[:160]))
     if big:

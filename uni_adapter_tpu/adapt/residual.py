@@ -14,23 +14,25 @@ stream steps (the reference builds its optimiser once per corruption run),
 so the optimiser state rides in the engine carry.
 
 Performance anatomy at LVIS scale (K=1156, M=4, 15 vmapped streams; see
-BASELINE.md round-3): the 10-step loop's cost splits into the two big
-matmuls per step (fwd likelihood + input-VJP, MXU-bound) and what used to
-be a larger tail of relayout copies and re-materialised transposes that XLA
-emitted *inside* the while body.  Three structural choices remove that
-tail:
+BASELINE.md round-3): the 10-step loop's cost splits into the likelihood
+matmuls per step (fwd + input-VJP, MXU-bound) and an elementwise tail that
+is pure HBM bandwidth.  Three structural choices keep that tail at the
+floor:
 
-  * **One projection operand, two `dot_general` forms.**  The frozen
-    projection is stored once as `proj (M·K, 2D)`; the forward contracts
-    over its minor axis and the backward over its major axis via explicit
-    dimension numbers inside a `jax.custom_vjp` — no transpose op exists
-    for XLA to re-materialise per iteration (the autodiff-generated
-    transpose was 568 MB × 3 per step at LVIS scale).
-  * **Mode-major column order.**  Projection rows are ordered mode-major
-    (column index m·K + j), so the (B, M·K) likelihood reshapes to
-    (B, M, K) with *classes* on the 128-lane axis and the M-logsumexp on a
-    middle axis — the class-major order put M=4 on the lanes, wasting
-    31/32 of every vector register in the reduction and its VJP.
+  * **M separate (B, 2D)·(2D, K) dots, every elementwise tensor (B, K).**
+    A single (B, 2D)·(2D, M·K) contraction needs a rank-3 (B, M, K) view
+    for the M-logsumexp, and on TPU that view has a different tiled layout
+    (T(4,128)) than the rank-2 dot result (T(8,128)) — HLO inspection
+    showed XLA materialising a 306 MB relayout copy plus two 306 MB
+    broadcasts of (B, K) operands per while iteration.  Splitting the
+    projection per mode keeps everything rank-2 and layout-uniform: the
+    lse/softmax chain is M-way elementwise over (B, K) tensors, which XLA
+    fuses with no copies (measured 22.1 → 16.1 ms per Adam step at 'high',
+    15.8 → 8.2 at 'default').
+  * **`jax.custom_vjp` with explicit `dot_general` dimension numbers.**
+    The backward contracts the SAME per-mode (K, 2D) operand over its
+    major axis — no transpose op exists for XLA to re-materialise per
+    iteration (autodiff's transpose was 568 MB × 3 per step).
   * **Mask-diagonal, not `jnp.diagonal`.**  Under vmap the batched
     diagonal lowers to a gather; an eye-mask multiply-reduce fuses with the
     row/column sums (measured 2.8× on the loss chain alone).
@@ -70,62 +72,66 @@ class FrozenMixtureTerms(NamedTuple):
     so 1/var, μ/var, Σμ²/var, Σlog var, and log π are loop-invariant.
     Precomputing them (a) removes ~5 elementwise K·M·D passes plus the
     transcendentals from every step and (b) folds the two likelihood
-    matmuls into ONE [x², x] @ proj contraction — the x-dependent work per
-    step drops to a single (B, 2D)·(2D, M·K) matmul and its VJP.
+    matmuls into per-mode [x², x] @ proj[m] contractions — the x-dependent
+    work per step drops to M (B, 2D)·(2D, K) matmuls and their VJPs.
     """
-    proj: jax.Array      # (M·K, 2D): rows mode-major (index m·K + j),
-                         # each row [1/var ‖ −2·μ/var] for (class j, mode m)
-    base: jax.Array      # (M, K): log π − ½·(Σ log var + Σ μ²/var),
-                         # transposed to match the mode-major column order
-    num_modes: int       # static M (for the (B, M, K) reshape)
+    proj: jax.Array      # (M, K, 2D): per-mode rows [1/var ‖ −2·μ/var]
+    base: jax.Array      # (M, K): log π − ½·(Σ log var + Σ μ²/var)
 
 
 def frozen_mixture_terms(state: mode_dota.ModeDotaState,
                          epsilon: float) -> FrozenMixtureTerms:
     var = mode_dota.regularized_var(state, epsilon)       # (K, M, D)
-    K, M, D = var.shape
     inv_v = 1.0 / var
     mu_over_v = state.mu / var
     quad_const = jnp.sum(state.mu * state.mu / var, axis=-1)      # (K, M)
     log_det = jnp.sum(jnp.log(var), axis=-1)                      # (K, M)
-    proj = jnp.concatenate(
-        [jnp.transpose(inv_v, (1, 0, 2)).reshape(M * K, D),
-         jnp.transpose(-2.0 * mu_over_v, (1, 0, 2)).reshape(M * K, D)],
-        axis=1)                                                   # (MK, 2D)
+    proj = jnp.transpose(
+        jnp.concatenate([inv_v, -2.0 * mu_over_v], axis=-1),      # (K, M, 2D)
+        (1, 0, 2))                                                # (M, K, 2D)
     base = (jnp.log(state.pi + 1e-10) - 0.5 * (log_det + quad_const)).T
-    return FrozenMixtureTerms(proj, base, M)
+    return FrozenMixtureTerms(proj, base)
 
 
 def _log_marginal_fn(terms: FrozenMixtureTerms,
                      precision: jax.lax.Precision):
     """Build lm(X): (B, 2D) → (B, K) log-marginal likelihood with a custom
-    VJP.  Forward and backward each issue exactly one dot_general against
-    the SAME stored operand (different contraction dims), and the backward
-    recomputes the M-softmax from the saved likelihood matrix instead of
-    saving the (B, M, K) responsibilities."""
-    proj, base, M = terms.proj, terms.base, terms.num_modes
-    K = base.shape[1]
-    # fwd: X(B,2D) · proj(MK,2D) over 2D → (B, MK)
+    VJP.  Forward and backward issue one dot_general per mode against the
+    SAME stored (K, 2D) operand (different contraction dims), and the
+    backward recomputes the M-softmax from the saved per-mode likelihoods
+    instead of saving the responsibilities."""
+    proj, base = terms.proj, terms.base
+    M = base.shape[0]
+    # fwd: X(B,2D) · proj[m](K,2D) over 2D → (B, K)
     dn_fwd = (((1,), (1,)), ((), ()))
-    # bwd: dmaha(B,MK) · proj(MK,2D) over MK → (B, 2D)
+    # bwd: dmaha(B,K) · proj[m](K,2D) over K → (B, 2D)
     dn_bwd = (((1,), (0,)), ((), ()))
 
     def _forward(X):
-        maha = jax.lax.dot_general(X, proj, dn_fwd, precision=precision)
-        lj = base[None] - 0.5 * maha.reshape(-1, M, K)
-        lm = jax.scipy.special.logsumexp(lj, axis=1)      # (B, K)
-        return lm, (maha, lm)
+        mahas = tuple(
+            jax.lax.dot_general(X, proj[m], dn_fwd, precision=precision)
+            for m in range(M))                            # M × (B, K)
+        ljs = tuple(base[m][None] - 0.5 * mahas[m] for m in range(M))
+        mx = ljs[0]
+        for m in range(1, M):
+            mx = jnp.maximum(mx, ljs[m])
+        sm = sum(jnp.exp(lj - mx) for lj in ljs)
+        lm = mx + jnp.log(sm)                             # (B, K)
+        return lm, (mahas, lm)
 
     @jax.custom_vjp
     def lm_fn(X):
         return _forward(X)[0]
 
     def _bwd(resid, dlm):
-        maha, lm = resid
-        lj = base[None] - 0.5 * maha.reshape(-1, M, K)
-        p = jnp.exp(lj - lm[:, None, :])                  # (B, M, K)
-        dmaha = (-0.5) * (p * dlm[:, None, :]).reshape(-1, M * K)
-        dX = jax.lax.dot_general(dmaha, proj, dn_bwd, precision=precision)
+        mahas, lm = resid
+        dX = None
+        for m in range(M):
+            lj = base[m][None] - 0.5 * mahas[m]
+            dmaha = (-0.5) * jnp.exp(lj - lm) * dlm       # (B, K)
+            part = jax.lax.dot_general(dmaha, proj[m], dn_bwd,
+                                       precision=precision)
+            dX = part if dX is None else dX + part
         return (dX,)
 
     lm_fn.defvjp(_forward, _bwd)
