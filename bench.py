@@ -53,16 +53,22 @@ def _progress(msg: str) -> None:
           flush=True)
 
 
-def bench_jax(backbone: str = "uni3d", method: str = "mode_dota") -> float:
+def bench_jax(backbone: str = "uni3d", method: str = "mode_dota",
+              k_classes: int = K_CLASSES,
+              residual_precision: str | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
-    _progress(f"devices: {jax.devices()} backbone={backbone} method={method}")
+    _progress(f"devices: {jax.devices()} backbone={backbone} method={method}"
+              f" K={k_classes}"
+              + (f" res_prec={residual_precision}" if residual_precision
+                 else ""))
 
     from uni_adapter_tpu import engine
     from uni_adapter_tpu.anchors import load_precomputed
-    from uni_adapter_tpu.config import Config, DotaConfig, ModelConfig
+    from uni_adapter_tpu.config import (CacheConfig, Config, DotaConfig,
+                                        ModelConfig)
     from uni_adapter_tpu.models.pointbert import create_ulip
     from uni_adapter_tpu.models.ppta import create_openshape
     from uni_adapter_tpu.models.uni3d import create_uni3d
@@ -95,10 +101,18 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota") -> float:
     # method=cache benches the Uni-Adapter prototype-cache path (single
     # encoder forward + graph-Laplacian CG refinement per step) instead of
     # the MODE-DOTA default.
-    dota_cfg = (DotaConfig(use_mode_dota=False, use_dota=False)
-                if method == "cache"
-                else DotaConfig(use_mode_dota=True, mode_M=4,
-                                res_learning=True))
+    if method == "cache":
+        dota_cfg = DotaConfig(use_mode_dota=False, use_dota=False)
+    else:
+        dota_cfg = DotaConfig(use_mode_dota=True, mode_M=4,
+                              res_learning=True,
+                              **({"residual_precision": residual_precision}
+                                 if residual_precision else {}))
+    # at LVIS scale the (K, C, K) per-stream probability state drives
+    # memory — scale-appropriate shot capacity (BASELINE.md round-2
+    # K=1156 protocol)
+    cache_cfg = (CacheConfig(shot_capacity=8) if k_classes > 256
+                 else CacheConfig())
     cfg = Config(model=ModelConfig(vlm3d=backbone, approx_knn=approx,
                                    use_pallas_fps=pallas_fps,
                                    use_pallas_knn=pallas_knn,
@@ -106,7 +120,7 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota") -> float:
                                    use_pallas_ballq=pallas_ballq,
                                    use_pallas_attention=pallas_attn,
                                    quantize_int8=int8),  # Uni3D-L bf16
-                 dota=dota_cfg)
+                 dota=dota_cfg, cache=cache_cfg)
 
     rng = np.random.default_rng(0)
     if backbone == "ulip":
@@ -123,18 +137,20 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota") -> float:
     params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
     _progress("params initialised")
     feat_dim = {"uni3d": "large", "ulip": None, "openshape": None}[backbone]
-    if feat_dim:
+    if feat_dim and k_classes == K_CLASSES:
         text = load_precomputed(feat_dim, "modelnet")     # (40, 1024) fp32
     else:
-        d = {"ulip": 512, "openshape": 1280}[backbone]
-        t = rng.standard_normal((K_CLASSES, d)).astype(np.float32)
+        # synthetic anchors (LVIS-scale runs: the reference's K=1156 bank
+        # is a stripped blob — .MISSING_LARGE_BLOBS:1)
+        d = {"uni3d": 1024, "ulip": 512, "openshape": 1280}[backbone]
+        t = rng.standard_normal((k_classes, d)).astype(np.float32)
         text = jnp.asarray(t / np.linalg.norm(t, axis=1, keepdims=True))
 
     pcs = jnp.asarray(rng.standard_normal(
         (N_STREAMS, T_TIMED, 1, N_POINTS, 3)), jnp.float32)
     rgbs = jnp.ones_like(pcs)
     targets = jnp.asarray(rng.integers(
-        0, K_CLASSES, (N_STREAMS, T_TIMED, 1)), jnp.int32)
+        0, k_classes, (N_STREAMS, T_TIMED, 1)), jnp.int32)
 
     scan_fn = jax.jit(engine.make_vmapped_scan_fn(cfg, model))
     states = engine.init_states_vmapped(cfg, text, N_STREAMS, seed=42)
@@ -312,6 +328,20 @@ def main():
             except Exception as e:
                 print(f"secondary bench {sb}/{sm} failed: {e}",
                       file=sys.stderr)
+    if os.environ.get("BENCH_LVIS", "0") == "1":
+        # Objaverse-LVIS-scale (K=1156) suite, opt-in: adds ~3 compiles to
+        # the run.  Protocol per BASELINE.md round-3 (synthetic anchors).
+        lvis = [("mode_dota", "highest"), ("mode_dota", "high"),
+                ("mode_dota", "default"), ("cache", None)]
+        for lm, lp in lvis:
+            key = (f"{lm}_tta_throughput_uni3d_large_lvis1156"
+                   + (f"_res_{lp}" if lp else ""))
+            try:
+                extra[key] = round(
+                    bench_jax("uni3d", lm, k_classes=1156,
+                              residual_precision=lp), 3)
+            except Exception as e:
+                print(f"lvis bench {lm}/{lp} failed: {e}", file=sys.stderr)
 
     record = {
         "metric": _metric_name(bb, method),

@@ -17,8 +17,10 @@ configs trip a known XLA TPU fusion-pass CHECK (see BASELINE.md 04:17).
 
 Measured contracts these tests pin (BASELINE.md round-2, 23:00):
   * FPS / ball-query: index-exact vs the XLA twins on hardware;
-  * kNN: identical neighbour sets (lane-min extraction vs TopK may order
-    equidistant-free neighbours identically too, but sets are the contract);
+  * kNN: identical neighbour sets, except at fp32 rounding-degenerate
+    k-th boundaries where the two paths' distance computations may order a
+    near-tied pair differently — such swaps must be fp64-distance-justified
+    (see test_knn_kernel_matches_xla_on_hw);
   * fused attention: fp32-softmax kernel vs fp32 XLA reference within
     bf16 input-rounding tolerance;
   * engine trajectories (12 TTA steps, batch 2): identical correctness
@@ -89,9 +91,30 @@ def test_fps_kernels_match_xla_on_hw():
 def test_knn_kernel_matches_xla_on_hw(B, S, N, k):
     xyz = jnp.asarray(_rand((B, N, 3), seed=B + k))
     q = jnp.asarray(_rand((B, S, 3), seed=B + k + 1))
-    _assert_twins_equal(
-        lambda: np.sort(np.asarray(G.knn_point(k, xyz, q)), axis=-1),
-        lambda: np.sort(np.asarray(knn_pallas(k, xyz, q)), axis=-1))
+    want = np.sort(np.asarray(G.knn_point(k, xyz, q)), axis=-1)
+    got = np.sort(np.asarray(knn_pallas(k, xyz, q)), axis=-1)
+    if np.array_equal(want, got):
+        return
+    # Neighbour sets may legitimately differ where the k-th boundary is a
+    # rounding-level tie: the two paths compute fp32 distances in different
+    # orders (XLA's |x|²+|q|²−2x·q expansion vs the kernel's MXU form), so
+    # candidates whose true distances differ by ≲1 ulp of the boundary can
+    # swap.  Observed live at (30,512,1024,64): 1 row of 15360, candidate
+    # fp64 distances 0.642008943 vs 0.642009657 — the kernel's pick was the
+    # genuinely closer point.  Assert every swapped pair is such a
+    # boundary tie in fp64 (a real selection bug yields far-apart swaps).
+    xyz_np = np.asarray(xyz, np.float64)
+    q_np = np.asarray(q, np.float64)
+    rows = np.argwhere((want != got).any(-1))
+    assert len(rows) <= max(1, B * S // 1000), (
+        f"{len(rows)} mismatching rows — beyond rounding-tie territory")
+    for b, s in rows:
+        only_w = sorted(set(want[b, s]) - set(got[b, s]))
+        only_g = sorted(set(got[b, s]) - set(want[b, s]))
+        d = ((xyz_np[b] - q_np[b, s]) ** 2).sum(-1)
+        kth = np.sort(d)[k - 1]
+        for i in only_w + only_g:
+            np.testing.assert_allclose(d[i], kth, rtol=1e-5)
 
 
 @pytest.mark.parametrize("B,S,N,k,r", [(60, 384, 1024, 64, 0.2),  # OpenShape
