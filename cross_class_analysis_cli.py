@@ -53,7 +53,6 @@ def main(argv=None):
                         choices=["uni3d", "ulip", "openshape"])
     args = parser.parse_args(argv)
 
-    import jax.numpy as jnp
 
     from uni_adapter_tpu.analysis.cross_class import (
         CrossClassAttentionAnalyzer, plot_distance_matrices,
@@ -63,7 +62,6 @@ def main(argv=None):
     from uni_adapter_tpu.config import Config, DataConfig, ModelConfig
     from uni_adapter_tpu.data.datasets import load_tta_dataset
     from uni_adapter_tpu.models.loader import init_or_load_params
-    from uni_adapter_tpu.models.uni3d import create_uni3d
     from uni_adapter_tpu.utils.logging import setup_logging
 
     os.makedirs(args.out, exist_ok=True)
@@ -71,21 +69,8 @@ def main(argv=None):
 
     mc = ModelConfig(vlm3d=args.vlm3d, eva_depth=args.depth,
                      checkpoint_path=args.checkpoint)
-    if args.vlm3d == "ulip":
-        from uni_adapter_tpu.models.pointbert import create_ulip
-        model = create_ulip(mc)
-        init_args = (jnp.zeros((1, 1024, 3), jnp.float32),)
-        num_group, group_size = mc.num_group, mc.ulip_group_size
-    elif args.vlm3d == "openshape":
-        from uni_adapter_tpu.models.ppta import create_openshape
-        model = create_openshape(mc)
-        init_args = (jnp.zeros((1, 1024, 3), jnp.float32),
-                     jnp.zeros((1, 1024, 6), jnp.float32))
-        num_group, group_size = model.preset.patches, model.preset.nsamp
-    else:
-        model = create_uni3d(mc)
-        init_args = (jnp.zeros((1, 1024, 6), jnp.float32),)
-        num_group, group_size = mc.num_group, mc.group_size
+    from uni_adapter_tpu.models.loader import build_backbone
+    model, init_args, num_group, group_size = build_backbone(args.vlm3d, mc)
     params = init_or_load_params(model, init_args, args.checkpoint)
 
     if args.root:

@@ -31,6 +31,30 @@ def test_native_npy_roundtrip(tmp_path):
     r.close()
 
 
+def test_native_prefetch_sequential_exactness(tmp_path):
+    """Torn-read regression for the ring prefetcher: a sequential pass
+    through an array many laps larger than the ring must return every
+    sample byte-exact.  The pre-fix ua_prefetch_get advanced the consumer
+    cursor BEFORE copying out of the slot, licensing the producer to
+    overwrite that very slot mid-copy (seqlock handshake added in
+    npy_loader.cpp)."""
+    from uni_adapter_tpu.native.loader import NativeNpy
+
+    n, ring = 64, 4
+    # large samples widen the memcpy window the race needs
+    arr = (np.arange(n, dtype=np.float32)[:, None]
+           * np.ones((n, 16384), np.float32))
+    p = os.path.join(tmp_path, "big.npy")
+    np.save(p, arr)
+    r = NativeNpy(p, prefetch=ring)
+    for _ in range(3):
+        for i in range(n):
+            got = r.read_f32(i)
+            assert (got == np.float32(i)).all(), \
+                f"sample {i}: torn read ({np.unique(got)[:4]}...)"
+    r.close()
+
+
 def test_native_npy_dtype_conversions(tmp_path):
     from uni_adapter_tpu.native.loader import NativeNpy
 
@@ -301,6 +325,28 @@ def test_overlay_params_writes_matching_leaves(tiny_uni3d):
     np.testing.assert_allclose(
         np.asarray(new["params"]["point_encoder"]["cls_token"]),
         np.asarray(params["params"]["point_encoder"]["cls_token"]))
+
+
+def test_overlay_strict_reports_suffix_shadowed_leaf(tiny_uni3d):
+    """A used checkpoint key that is a path suffix of an UN-overlaid leaf
+    must not hide it from strict mode: 'norm/scale' matches only the
+    boundary-correct 'norm' leaf, and 'fc_norm/scale' (whose string merely
+    endswith 'norm/scale') must surface as missing."""
+    import pytest
+
+    from uni_adapter_tpu.models.loader import conversion_report, overlay_params
+
+    model, params = tiny_uni3d
+    pe = params["params"]["point_encoder"]
+    converted = {"point_encoder/norm/scale":
+                 np.asarray(pe["norm"]["scale"], np.float32)}
+    with pytest.raises(ValueError, match="strict overlay failed"):
+        overlay_params(params, converted, strict=True)
+    # and strict overlay agrees with the report on the same checkpoint:
+    # the shadowed fc_norm/scale leaf is missing, the matched one is not
+    rep = conversion_report(params, converted)
+    assert "params/point_encoder/fc_norm/scale" in rep["missing"]
+    assert "params/point_encoder/norm/scale" not in rep["missing"]
 
 
 # ---------------- config CLI ----------------

@@ -117,6 +117,43 @@ def test_knn_kernel_matches_xla_on_hw(B, S, N, k):
             np.testing.assert_allclose(d[i], kth, rtol=1e-5)
 
 
+@pytest.mark.parametrize("B,S,N,k", [(30, 512, 1024, 32),   # ULIP shape
+                                     (30, 512, 1024, 64)])  # Uni3D shape
+def test_knn_gather_kernel_on_hw(B, S, N, k):
+    """Real-lowering coverage for the fused kNN+gather kernel (opt-in in
+    the configs, but its Mosaic lowering — strided rank-4 writes, k-scaled
+    VMEM tiling — must be validated on hardware like the other kernels).
+    The gather contract is exact against the kernel's OWN indices; the
+    selection contract is the same tie-aware set check as the kNN test."""
+    from uni_adapter_tpu.ops.knn_pallas import knn_gather_pallas
+
+    xyz = jnp.asarray(_rand((B, N, 3), seed=B + k))
+    q = jnp.asarray(_rand((B, S, 3), seed=B + k + 1))
+    vals = jnp.asarray(_rand((B, N, 6), seed=B + k + 2))
+    idx, gathered = knn_gather_pallas(k, xyz, q, vals)
+    idx_np = np.asarray(idx)
+    # gather is exact w.r.t. the selected indices
+    want_g = np.take_along_axis(np.asarray(vals)[:, None],
+                                idx_np[..., None].repeat(6, -1), axis=2)
+    np.testing.assert_array_equal(np.asarray(gathered), want_g)
+    # selection: identical sets vs the XLA twin, modulo fp32
+    # rounding-degenerate k-th boundaries (see the kNN test above)
+    want = np.sort(np.asarray(G.knn_point(k, xyz, q)), axis=-1)
+    got = np.sort(idx_np, axis=-1)
+    if np.array_equal(want, got):
+        return
+    xyz64, q64 = np.asarray(xyz, np.float64), np.asarray(q, np.float64)
+    rows = np.argwhere((want != got).any(-1))
+    assert len(rows) <= max(1, B * S // 1000)
+    for b, s in rows:
+        only = (sorted(set(want[b, s]) - set(got[b, s]))
+                + sorted(set(got[b, s]) - set(want[b, s])))
+        d = ((xyz64[b] - q64[b, s]) ** 2).sum(-1)
+        kth = np.sort(d)[k - 1]
+        for i in only:
+            np.testing.assert_allclose(d[i], kth, rtol=1e-5)
+
+
 @pytest.mark.parametrize("B,S,N,k,r", [(60, 384, 1024, 64, 0.2),  # OpenShape
                                        (2, 100, 1000, 32, 0.3)])
 def test_ballquery_kernel_matches_xla_on_hw(B, S, N, k, r):

@@ -40,6 +40,40 @@ def init_or_load_params(model, init_args: Sequence, checkpoint_path:
     return params
 
 
+def build_backbone(vlm3d: str, mc, npoints: int = 1024):
+    """Construct the point backbone for `vlm3d` with its init shapes and
+    grouping geometry — the single dispatch point shared by the analysis
+    CLIs and the conversion-report CLI (reference forward conventions:
+    Uni_Adapter.py:53-67).
+
+    Returns (model, init_args, num_group, group_size); num_group/group_size
+    describe where the transformer tokens sit spatially (for the
+    on-pointcloud attention overlays — PPTA tokens sit on the
+    set-abstraction FPS centers, same FPS as group_points).
+    """
+    import jax.numpy as jnp
+
+    if vlm3d == "ulip":
+        from uni_adapter_tpu.models.pointbert import create_ulip
+        model = create_ulip(mc)
+        init_args = (jnp.zeros((1, npoints, 3), jnp.float32),)
+        num_group, group_size = mc.num_group, mc.ulip_group_size
+    elif vlm3d == "openshape":
+        from uni_adapter_tpu.models.ppta import create_openshape
+        model = create_openshape(mc)
+        init_args = (jnp.zeros((1, npoints, 3), jnp.float32),
+                     jnp.zeros((1, npoints, 6), jnp.float32))
+        num_group, group_size = model.preset.patches, model.preset.nsamp
+    elif vlm3d == "uni3d":
+        from uni_adapter_tpu.models.uni3d import create_uni3d
+        model = create_uni3d(mc)
+        init_args = (jnp.zeros((1, npoints, 6), jnp.float32),)
+        num_group, group_size = mc.num_group, mc.group_size
+    else:
+        raise ValueError(f"unknown vlm3d {vlm3d!r}")
+    return model, init_args, num_group, group_size
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint to numpy, stripping the `module.` prefix
     (reference utils/load_models.py:53-59)."""
@@ -240,8 +274,11 @@ def overlay_params(params: Any, converted: Dict[str, np.ndarray],
                   if pstr in matches else leaf
                   for pstr, leaf in path_strs]
 
-    missing = [p for p, _ in path_strs
-               if not any(p.endswith(c) for c in used)]
+    # a leaf is overlaid iff it matched — the same criterion as
+    # conversion_report (a boundary-less endswith against used keys would
+    # let e.g. an un-overlaid 'fc_norm/scale' hide behind a used
+    # 'norm/scale' key and pass strict=True with its random init)
+    missing = [p for p, _ in path_strs if p not in matches]
     unexpected = sorted(set(converted) - used)
     if missing:
         logging.info("overlay_params: %d params kept their init (e.g. %s)",
@@ -326,23 +363,14 @@ def _report_main(argv: Optional[Sequence[str]] = None) -> int:
         import dataclasses
         mc = dataclasses.replace(mc, eva_depth=args.eva_depth)
 
-    if args.vlm3d == "uni3d":
-        from uni_adapter_tpu.models.uni3d import create_uni3d
-        model = create_uni3d(mc)
-        init_args = (jnp.zeros((1, 128, 6), jnp.float32),)
-    elif args.vlm3d == "ulip":
-        from uni_adapter_tpu.models.pointbert import create_ulip
-        model = create_ulip(mc)
-        init_args = (jnp.zeros((1, 128, 3), jnp.float32),)
-    elif args.vlm3d == "openshape":
-        from uni_adapter_tpu.models.ppta import create_openshape
-        model = create_openshape(mc)
-        init_args = (jnp.zeros((1, 128, 3), jnp.float32),
-                     jnp.zeros((1, 128, 6), jnp.float32))
-    else:
+    if args.vlm3d == "clip_text":
         from uni_adapter_tpu.models.clip_text import create_text_encoder
         model = create_text_encoder(args.text_preset, dtype=jnp.float32)
         init_args = (jnp.zeros((1, 77), jnp.int32),)
+    else:
+        # 128-point init: param shapes are npoints-independent and the
+        # report only needs shapes
+        model, init_args, _, _ = build_backbone(args.vlm3d, mc, npoints=128)
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
     converted = convert_state_dict(load_torch_state_dict(args.checkpoint))

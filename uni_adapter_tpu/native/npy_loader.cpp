@@ -126,6 +126,12 @@ struct Prefetcher {
         continue;
       }
       int slot = static_cast<int>(i % ring_size);
+      // seqlock handshake with ua_prefetch_get: invalidate the slot BEFORE
+      // overwriting it, publish the new index only after the copy
+      // completes — a concurrent consumer copy observes the invalidation
+      // in its re-check and falls back to the direct mmap copy instead of
+      // returning torn bytes.
+      slot_idx[slot].store(-1);
       std::memcpy(ring[slot].data(), arr->data + i * sample_bytes,
                   sample_bytes);
       slot_idx[slot].store(i);
@@ -260,17 +266,26 @@ void* ua_prefetch_start(void* h, int ring_size) {
 int64_t ua_prefetch_get(void* hp, int64_t i, char* out) {
   auto* p = static_cast<Prefetcher*>(hp);
   if (!p || i < 0 || i >= p->arr->shape[0]) return -1;
-  // advance the consumer cursor so the loader keeps filling ahead of us
-  // (monotonic: out-of-order reads behind the cursor stay served by the
-  // fallback path below)
-  int64_t cur = p->consumer.load();
-  while (cur < i + 1 && !p->consumer.compare_exchange_weak(cur, i + 1)) {
-  }
   int slot = static_cast<int>(i % p->ring_size);
+  // Read the slot BEFORE advancing the consumer cursor: the producer only
+  // reuses this slot for sample i+ring_size, which its backpressure guard
+  // (run(): i >= consumer + ring_size) admits only once consumer > i.
+  // The slot_idx re-check after the copy is the seqlock validation — the
+  // producer invalidates a slot before overwriting it, so a torn copy
+  // cannot observe the same index on both sides of the memcpy.
+  bool copied = false;
   if (p->slot_idx[slot].load() == i) {
     std::memcpy(out, p->ring[slot].data(), p->sample_bytes);
-  } else {
+    copied = (p->slot_idx[slot].load() == i);
+  }
+  if (!copied) {
     std::memcpy(out, p->arr->data + i * p->sample_bytes, p->sample_bytes);
+  }
+  // now advance the cursor so the loader keeps filling ahead of us
+  // (monotonic: out-of-order reads behind the cursor stay served by the
+  // fallback path above)
+  int64_t cur = p->consumer.load();
+  while (cur < i + 1 && !p->consumer.compare_exchange_weak(cur, i + 1)) {
   }
   return static_cast<int64_t>(p->sample_bytes);
 }

@@ -45,7 +45,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (parent-module name, param name) → spec builder
 def _spec_for(path_names, leaf, axis: str):
     names = list(path_names)
-    joined = "/".join(names)
     is_kernel = names[-1] == "kernel"
     is_bias_like = names[-1] in ("bias", "scale", "mean", "var")
     parent = names[-2] if len(names) >= 2 else ""
@@ -73,7 +72,6 @@ def _spec_for(path_names, leaf, axis: str):
         # features follow the column-sharded hidden axis
         if in_mlp and parent == "norm" and grandparent in ("mlp", "ff"):
             return P(axis)
-    del joined
     return P()  # replicated
 
 
