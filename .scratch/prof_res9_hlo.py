@@ -47,7 +47,7 @@ def nbytes(m):
 
 for blk in blocks:
     header = blk.splitlines()[0] if blk else ""
-    if "4624" not in blk:
+    if "1156,1156]" not in blk or "region" not in header:
         continue
     big = []
     for ln in blk.splitlines():
