@@ -239,6 +239,42 @@ def test_cache_insert_then_merge(rng, clipw):
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
 
+def test_cache_merge_respects_logit_scale(rng, clipw):
+    """The merge re-derives a prototype's probs/entropy at the engine's
+    logit scale, not a hardcoded 100 — with scale 40 the recomputed probs
+    must equal softmax(40·sim) (the documented older-loop scale,
+    Uni_Adapter copy.py:57)."""
+    scale = 40.0
+    st = cache_mod.init(K, shot_capacity=1, feat_dim=D)
+    logits = scale * jnp.matmul(_feat(rng), clipw)
+    prob = jax.nn.softmax(logits, 1)
+    ent = um.normalized_entropy(um.softmax_entropy(logits), K)[0]
+    st, _ = cache_mod.update_cache(st, jnp.int32(1), _feat(rng), ent, prob,
+                                   clipw, logit_scale=scale)
+    st2, merged = cache_mod.update_cache(st, jnp.int32(1), _feat(rng), ent,
+                                         prob, clipw, logit_scale=scale)
+    assert not bool(merged)
+    proto = np.asarray(st2.feats[1, 0])
+    want = jax.nn.softmax(scale * jnp.matmul(jnp.asarray(proto)[None], clipw),
+                          axis=1)
+    np.testing.assert_allclose(np.asarray(st2.probs[1, 0]),
+                               np.asarray(want[0]), atol=1e-6)
+
+
+def test_fuse_cache_scale_divisor():
+    """fuse_cache undoes the clip logits' similarity scaling with the SAME
+    scale that produced them."""
+    from uni_adapter_tpu.adapt import fusion
+
+    rng_ = np.random.default_rng(0)
+    sims = jnp.asarray(rng_.standard_normal((2, K)), jnp.float32)
+    cachel = jnp.asarray(rng_.standard_normal((2, K)), jnp.float32)
+    out40 = fusion.fuse_cache(40.0 * sims, cachel, logit_scale=40.0)
+    out100 = fusion.fuse_cache(100.0 * sims, cachel, logit_scale=100.0)
+    np.testing.assert_allclose(np.asarray(out40), np.asarray(out100),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_cache_logits_empty_is_zero(clipw):
     st = cache_mod.init(K, 2, D)
     out = cache_mod.compute_cache_logits(jnp.ones((1, D)), st, 0.5, 0.11)

@@ -244,6 +244,35 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_save_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-save (the exact scenario elastic recovery exists for)
+    must leave the previous good checkpoint intact and loadable — the
+    pre-fix in-place np.savez truncated it on open."""
+    import pytest
+
+    path = os.path.join(tmp_path, "ckpt")
+    good = {"x": jnp.arange(4, dtype=jnp.float32)}
+    checkpoint.save_state(path, good)
+
+    class Boom(Exception):
+        pass
+
+    real_savez = np.savez
+
+    def crashing_savez(file, **kw):
+        real_savez(file, **kw)          # temp file fully written…
+        raise Boom()                     # …but the save dies before replace
+
+    monkeypatch.setattr(np, "savez", crashing_savez)
+    with pytest.raises(Boom):
+        checkpoint.save_state(path, {"x": jnp.full((4,), 9.0)})
+    monkeypatch.undo()
+
+    restored = checkpoint.restore_state(path)
+    np.testing.assert_array_equal(np.asarray(restored["x"]),
+                                  np.arange(4, dtype=np.float32))
+
+
 def test_engine_state_checkpoint_resume(tmp_path, tiny_uni3d):
     """Mid-stream exact resume — the capability the reference lacks
     (SURVEY.md §5.4)."""

@@ -91,7 +91,7 @@ def _masked_log_pi(state: AdaptiveState) -> jax.Array:
 
 
 def _split_once(state: AdaptiveState, split_threshold: float,
-                min_count: float, sigma_epsilon: float) -> AdaptiveState:
+                min_count: float) -> AdaptiveState:
     """Split the worst eligible component of every class that has one
     (vectorised over K)."""
     K, M, D = state.mu.shape
@@ -134,15 +134,13 @@ def _split_once(state: AdaptiveState, split_threshold: float,
 
 
 def check_and_split(state: AdaptiveState, split_threshold: float,
-                    min_count_to_split: float = 5.0,
-                    sigma_epsilon: float = 0.0) -> AdaptiveState:
+                    min_count_to_split: float = 5.0) -> AdaptiveState:
     """Split all eligible components (reference _check_and_split,
     :173-210), as `max_modes` vectorised worst-first passes."""
     M = state.mu.shape[1]
 
     def body(_, s):
-        return _split_once(s, split_threshold, min_count_to_split,
-                           sigma_epsilon)
+        return _split_once(s, split_threshold, min_count_to_split)
 
     return jax.lax.fori_loop(0, M, body, state)
 

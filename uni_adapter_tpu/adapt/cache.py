@@ -59,7 +59,8 @@ def init(num_classes: int, shot_capacity: int, feat_dim: int) -> CacheState:
 
 def update_cache(state: CacheState, pred: jax.Array, pc_features: jax.Array,
                  prop_entropy: jax.Array, prob_map: jax.Array,
-                 clip_weights: jax.Array, beta: float = 150.0):
+                 clip_weights: jax.Array, beta: float = 150.0,
+                 logit_scale: float = 100.0):
     """Insert-or-merge one sample (reference: Uni_Adapter.py:78-118).
 
     Args:
@@ -68,6 +69,10 @@ def update_cache(state: CacheState, pred: jax.Array, pc_features: jax.Array,
       prop_entropy: () normalised entropy of the sample's logits.
       prob_map: (1, K) softmax probabilities.
       clip_weights: (D, K) current text anchors.
+      logit_scale: scale used when the merge re-derives a prototype's
+        probs/entropy/confidence — must match the scale the engine used
+        for the sample's own clip logits (ModelConfig.logit_scale; the
+        reference hardcodes 100, Uni_Adapter.py:106-108).
     Returns:
       (new_state, add_new_center: bool array)
     """
@@ -99,8 +104,8 @@ def update_cache(state: CacheState, pred: jax.Array, pc_features: jax.Array,
         new_feat = (conf_c * count_c * feat_c + confidence * feat) / (
             count_c * conf_c + confidence)
         new_feat = new_feat / (jnp.linalg.norm(new_feat) + 1e-12)
-        logits = 100.0 * jnp.matmul(new_feat[None], clip_weights,
-                                    precision=_HIGH)             # (1, K)
+        logits = logit_scale * jnp.matmul(new_feat[None], clip_weights,
+                                          precision=_HIGH)       # (1, K)
         new_prob = jax.nn.softmax(logits, axis=1)
         new_prop_ent = normalized_entropy(softmax_entropy(logits), K)[0]
         new_conf = jnp.exp(-beta * new_prop_ent)

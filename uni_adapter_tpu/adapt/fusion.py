@@ -22,8 +22,12 @@ from uni_adapter_tpu.utils.math import softmax_entropy
 
 
 def dota_fusion_weight(rho: float, eta: float, c_mean: jax.Array,
-                       batch: int) -> jax.Array:
-    """w = clamp(ρ·mean(c)/B, max=η) (Uni_Adapter.py:491)."""
+                       batch) -> jax.Array:
+    """w = clamp(ρ·mean(c)/B, max=η) (Uni_Adapter.py:491).
+
+    `batch` is the batch the fit consumed — a Python int single-device, or
+    a psum-traced global count under dist_mode='psum' (engine.py).
+    """
     return jnp.minimum(rho * c_mean / batch, eta)
 
 
@@ -57,13 +61,17 @@ def fuse_mode_dota(clip_logits: jax.Array, dota_logits: jax.Array,
     return (w_clip[:, None] * clip_logits + w_dota[:, None] * scaled_dota)
 
 
-def fuse_cache(clip_logits: jax.Array, cache_logits: jax.Array) -> jax.Array:
+def fuse_cache(clip_logits: jax.Array, cache_logits: jax.Array,
+               logit_scale: float = 100.0) -> jax.Array:
     """Cache-path fusion (Uni_Adapter.py:554-574).
 
-    final = (1/H₁)·softmax(clip/100) + (1/H₂)·softmax(cache_logits)
-    with H computed on the already-softmaxed distributions.
+    final = (1/H₁)·softmax(clip/scale) + (1/H₂)·softmax(cache_logits)
+    with H computed on the already-softmaxed distributions.  The divisor
+    undoes the logits' similarity scaling (the reference hardcodes its
+    100× scale); it must match the scale that produced clip_logits or the
+    clip side fuses at the wrong temperature.
     """
-    prob1 = jax.nn.softmax(clip_logits / 100.0, axis=1)
+    prob1 = jax.nn.softmax(clip_logits / logit_scale, axis=1)
     ent1 = softmax_entropy(prob1, enable_softmax=False)
     prob2 = jax.nn.softmax(cache_logits, axis=1)
     ent2 = softmax_entropy(prob2, enable_softmax=False)

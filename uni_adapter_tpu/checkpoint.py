@@ -20,14 +20,23 @@ def save_state(path: str, state: Any) -> None:
     """Save any pytree (EngineState, model params, …) to `path`.
 
     Arrays go into an .npz; the treedef is pickled alongside (the treedef
-    contains no array data, only structure)."""
+    contains no array data, only structure).  Both files are written to
+    temp names and os.replace'd so a crash mid-save — the exact scenario
+    elastic recovery exists for — can never truncate the previous good
+    checkpoint or leave the pair out of sync (os.replace is atomic on
+    POSIX; treedef lands first so a reader of the new .npz, the resume
+    gate, always finds a matching-or-newer treedef)."""
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(jax.device_get(l))
               for i, l in enumerate(leaves)}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path + ".npz", **arrays)
-    with open(path + ".treedef", "wb") as f:
+    # temp name must end in .npz or np.savez appends another suffix
+    tmp_npz, tmp_tree = path + ".tmp.npz", path + ".treedef.tmp"
+    np.savez(tmp_npz, **arrays)
+    with open(tmp_tree, "wb") as f:
         pickle.dump(treedef, f)
+    os.replace(tmp_tree, path + ".treedef")
+    os.replace(tmp_npz, path + ".npz")
 
 
 def restore_state(path: str) -> Any:

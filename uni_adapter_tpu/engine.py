@@ -190,6 +190,17 @@ def make_step_fn(cfg: Config, model,
                 m = m.astype(jnp.float16).astype(jnp.float32)
             return m
 
+        # fusion weight w = clamp(rho*mean(c)/B, eta) uses the batch the
+        # fit consumed (Uni_Adapter.py:489-494).  Under psum mode the fit's
+        # sufficient statistics merge across devices, so mean(c) grows with
+        # the GLOBAL per-step batch — divide by it, not the local shard,
+        # or w saturates n_devices times too fast and the emitted logits
+        # diverge from the equivalent single-device batched run.
+        if axis_name is not None:
+            fit_batch = jax.lax.psum(jnp.float32(pc.shape[0]), axis_name)
+        else:
+            fit_batch = float(pc.shape[0])
+
         # --- B. adapt ---
         if dc.use_dota and not dc.use_mode_dota:
             ms = state.method_state
@@ -198,7 +209,7 @@ def make_step_fn(cfg: Config, model,
             ms = dota.fit(ms, feat, prob_map, axis_name=axis_name)
             ms = dota.update(ms, dc.epsilon)
             w = fusion.dota_fusion_weight(dc.rho, dc.eta, jnp.mean(ms.c),
-                                          feat.shape[0])
+                                          fit_batch)
             final = fusion.fuse_dota(clip_logits, dota_logits, w)
 
         elif dc.use_mode_dota:
@@ -236,7 +247,7 @@ def make_step_fn(cfg: Config, model,
                                          lambda rs: rs, state.res_state)
 
             w = fusion.dota_fusion_weight(dc.rho, dc.eta, jnp.mean(ms.c),
-                                          feat.shape[0])
+                                          fit_batch)
             final = fusion.fuse_mode_dota(clip_logits, dota_logits, w)
 
         elif dc.use_gmm_dota:
@@ -249,7 +260,7 @@ def make_step_fn(cfg: Config, model,
             ms = gmm.update(ms, dc.epsilon)
             w = fusion.dota_fusion_weight(
                 dc.rho, dc.eta, jnp.mean(gmm.class_counts_per_class(ms)),
-                feat.shape[0])
+                fit_batch)
             final = fusion.fuse_mode_dota(clip_logits, gmm_logits, w)
 
         elif dc.use_adaptive_dota:
@@ -264,19 +275,21 @@ def make_step_fn(cfg: Config, model,
                                   split_threshold=10.0 * sigma_init,
                                   axis_name=axis_name)
             w = fusion.dota_fusion_weight(dc.rho, dc.eta, jnp.mean(ms.c),
-                                          feat.shape[0])
+                                          fit_batch)
             final = fusion.fuse_mode_dota(clip_logits, ad_logits, w)
 
         else:
             prop_ent = normalized_entropy(ent, K)[0]
             ms, _ = cache_mod.update_cache(
                 state.method_state, pred, feat[:1], prop_ent, prob_map[:1],
-                clip_weights, beta=cc.beta)
+                clip_weights, beta=cc.beta,
+                logit_scale=cfg.model.logit_scale)
             cache_logits = cache_mod.compute_cache_logits(
                 feat, ms, cc.threshold, cc.lambda_reg,
                 use_new_approximation=cc.use_new_approximation,
                 cg_max_iter=cc.cg_max_iter, graph_mode=cc.graph_mode)
-            final = fusion.fuse_cache(clip_logits, cache_logits)
+            final = fusion.fuse_cache(clip_logits, cache_logits,
+                                      logit_scale=cfg.model.logit_scale)
 
         out = StepOutput(final, clip_logits,
                          topk_correct(final, target, (1, 3, 5)))
@@ -329,7 +342,7 @@ def run_stream_scan(cfg: Config, model, params,
 def run_streams_vmapped(cfg: Config, model, params,
                         text_features_initial: jax.Array,
                         pcs: jax.Array, rgbs: jax.Array, targets: jax.Array,
-                        seed: int = 42):
+                        seed: int = 42, scan_fn=None):
     """Run C independent streams simultaneously as one vmapped scan.
 
     The benchmark's 15 corruption streams are independent online
@@ -344,12 +357,16 @@ def run_streams_vmapped(cfg: Config, model, params,
 
     Args:
       pcs: (C, T, B, N, 3); rgbs likewise; targets: (C, T, B).
+      scan_fn: pass jax.jit(make_vmapped_scan_fn(cfg, model)) to reuse one
+        compiled program across calls (e.g. a severity sweep) — same
+        compile-cache guidance as run_stream_scan above.
     Returns:
       (stacked final EngineStates with leading C axis,
        StepOutput with leading (T, C) axes)
     """
     C = pcs.shape[0]
-    scan_fn = jax.jit(make_vmapped_scan_fn(cfg, model))
+    if scan_fn is None:
+        scan_fn = jax.jit(make_vmapped_scan_fn(cfg, model))
     states = init_states_vmapped(cfg, text_features_initial, C, seed)
     # time axis leading for the scan: (C, T, ...) → (T, C, ...)
     t_first = lambda a: jnp.swapaxes(jnp.asarray(a), 0, 1)

@@ -62,9 +62,7 @@ class TTAServer:
             raise ValueError(f"client {client_id!r} is not registered "
                              f"(known: {sorted(self.states)})")
         del self.states[client_id]
-        rng = jax.random.PRNGKey(self.seed + self._next_client)
-        self._next_client += 1
-        self.states[client_id] = engine.init_state(self.cfg, self.text, rng)
+        self.register(client_id)
 
     def submit(self, requests: List[Tuple[str, np.ndarray, Optional[np.ndarray]]]
                ) -> Dict[str, np.ndarray]:
@@ -164,7 +162,14 @@ class TTAServer:
             self.register(client_id)
         try:
             template = self.states.get(client_id)
-            if os.path.isdir(path):
+            # the same path may hold BOTH an orbax dir (non-blocking
+            # snapshot) and an .npz pair (blocking snapshot); restore
+            # whichever was written last, not a fixed preference — a stale
+            # orbax dir must not shadow a newer npz
+            has_dir = os.path.isdir(path)
+            has_npz = os.path.isfile(path + ".npz")
+            if has_dir and (not has_npz or os.path.getmtime(path)
+                            >= os.path.getmtime(path + ".npz")):
                 self.states[client_id] = checkpoint.restore_state_orbax(
                     path, template=template)
             else:
