@@ -185,6 +185,25 @@ def test_conjugate_gradient(rng):
     np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-3, atol=1e-4)
 
 
+def test_conjugate_gradient_tiny_b_runs_one_iteration(rng):
+    """Do-while parity: the torch reference always runs one CG iteration
+    (the break tests rz_new AFTER the update, math_utils.py:30-38), so for
+    b small enough that the initial residual is already under tol the
+    solver must return the first-iteration x = alpha*b, not zero — the
+    early near-uniform cache at LVIS scale hits exactly this, and a zero
+    x row-normalises to an all-zero probability matrix."""
+    A = rng.standard_normal((8, 8)).astype(np.float32)
+    A = A @ A.T + 8 * np.eye(8, dtype=np.float32)
+    b = 1e-4 * rng.standard_normal((8, 2)).astype(np.float32)
+    assert np.all(np.sum(b * b, axis=0) < 1e-5)           # initial rz < tol
+    x = np.asarray(um.conjugate_gradient(jnp.array(A), jnp.array(b)))
+    assert np.any(x != 0.0)
+    # torch-reference first iteration: x = (rz/(p·Ap + 1e-8)) * b
+    rz = np.sum(b * b, axis=0)
+    alpha = rz / (np.sum(b * (A @ b), axis=0) + 1e-8)
+    np.testing.assert_allclose(x, alpha[None] * b, rtol=1e-5, atol=1e-9)
+
+
 def test_refinement_masked_equals_dense_subset(rng):
     n_valid, n_total = 12, 20
     keys = rng.standard_normal((n_total, D)).astype(np.float32)

@@ -117,10 +117,17 @@ def test_tokenizer_roundtrip():
 
 
 def test_tokenizer_truncation():
+    """Plain truncation to 77 tokens, EOT dropped off the end — the
+    reference's exact behaviour (tokenizer.py:146-147), NOT the open_clip
+    variant that force-appends EOT (which would move the encoder's
+    EOT-argmax pooling position for long prompts)."""
     tok = SimpleTokenizer()
-    out = tok(" ".join(["chair"] * 200))
+    text = " ".join(["chair"] * 200)
+    out = tok(text)
     assert out.shape == (1, 77)
-    assert out[0, -1] == 49407                            # EOT forced at end
+    full = [49406] + tok.encode(text) + [49407]
+    np.testing.assert_array_equal(out[0], np.asarray(full[:77], np.int32))
+    assert out[0, -1] != 49407                            # EOT fell off
 
 
 def test_tokenize_module_fn():

@@ -54,8 +54,9 @@ SHAPENETCORE_CLASSES = [
 ]
 
 
-def load_data(data_path: str, corruption: str, severity: int):
-    """Load the npy pair for one corruption (tta_datasets.py:11-36)."""
+def _npy_pair_paths(data_path: str, corruption: str, severity: int):
+    """Filename resolution shared by load_data and open_native
+    (tta_datasets.py:11-36, incl. the mixed-corruptions special case)."""
     if corruption == "clean":
         data_file = os.path.join(data_path, "data_original.npy")
     else:
@@ -64,6 +65,12 @@ def load_data(data_path: str, corruption: str, severity: int):
     if "mixed_corruptions" in corruption:
         data_file = os.path.join(data_path, f"{corruption}.npy")
         label_file = os.path.join(data_path, "mixed_corruptions_labels.npy")
+    return data_file, label_file
+
+
+def load_data(data_path: str, corruption: str, severity: int):
+    """Load the npy pair for one corruption (tta_datasets.py:11-36)."""
+    data_file, label_file = _npy_pair_paths(data_path, corruption, severity)
     if not os.path.exists(data_file):
         raise FileNotFoundError(f"Data file not found: {data_file}")
     if not os.path.exists(label_file):
@@ -81,12 +88,8 @@ def open_native(data_path: str, corruption: str, severity: int,
     falls back to numpy memmap transparently inside NativeNpy."""
     from uni_adapter_tpu.native.loader import NativeNpy
 
-    if corruption == "clean":
-        data_file = os.path.join(data_path, "data_original.npy")
-    else:
-        data_file = os.path.join(data_path, f"data_{corruption}_{severity}.npy")
-    return (NativeNpy(data_file, prefetch=prefetch),
-            NativeNpy(os.path.join(data_path, "label.npy")))
+    data_file, label_file = _npy_pair_paths(data_path, corruption, severity)
+    return (NativeNpy(data_file, prefetch=prefetch), NativeNpy(label_file))
 
 
 def load_h5(h5_name: str):
@@ -133,7 +136,7 @@ class TTADataset:
         rng = np.random.default_rng(seed)
         n = npoints or max(np.asarray(self.data[i]).shape[0]
                            for i in range(len(self)))
-        pcs, rgbs, labels = [], [], []
+        pcs, labels = [], []
         for i in range(len(self)):
             pc, label, _, _ = self[i]
             if pc.shape[0] != n:

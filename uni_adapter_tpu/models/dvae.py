@@ -171,9 +171,12 @@ class DiscreteVAE(nn.Module):
 
 def chamfer_l1(a: jax.Array, b: jax.Array) -> jax.Array:
     """Symmetric Chamfer-L1 between point sets (B, N, 3) / (B, M, 3) —
-    the dVAE reconstruction metric (dvae.py:300-313)."""
+    the dVAE reconstruction metric (dvae.py:300-313).  Averaged over the
+    two directions (the /2 of Point-BERT's ChamferDistanceL1) so
+    dvae_train_step's documented kl_weight schedule keeps the upstream
+    reconstruction/KL balance."""
     d = jnp.linalg.norm(a[:, :, None] - b[:, None], axis=-1)  # (B, N, M)
-    return jnp.mean(jnp.min(d, axis=2)) + jnp.mean(jnp.min(d, axis=1))
+    return 0.5 * (jnp.mean(jnp.min(d, axis=2)) + jnp.mean(jnp.min(d, axis=1)))
 
 
 def dvae_loss(ret) -> Tuple[jax.Array, jax.Array]:

@@ -40,6 +40,11 @@ class MiniPointNet(nn.Module):
     def __call__(self, point_groups: jax.Array) -> jax.Array:
         # point_groups: (B, G, M, C)
         B, G, M, C = point_groups.shape
+        if C != self.in_channels:
+            raise ValueError(
+                f"MiniPointNet(in_channels={self.in_channels}) fed "
+                f"{C}-channel groups — a silent mismatch would build the "
+                f"wrong conv1 kernel shape")
         x = point_groups.astype(self.dtype)
         x = nn.Dense(128, dtype=self.dtype, name="conv1")(x)
         x = BatchNormInference(128, dtype=self.dtype, name="bn1")(x)

@@ -52,7 +52,7 @@ def _attn_kernel(n_real: int, scale: float, q_ref, k_ref, v_ref, o_ref):
     o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                      scale: float | None = None,
                      interpret: bool = False) -> jax.Array:

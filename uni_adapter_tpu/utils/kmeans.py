@@ -40,13 +40,6 @@ def kmeans(features: jax.Array, n_clusters: int, rng: jax.Array,
     # greedy farthest-point seeding (deterministic kmeans++ variant)
     first = jax.random.randint(rng, (), 0, n)
 
-    def seed_body(carry, _):
-        centers, dist = carry
-        d = jnp.sum((x - centers[-1][None]) ** 2, 1)
-        dist = jnp.minimum(dist, d)
-        nxt = x[jnp.argmax(dist)]
-        return (jnp.concatenate([centers[1:], nxt[None]]), dist), nxt
-
     init_center = x[first]
     seeds = [init_center]
     dist = jnp.full((n,), jnp.inf)

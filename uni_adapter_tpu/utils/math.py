@@ -59,7 +59,13 @@ def conjugate_gradient(A: jax.Array, b: jax.Array, max_iter: int = 100,
 
     def cond(carry):
         i, x, r, p, rz = carry
-        return (i < max_iter) & ~jnp.all(rz < tol)
+        # do-while: the torch loop ALWAYS runs its first iteration — the
+        # break tests rz_new after the update, never the initial residual
+        # (math_utils.py:30-38).  Checking rz before iteration 0 would
+        # return x = 0 whenever b is tiny (early near-uniform caches at
+        # large K), where the reference returns x ∝ b, which row-normalises
+        # to proper probabilities.
+        return (i < max_iter) & ((i == 0) | ~jnp.all(rz < tol))
 
     def body(carry):
         i, x, r, p, rz_old = carry

@@ -152,8 +152,11 @@ class SimpleTokenizer:
         result = np.zeros((len(texts), context_length), dtype=np.int32)
         for i, text in enumerate(texts):
             tokens = [sot] + self.encode(text) + [eot]
-            if len(tokens) > context_length:
-                tokens = tokens[:context_length - 1] + [eot]
+            # plain truncation, EOT dropped when it falls off the end —
+            # the reference's exact behaviour (tokenizer.py:146-147; the
+            # open_clip variant force-appends EOT instead, which would
+            # move the encoder's EOT-argmax pooling position)
+            tokens = tokens[:context_length]
             result[i, :len(tokens)] = tokens
         return result
 
