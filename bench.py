@@ -35,16 +35,9 @@ TORCH_STEPS = 3
 def _enable_compile_cache():
     """Persistent compilation cache: compiles survive across processes,
     shrinking exposure to tunnel flakiness and re-run latency."""
-    import jax
+    from uni_adapter_tpu.utils.profiling import enable_compile_cache
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _progress(msg: str) -> None:

@@ -23,8 +23,14 @@ import numpy as np
 
 def synthetic_class_set(n_classes: int = 6, per_class: int = 3,
                         npoints: int = 512, noise: float = 0.0,
-                        seed: int = 0):
-    rng = np.random.default_rng(seed)
+                        noise_seed: int = 1):
+    """Synthetic per-class clusters.  The class GEOMETRY (anchors + base
+    points) is fixed (seed 0) so the clean and every corrupted severity
+    share the same underlying classes — only the additive noise varies
+    with `noise_seed`; otherwise the displacement analysis would measure a
+    seed change, not corruption."""
+    rng = np.random.default_rng(0)
+    noise_rng = np.random.default_rng(1000 + noise_seed)
     pcs, labels = [], []
     for k in range(n_classes):
         anchor = rng.standard_normal(3)
@@ -32,7 +38,7 @@ def synthetic_class_set(n_classes: int = 6, per_class: int = 3,
             pts = rng.standard_normal((npoints, 3)).astype(np.float32)
             pts /= np.linalg.norm(pts, axis=1, keepdims=True)
             pts = pts * (0.4 + 0.1 * k) + anchor * 0.2
-            pcs.append(pts + noise * rng.standard_normal(pts.shape)
+            pcs.append(pts + noise * noise_rng.standard_normal(pts.shape)
                        .astype(np.float32))
             labels.append(k)
     return np.stack(pcs), np.array(labels)
@@ -92,7 +98,8 @@ def main(argv=None):
         logging.info("no --root: synthetic class set")
         clean_pcs, clean_labels = synthetic_class_set()
         class_names = [f"class_{i}" for i in range(6)]
-        sev_loader = lambda s: synthetic_class_set(noise=0.05 * s, seed=s)
+        sev_loader = lambda s: synthetic_class_set(noise=0.05 * s,
+                                                   noise_seed=s)
 
     an = CrossClassAttentionAnalyzer(model, params, class_names,
                                      num_group=num_group,
@@ -128,7 +135,8 @@ def main(argv=None):
             os.path.join(args.out, f"confused_pairs_s{s}.png"))
         visualize_tsne_with_displacement(
             clean_cent, cent, class_names, args.corruption, s,
-            os.path.join(args.out, f"tsne_displacement_s{s}.png"))
+            os.path.join(args.out, f"tsne_displacement_s{s}.png"),
+            embedding=emb)
         visualize_displacement_magnitudes(
             clean_cent, cent, class_names, args.corruption, s,
             os.path.join(args.out, f"displacement_s{s}.png"))

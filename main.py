@@ -73,17 +73,8 @@ def main(argv=None):
     cfg = parse_args(argv)
     if cfg.run.device != "default":
         jax.config.update("jax_platforms", cfg.run.device)
-    # Persistent compile cache: the first run of a config pays the ~25 s
-    # trunk compile once; every later process reuses it (same block as
-    # bench.py — VERDICT r1 weak #3).
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from uni_adapter_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
     name = cfg.run.name or datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
     log_dir = os.path.join(cfg.run.output_dir, name)
     os.makedirs(log_dir, exist_ok=True)

@@ -378,6 +378,23 @@ def test_overlay_strict_reports_suffix_shadowed_leaf(tiny_uni3d):
     assert "params/point_encoder/norm/scale" not in rep["missing"]
 
 
+def test_parse_args_explicit_flags_beat_dataset_table():
+    """Explicit CLI flags must survive resolve()'s per-dataset table
+    (previously the table silently clobbered them), and None-default
+    Optional[int] fields must parse as ints, not strings."""
+    c = parse_args(["--dataset-name", "modelnet",
+                    "--cache-lambda-reg", "0.3"])
+    assert c.cache.lambda_reg == 0.3          # explicit beats table's 0.11
+    assert c.cache.threshold == 0.5           # table still fills the rest
+    c2 = parse_args(["--dataset-name", "shapenetcore",
+                     "--cache-use-new-approximation", "true"])
+    assert c2.cache.use_new_approximation is True   # table says False
+    assert c2.cache.lambda_reg == 0.07
+    c3 = parse_args(["--dota-prior-pre-steps", "100"])
+    assert c3.dota.prior_pre_steps == 100
+    assert isinstance(c3.dota.prior_pre_steps, int)
+
+
 # ---------------- config CLI ----------------
 
 def test_parse_args_cli_flags():

@@ -69,22 +69,25 @@ class AttentionExtractor:
         self.num_layers = len(attns)
         return self.attention_maps
 
-    def get_cls_attention(self, layer_idx: int = -1) -> np.ndarray:
-        """Attention FROM the CLS token to all group tokens,
-        (B, H, G) (reference :268-295)."""
+    def _layer_map(self, layer_idx: int) -> np.ndarray:
+        if not self.attention_maps:
+            raise ValueError("No attention maps. Run extract() first.")
         if layer_idx == -1:
             layer_idx = self.num_layers - 1
         key = f"layer_{layer_idx}"
         if key not in self.attention_maps:
-            raise ValueError(f"Layer {layer_idx} attention not found. "
-                             "Run extract() first.")
-        return self.attention_maps[key][:, :, 0, 1:]
+            raise ValueError(f"Layer {layer_idx} attention not found "
+                             f"(have {len(self.attention_maps)} layers).")
+        return self.attention_maps[key]
+
+    def get_cls_attention(self, layer_idx: int = -1) -> np.ndarray:
+        """Attention FROM the CLS token to all group tokens,
+        (B, H, G) (reference :268-295)."""
+        return self._layer_map(layer_idx)[:, :, 0, 1:]
 
     def get_attention_to_cls(self, layer_idx: int = -1) -> np.ndarray:
         """Attention from each token TO the CLS token, (B, H, G)."""
-        if layer_idx == -1:
-            layer_idx = self.num_layers - 1
-        return self.attention_maps[f"layer_{layer_idx}"][:, :, 1:, 0]
+        return self._layer_map(layer_idx)[:, :, 1:, 0]
 
     def get_group_centers(self, point_cloud: np.ndarray) -> np.ndarray:
         """FPS group centers aligned with the attention tokens
@@ -127,6 +130,17 @@ def _plt():
     return plt
 
 
+def _save_fig(fig, save_path, plt, dpi: int = 110):
+    """Shared save/close boilerplate for every figure family (the
+    cross_class analogue is cross_class._save)."""
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)),
+                    exist_ok=True)
+        fig.savefig(save_path, dpi=dpi)
+    plt.close(fig)
+    return save_path
+
+
 def visualize_attention_maps(attention_maps: Dict[str, np.ndarray],
                              layer_indices: Optional[List[int]] = None,
                              head_indices: Optional[List[int]] = None,
@@ -147,11 +161,7 @@ def visualize_attention_maps(attention_maps: Dict[str, np.ndarray],
             axes[r][c].set_title(f"{lk} head {h}", fontsize=8)
             axes[r][c].axis("off")
     fig.tight_layout()
-    if save_path:
-        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
-        fig.savefig(save_path, dpi=110)
-    plt.close(fig)
-    return save_path
+    return _save_fig(fig, save_path, plt)
 
 
 def visualize_head_averaged(attention_maps: Dict[str, np.ndarray],
@@ -173,11 +183,7 @@ def visualize_head_averaged(attention_maps: Dict[str, np.ndarray],
     for j in range(n, rows * cols):
         axes[j // cols][j % cols].axis("off")
     fig.tight_layout()
-    if save_path:
-        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
-        fig.savefig(save_path, dpi=110)
-    plt.close(fig)
-    return save_path
+    return _save_fig(fig, save_path, plt)
 
 
 def visualize_cls_evolution(attention_maps: Dict[str, np.ndarray],
@@ -196,11 +202,7 @@ def visualize_cls_evolution(attention_maps: Dict[str, np.ndarray],
     axes[2].plot(attention_sparsity(evo))
     axes[2].set_title("sparsity per layer")
     fig.tight_layout()
-    if save_path:
-        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
-        fig.savefig(save_path, dpi=110)
-    plt.close(fig)
-    return save_path
+    return _save_fig(fig, save_path, plt)
 
 
 def visualize_per_head_grid(attention_maps: Dict[str, np.ndarray],
@@ -225,11 +227,7 @@ def visualize_per_head_grid(attention_maps: Dict[str, np.ndarray],
     for j in range(H, rows * cols):
         axes[j // cols][j % cols].axis("off")
     fig.tight_layout()
-    if save_path:
-        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
-        fig.savefig(save_path, dpi=110)
-    plt.close(fig)
-    return save_path
+    return _save_fig(fig, save_path, plt)
 
 
 def visualize_layer_evolution(attention_maps: Dict[str, np.ndarray],
@@ -248,11 +246,7 @@ def visualize_layer_evolution(attention_maps: Dict[str, np.ndarray],
     ax.set_title(f"token {token_idx} outgoing attention across layers")
     fig.colorbar(im, ax=ax, shrink=0.8)
     fig.tight_layout()
-    if save_path:
-        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
-        fig.savefig(save_path, dpi=110)
-    plt.close(fig)
-    return save_path
+    return _save_fig(fig, save_path, plt)
 
 
 def attention_statistics(attention_maps: Dict[str, np.ndarray]) -> dict:
@@ -586,7 +580,8 @@ def visualize_attention_3d(extractor: AttentionExtractor,
     clouds = {
         "points": np.asarray(point_cloud)[..., :3].reshape(-1, 3),
         "low attention": centers[cls_attn < q[0]],
-        "mid attention": centers[(cls_attn >= q[0]) & (cls_attn < q[2])],
+        "mid attention": centers[(cls_attn >= q[0]) & (cls_attn < q[1])],
+        "high attention": centers[(cls_attn >= q[1]) & (cls_attn < q[2])],
         "top attention": centers[cls_attn >= q[2]],
     }
     return visualize_pointclouds_plotly(

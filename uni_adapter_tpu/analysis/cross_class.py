@@ -36,21 +36,28 @@ class CrossClassAttentionAnalyzer:
         self.class_names = class_names
         self.layer_idx = layer_idx
 
-    def class_centroids(self, pcs: np.ndarray,
-                        labels: np.ndarray) -> np.ndarray:
+    def class_centroids(self, pcs: np.ndarray, labels: np.ndarray,
+                        batch_size: int = 16) -> np.ndarray:
         """(K, G) per-class mean CLS-attention signature
-        (reference :175-198)."""
+        (reference :175-198).  Samples run through the extractor in
+        batches (the docstring's "one jit'd batched forward per
+        condition", chunked to bound the (B, H, N, N) map memory)."""
+        pcs = np.asarray(pcs)
+        labels = np.asarray(labels)
+        if len(pcs) == 0:
+            raise ValueError("class_centroids: empty sample set "
+                             "(load_fn returned no samples)")
         K = len(self.class_names)
-        G = None
         sums, counts = None, np.zeros(K)
-        for pc, lab in zip(pcs, labels):
-            self.extractor.extract(pc[None] if pc.ndim == 2 else pc)
-            sig = self.extractor.get_cls_attention(self.layer_idx).mean(1)[0]
+        for i in range(0, len(pcs), batch_size):
+            chunk = pcs[i:i + batch_size]
+            self.extractor.extract(chunk)
+            sigs = self.extractor.get_cls_attention(self.layer_idx).mean(1)
             if sums is None:
-                G = sig.shape[0]
-                sums = np.zeros((K, G))
-            sums[int(lab)] += sig
-            counts[int(lab)] += 1
+                sums = np.zeros((K, sigs.shape[1]))
+            for sig, lab in zip(sigs, labels[i:i + batch_size]):
+                sums[int(lab)] += sig
+                counts[int(lab)] += 1
         return sums / np.maximum(counts, 1)[:, None]
 
     def distance_matrices(self, clean_centroids: np.ndarray,
@@ -218,17 +225,27 @@ def visualize_tsne_with_displacement(clean_centroids: np.ndarray,
                                      class_names: List[str],
                                      corruption: str, severity: int,
                                      save_path: Optional[str] = None,
-                                     seed: int = 42):
+                                     seed: int = 0,
+                                     embedding: Optional[np.ndarray] = None):
     """Joint t-SNE of clean (circles) and corrupted (triangles) centroids
-    with clean→corrupted displacement arrows (reference :416-497)."""
-    from sklearn.manifold import TSNE
+    with clean→corrupted displacement arrows (reference :416-497).
 
+    Pass `embedding` (the (K, 2, 2) result of
+    CrossClassAttentionAnalyzer.tsne_displacement) to plot EXACTLY the
+    coordinates that were saved to npy — otherwise the fallback fit here
+    uses the same default seed so the two runs coincide for deterministic
+    TSNE builds."""
     plt = _plt()
     K = len(class_names)
-    joint = np.vstack([clean_centroids, corrupted_centroids])
-    emb = TSNE(n_components=2, perplexity=max(2, min(30, K - 1)),
-               random_state=seed, init="pca").fit_transform(joint)
-    ce, xe = emb[:K], emb[K:]
+    if embedding is not None:
+        ce, xe = embedding[:, 0], embedding[:, 1]
+    else:
+        from sklearn.manifold import TSNE
+
+        joint = np.vstack([clean_centroids, corrupted_centroids])
+        emb = TSNE(n_components=2, perplexity=max(2, min(30, K - 1)),
+                   random_state=seed, init="pca").fit_transform(joint)
+        ce, xe = emb[:K], emb[K:]
     fig, ax = plt.subplots(figsize=(12, 9))
     cmap = plt.cm.tab20 if K <= 20 else plt.cm.rainbow
     colors = cmap(np.linspace(0, 1, min(20, K) if K <= 20 else K))

@@ -39,9 +39,21 @@ def load_precomputed(path_or_key: str,
     """
     if os.path.exists(path_or_key):
         return jnp.asarray(np.load(path_or_key).astype(np.float32))
+    if path_or_key.endswith((".npy", ".npz")) or os.sep in path_or_key:
+        # looks like a path, not a size key — a typo'd path must not fall
+        # through to a cryptic size-key KeyError
+        raise FileNotFoundError(
+            f"precomputed text-feature file not found: {path_or_key}")
     family = next((f for f in ("modelnet", "scanobject", "shapenet")
                    if dataset_name and f in dataset_name.lower()), "modelnet")
-    fname = PRECOMPUTED[(path_or_key, family)]
+    try:
+        fname = PRECOMPUTED[(path_or_key, family)]
+    except KeyError:
+        avail = sorted({k for k, fam in PRECOMPUTED if fam == family})
+        raise KeyError(
+            f"no shipped '{path_or_key}' bank for dataset family "
+            f"'{family}' (available sizes: {avail}; or pass a .npy path)"
+        ) from None
     return jnp.asarray(
         np.load(os.path.join(ASSETS_DIR, "text_features", fname))
         .astype(np.float32))

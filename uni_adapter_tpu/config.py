@@ -265,20 +265,41 @@ def load_templates(cfg: Config) -> list[str]:
         return json.load(f)[cfg.data.template_key]
 
 
+def _field_arg_type(f, default):
+    """CLI parser for a dataclass field; None-default fields parse by their
+    ANNOTATION (Optional[int] must yield an int — a str would crash the
+    first arithmetic use, e.g. prior_pre_steps / k in adapt/dota.py)."""
+    if f.type in ("bool", bool) or isinstance(default, bool):
+        return lambda s: s.lower() in ("1", "true", "yes")
+    if default is not None:
+        return type(default)
+    ann = str(f.type)
+    if "int" in ann:
+        return int
+    if "float" in ann:
+        return float
+    return str
+
+
 def _add_fields(parser: argparse.ArgumentParser, prefix: str, dc) -> None:
+    # default=SUPPRESS: only flags the user actually typed appear in the
+    # namespace, so explicit CLI values can be told apart from defaults —
+    # resolve()'s per-dataset table must never clobber an explicit flag
     for f in dataclasses.fields(dc):
         arg = f"--{prefix}{f.name.replace('_', '-')}"
         default = getattr(dc, f.name)
-        if f.type in ("bool", bool) or isinstance(default, bool):
-            parser.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
-                                default=default)
-        elif isinstance(default, (int, float, str)) or default is None:
-            typ = type(default) if default is not None else str
-            parser.add_argument(arg, type=typ, default=default)
+        if isinstance(default, (bool, int, float, str)) or default is None:
+            parser.add_argument(arg, type=_field_arg_type(f, default),
+                                default=argparse.SUPPRESS)
 
 
 def parse_args(argv=None) -> Config:
-    """CLI covering the reference's ~60 flags (utils/params.py:4-118)."""
+    """CLI covering the reference's ~60 flags (utils/params.py:4-118).
+
+    Precedence (lowest → highest): dataclass defaults → the per-dataset
+    hyperparameter table (resolve()) → explicitly passed CLI flags.  The
+    reference reads args.* over hp[...] inconsistently (SURVEY.md §5.6);
+    here an explicit flag always wins, including over the table."""
     cfg = Config()
     parser = argparse.ArgumentParser(
         description="Uni-Adapter TPU: training-free online TTA for 3D VLMs")
@@ -289,16 +310,23 @@ def parse_args(argv=None) -> Config:
     _add_fields(parser, "cache-", cfg.cache)
     ns = parser.parse_args(argv)
 
-    def take(dc, prefix=""):
+    def explicit(dc, prefix=""):
         kw = {}
         for f in dataclasses.fields(dc):
             key = (prefix + f.name) if prefix else f.name
             if hasattr(ns, key):
                 kw[f.name] = getattr(ns, key)
-        return dataclasses.replace(dc, **kw)
+        return kw
 
+    cache_explicit = explicit(cfg.cache, "cache_")
     cfg = Config(
-        model=take(cfg.model), data=take(cfg.data), run=take(cfg.run),
-        dota=take(cfg.dota, "dota_"), cache=take(cfg.cache, "cache_"),
+        model=dataclasses.replace(cfg.model, **explicit(cfg.model)),
+        data=dataclasses.replace(cfg.data, **explicit(cfg.data)),
+        run=dataclasses.replace(cfg.run, **explicit(cfg.run)),
+        dota=dataclasses.replace(cfg.dota, **explicit(cfg.dota, "dota_")),
+        cache=dataclasses.replace(cfg.cache, **cache_explicit),
     )
-    return cfg.resolve()
+    cfg = cfg.resolve()
+    # explicit cache flags beat the table
+    return dataclasses.replace(
+        cfg, cache=dataclasses.replace(cfg.cache, **cache_explicit))

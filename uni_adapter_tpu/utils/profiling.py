@@ -55,10 +55,15 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def enable_compile_cache(cache_dir: str = ".jax_cache") -> None:
-    """Persistent compilation cache (compiles survive process restarts)."""
+def enable_compile_cache(root_dir: str | None = None) -> None:
+    """Persistent XLA compile cache under <root_dir>/.jax_cache (default:
+    the repo root): the first run of a config pays the ~25 s trunk compile
+    once; every later process reuses it.  Shared by main.py and bench.py."""
     import os
 
+    root = root_dir or os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    cache_dir = os.path.join(root, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
