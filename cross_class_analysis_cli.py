@@ -57,8 +57,16 @@ def main(argv=None):
     parser.add_argument("--depth", type=int, default=24)
     parser.add_argument("--vlm3d", default="uni3d",
                         choices=["uni3d", "ulip", "openshape"])
+    parser.add_argument("--device", default="default",
+                        help="jax platform override (cpu/tpu); same as "
+                             "main.py --device — the env var alone is not "
+                             "enough under preregistered backends")
     args = parser.parse_args(argv)
 
+    if args.device != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     from uni_adapter_tpu.analysis.cross_class import (
         CrossClassAttentionAnalyzer, plot_distance_matrices,

@@ -44,8 +44,16 @@ def main(argv=None):
                         help="backbone to extract from (the reference's "
                              "hook extractor is generic over blocks; all "
                              "three are covered here)")
+    parser.add_argument("--device", default="default",
+                        help="jax platform override (cpu/tpu); same as "
+                             "main.py --device — the env var alone is not "
+                             "enough under preregistered backends")
     args = parser.parse_args(argv)
 
+    if args.device != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     from uni_adapter_tpu.analysis import attention as A
     from uni_adapter_tpu.config import Config, DataConfig, ModelConfig
