@@ -1,0 +1,211 @@
+"""Streaming/sharded ingestion tests (data/streaming.py).
+
+The contract under test: the rank-order concatenation of every process's
+local batches equals the deterministic single-host batch stream (exactly
+once per epoch, fixed shapes, remainder dropped); prefetch and mid-epoch
+resume never skip or duplicate a batch; and the local→global bridge feeds
+`train.make_dp_train_step` with a step identical to single-device training.
+"""
+import numpy as np
+import pytest
+
+from uni_adapter_tpu.data.streaming import (ShardedCorpus, StreamingLoader,
+                                            global_batch)
+
+N, C, D = 8, 6, 4        # xyz+rgb channels — what Uni3D's grouping expects
+SHARD_SIZES = (5, 7, 4)          # 16 samples total
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    g = 0
+    pc_paths, text_paths, image_paths = [], [], []
+    for si, n in enumerate(SHARD_SIZES):
+        pc = np.zeros((n, N, C), np.float32)
+        tx = np.zeros((n, D), np.float32)
+        im = np.zeros((n, D), np.float32)
+        for r in range(n):
+            pc[r] = g                    # sample content encodes global id
+            tx[r] = 10 * g
+            im[r] = 100 * g
+            g += 1
+        for arr, paths, tag in ((pc, pc_paths, "pc"), (tx, text_paths, "tx"),
+                                (im, image_paths, "im")):
+            p = str(tmp_path / f"{tag}_{si}.npy")
+            np.save(p, arr)
+            paths.append(p)
+    return ShardedCorpus(pc_paths, text_paths, image_paths)
+
+
+def _ids(batch):
+    return batch["pc"][:, 0, 0].astype(int)
+
+
+def test_corpus_gather_maps_global_indices(corpus):
+    idx = np.array([0, 4, 5, 11, 12, 15])   # spans all three shards
+    b = corpus.gather(idx)
+    assert np.array_equal(_ids(b), idx)
+    assert np.array_equal(b["text_embed"][:, 0].astype(int), 10 * idx)
+    assert np.array_equal(b["image_embed"][:, 0].astype(int), 100 * idx)
+    assert b["mask"].tolist() == [1.0] * len(idx)
+    assert len(corpus) == sum(SHARD_SIZES)
+
+
+def test_epoch_coverage_and_rank_concatenation(corpus):
+    """Two simulated processes: concatenating their local batches in rank
+    order reconstructs the global permutation, each sample once/epoch."""
+    loaders = [StreamingLoader(corpus, global_batch_size=4, seed=7,
+                               process_index=p, process_count=2, prefetch=0)
+               for p in range(2)]
+    assert loaders[0].steps_per_epoch == 4
+    seen = []
+    for _ in range(4):
+        b0, b1 = next(loaders[0]), next(loaders[1])
+        assert b0["step"] == b1["step"]
+        seen.extend(_ids(b0).tolist() + _ids(b1).tolist())
+    assert len(seen) == 16 and sorted(seen) == sorted(set(seen))
+    # equals the single-process stream over the same schedule
+    solo = StreamingLoader(corpus, global_batch_size=4, seed=7,
+                           process_index=0, process_count=1, prefetch=0)
+    solo_ids = np.concatenate([_ids(next(solo)) for _ in range(4)])
+    assert np.array_equal(np.array(seen), solo_ids)
+
+
+def test_epochs_reshuffle_deterministically(corpus):
+    mk = lambda: StreamingLoader(corpus, 16, seed=3, process_index=0,
+                                 process_count=1, prefetch=0)
+    a, b = mk(), mk()
+    e0a, e1a = _ids(next(a)), _ids(next(a))
+    e0b, e1b = _ids(next(b)), _ids(next(b))
+    assert np.array_equal(e0a, e0b) and np.array_equal(e1a, e1b)
+    assert not np.array_equal(e0a, e1a)          # epoch 1 reshuffled
+    assert sorted(e1a.tolist()) == list(range(16))
+
+
+def test_prefetch_matches_sync(corpus):
+    sync = StreamingLoader(corpus, 8, seed=1, process_index=0,
+                           process_count=1, prefetch=0)
+    pre = StreamingLoader(corpus, 8, seed=1, process_index=0,
+                          process_count=1, prefetch=3)
+    for _ in range(5):
+        bs, bp = next(sync), next(pre)
+        assert bs["step"] == bp["step"]
+        for k in ("pc", "text_embed", "image_embed", "mask"):
+            assert np.array_equal(bs[k], bp[k])
+    pre.close()
+
+
+def test_resume_mid_epoch_with_prefetch(corpus):
+    a = StreamingLoader(corpus, 4, seed=9, process_index=0,
+                        process_count=1, prefetch=2)
+    consumed = [next(a) for _ in range(3)]
+    assert [b["step"] for b in consumed] == [0, 1, 2]
+    state = a.state_dict()
+    assert state == {"epoch": 0, "step": 3, "seed": 9}
+    tail_a = [next(a) for _ in range(3)]          # crosses the epoch edge
+    a.close()
+
+    b = StreamingLoader(corpus, 4, seed=9, process_index=0,
+                        process_count=1, prefetch=2)
+    b.load_state_dict(state)
+    tail_b = [next(b) for _ in range(3)]
+    for x, y in zip(tail_a, tail_b):
+        assert x["step"] == y["step"]
+        assert np.array_equal(x["pc"], y["pc"])
+    b.close()
+
+    # load_state_dict also rewinds an already-running loader
+    c = StreamingLoader(corpus, 4, seed=9, process_index=0,
+                        process_count=1, prefetch=2)
+    [next(c) for _ in range(5)]
+    c.load_state_dict(state)
+    assert np.array_equal(next(c)["pc"], tail_a[0]["pc"])
+    c.close()
+
+
+def test_validation_errors(corpus, tmp_path):
+    with pytest.raises(ValueError, match="not divisible"):
+        StreamingLoader(corpus, 5, process_index=0, process_count=2)
+    with pytest.raises(ValueError, match="< one global batch"):
+        StreamingLoader(corpus, 32, process_index=0, process_count=1)
+    ld = StreamingLoader(corpus, 4, seed=1, process_index=0, process_count=1)
+    with pytest.raises(ValueError, match="seed"):
+        ld.load_state_dict({"epoch": 0, "step": 0, "seed": 2})
+    bad = str(tmp_path / "bad.npy")
+    np.save(bad, np.zeros((3, D), np.float32))   # wrong row count
+    with pytest.raises(ValueError, match="rows"):
+        ShardedCorpus([str(tmp_path / "pc_0.npy")], [bad])
+
+
+def test_no_image_shards_zero_mask(corpus, tmp_path):
+    c = ShardedCorpus([str(tmp_path / "pc_0.npy")],
+                      [str(tmp_path / "tx_0.npy")])
+    b = c.gather(np.arange(3))
+    assert b["mask"].tolist() == [0.0, 0.0, 0.0]
+    assert np.array_equal(b["image_embed"], np.zeros((3, D), np.float32))
+
+
+def test_global_batch_feeds_dp_train_step(corpus):
+    """Streamed local batch → sharded global array → shard_map DP step,
+    equal to the single-device step on the same batch."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from uni_adapter_tpu.models.uni3d import Uni3D
+    from uni_adapter_tpu.train import (init_train_state, make_dp_train_step,
+                                       make_optimizer, train_step)
+
+    ld = StreamingLoader(corpus, 8, seed=0, process_index=0,
+                         process_count=1, prefetch=0)
+    local = next(ld)
+
+    model = Uni3D(trans_dim=16, embed_dim=D, num_group=4, group_size=4,
+                  encoder_dim=8, depth=1, num_heads=2, dtype=jnp.float32)
+    tx = make_optimizer(lr=1e-3, total_steps=10, warmup_steps=1)
+    state = init_train_state(model, jax.random.PRNGKey(0),
+                             jnp.asarray(local["pc"][:1]), tx)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    gb = global_batch(local, mesh, "dp")
+    assert gb["pc"].shape == local["pc"].shape
+    assert gb["pc"].sharding.spec[0] == "dp"
+    dp_step = make_dp_train_step(model, tx, mesh)
+    st_dp, m_dp = dp_step(state, gb["pc"], gb["text_embed"],
+                          gb["image_embed"], gb["mask"])
+    st_1, m_1 = train_step(model, tx, state, jnp.asarray(local["pc"]),
+                           jnp.asarray(local["text_embed"]),
+                           jnp.asarray(local["image_embed"]),
+                           jnp.asarray(local["mask"]))
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    l_dp = jax.tree_util.tree_leaves(st_dp.params)
+    l_1 = jax.tree_util.tree_leaves(st_1.params)
+    for x, y in zip(l_dp, l_1):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_pretrain_cli_smoke_and_resume(tmp_path):
+    """pretrain.py end to end (synthetic corpus) + checkpoint resume:
+    run 4 steps in one go vs 2+2 with a resume — identical final params."""
+    import jax
+    import pretrain
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    common = ["--device", "cpu", "--batch-size", "8", "--depth", "1",
+              "--trans-dim", "16", "--embed-dim", "16", "--num-group", "4",
+              "--group-size", "4", "--encoder-dim", "8", "--heads", "2",
+              "--warmup-steps", "1", "--log-every", "2", "--prefetch", "0"]
+    st_a = pretrain.main(common + ["--out", out_a, "--steps", "4",
+                                   "--ckpt-every", "100"])
+    pretrain.main(common + ["--out", out_b, "--steps", "2",
+                            "--ckpt-every", "2"])
+    st_b = pretrain.main(common + ["--out", out_b, "--steps", "4",
+                                   "--ckpt-every", "100", "--resume"])
+    assert int(st_a.step) == int(st_b.step) == 4
+    for x, y in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-6, rtol=1e-5)
