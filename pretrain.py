@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import json
 import logging
 import os
 import time
@@ -139,21 +138,21 @@ def main(argv=None):
     start_step = 0
     if args.resume and os.path.exists(ckpt_path + ".npz"):
         state = checkpoint.restore_state(ckpt_path)
-        meta = json.load(open(ckpt_path + ".loader.json"))
-        loader.load_state_dict(meta["loader"])
-        start_step = meta["train_step"]
+        # the loader schedule is a pure function of (seed, global step), so
+        # the cursor is DERIVED from the checkpointed step — one atomic
+        # artifact, nothing to desynchronize on a crash mid-save
+        start_step = int(state.step)
+        loader.load_state_dict({
+            "epoch": start_step // loader.steps_per_epoch,
+            "step": start_step % loader.steps_per_epoch,
+            "seed": args.seed})
         logging.info("resumed at train step %d (loader %s)", start_step,
-                     meta["loader"])
+                     loader.state_dict())
 
     mesh = Mesh(np.array(jax.devices()), ("dp",))
     dp_step = make_dp_train_step(model, tx_opt, mesh)
 
-    def save(step):
-        # loader cursor FIRST (pre-batch position), state second: a crash
-        # between the two resumes one batch early, never one late
-        with open(ckpt_path + ".loader.json.tmp", "w") as f:
-            json.dump({"loader": loader.state_dict(), "train_step": step}, f)
-        os.replace(ckpt_path + ".loader.json.tmp", ckpt_path + ".loader.json")
+    def save():
         checkpoint.save_state(ckpt_path, state)
 
     t0 = time.perf_counter()
@@ -169,8 +168,8 @@ def main(argv=None):
                          float(jnp.exp(state.logit_scale)),
                          args.batch_size * (step + 1 - start_step) / dt)
         if (step + 1) % args.ckpt_every == 0:
-            save(step + 1)
-    save(args.steps)
+            save()
+    save()
     loader.close()
     logging.info("done: %d steps, checkpoint at %s.npz", args.steps,
                  ckpt_path)
