@@ -41,7 +41,10 @@ def _synthetic_corpus(root: str, n_shards: int = 2, per_shard: int = 64,
         for tag, shape, group in (("pc", (per_shard, npoints, 6), pc),
                                   ("text", (per_shard, dim), tx),
                                   ("image", (per_shard, dim), im)):
-            p = os.path.join(root, f"{tag}_{s:03d}.npy")
+            # shape in the name: re-running with different --embed-dim /
+            # --npoints into the same --out never reuses stale shards
+            p = os.path.join(
+                root, f"{tag}_{'x'.join(map(str, shape[1:]))}_{s:03d}.npy")
             if not os.path.exists(p):
                 np.save(p, rng.standard_normal(shape).astype(np.float32))
             group.append(p)
@@ -110,6 +113,11 @@ def main(argv=None):
               if args.image_shards else None)
         if not pc:
             raise FileNotFoundError(f"no shards match {args.pc_shards!r}")
+        if not tx:
+            raise ValueError(
+                "--text-shards is required with --pc-shards: the "
+                "contrastive objective distils into the frozen TEXT tower "
+                "embeddings (pc<->image alone is the masked secondary leg)")
     else:
         logging.info("no --pc-shards: synthetic corpus under %s/synthetic",
                      args.out)
@@ -137,8 +145,19 @@ def main(argv=None):
     ckpt_path = os.path.join(args.out, "ckpt")
     start_step = 0
     if args.resume and os.path.exists(ckpt_path + ".npz"):
-        state = checkpoint.restore_state(ckpt_path)
-        # the loader schedule is a pure function of (seed, global step), so
+        blob = checkpoint.restore_state(ckpt_path)
+        state = blob["train"]
+        # the batch schedule is a pure function of (data seed, global batch
+        # size, step); a resume under different values would silently
+        # train on a divergent schedule — refuse instead
+        for key, now in (("data_seed", args.seed),
+                         ("global_batch", args.batch_size)):
+            was = int(blob[key])
+            if was != now:
+                raise ValueError(
+                    f"--resume with {key}={now} but the checkpoint was "
+                    f"trained with {key}={was}: the batch schedule would "
+                    "diverge (samples skipped/duplicated)")
         # the cursor is DERIVED from the checkpointed step — one atomic
         # artifact, nothing to desynchronize on a crash mid-save
         start_step = int(state.step)
@@ -153,7 +172,9 @@ def main(argv=None):
     dp_step = make_dp_train_step(model, tx_opt, mesh)
 
     def save():
-        checkpoint.save_state(ckpt_path, state)
+        checkpoint.save_state(ckpt_path, {"train": state,
+                                          "data_seed": args.seed,
+                                          "global_batch": args.batch_size})
 
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):

@@ -205,7 +205,60 @@ def test_pretrain_cli_smoke_and_resume(tmp_path):
     st_b = pretrain.main(common + ["--out", out_b, "--steps", "4",
                                    "--ckpt-every", "100", "--resume"])
     assert int(st_a.step) == int(st_b.step) == 4
+    # resuming under a different data seed or batch size must refuse
+    with pytest.raises(ValueError, match="data_seed"):
+        pretrain.main(common + ["--out", out_b, "--steps", "6",
+                                "--seed", "1", "--resume"])
     for x, y in zip(jax.tree_util.tree_leaves(st_a.params),
                     jax.tree_util.tree_leaves(st_b.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=1e-6, rtol=1e-5)
+
+
+class _FlakyCorpus:
+    """Delegating corpus whose gather fails on command (transient IO)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.fail_next = 0
+
+    def __len__(self):
+        return len(self.inner)
+
+    def gather(self, idx):
+        if self.fail_next > 0:
+            self.fail_next -= 1
+            raise ValueError("transient read failure")
+        return self.inner.gather(idx)
+
+
+def test_transient_gather_failure_is_retryable_sync(corpus):
+    flaky = _FlakyCorpus(corpus)
+    ld = StreamingLoader(flaky, 4, seed=5, process_index=0,
+                         process_count=1, prefetch=0)
+    ref = StreamingLoader(corpus, 4, seed=5, process_index=0,
+                          process_count=1, prefetch=0)
+    b0 = next(ld)
+    flaky.fail_next = 1
+    with pytest.raises(ValueError, match="transient"):
+        next(ld)
+    b1 = next(ld)                       # retry re-assembles the SAME batch
+    r0, r1 = next(ref), next(ref)
+    assert b0["step"] == 0 and b1["step"] == 1
+    assert np.array_equal(b0["pc"], r0["pc"])
+    assert np.array_equal(b1["pc"], r1["pc"])
+
+
+def test_transient_gather_failure_is_retryable_prefetch(corpus):
+    flaky = _FlakyCorpus(corpus)
+    flaky.fail_next = 1                 # first producer assemble fails
+    ld = StreamingLoader(flaky, 4, seed=5, process_index=0,
+                         process_count=1, prefetch=2)
+    with pytest.raises(ValueError, match="transient"):
+        next(ld)
+    b0 = next(ld)                       # fresh thread, same failed batch
+    ref = StreamingLoader(corpus, 4, seed=5, process_index=0,
+                          process_count=1, prefetch=0)
+    assert b0["step"] == 0
+    assert np.array_equal(b0["pc"], next(ref)["pc"])
+    ld.close()

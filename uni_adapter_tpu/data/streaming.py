@@ -217,23 +217,33 @@ class StreamingLoader:
         self._step = int(state["step"])
         self._consumed_next = (self._epoch, self._step)
 
-    def _advance(self) -> Tuple[int, int]:
-        pos = (self._epoch, self._step)
+    def _advance(self) -> None:
+        """Commit the cursor PAST the current position — called only after
+        a successful assemble, so a transient gather failure never skips a
+        batch (the retry re-assembles the same position)."""
         self._step += 1
         if self._step >= self.steps_per_epoch:
             self._step = 0
             self._epoch += 1
-        return pos
 
     # ---- iteration ----
 
     def __next__(self) -> Dict[str, np.ndarray]:
         if self.prefetch <= 0:
-            return self._assemble(*self._advance())
+            batch = self._assemble(self._epoch, self._step)
+            self._advance()
+            return batch
         if self._thread is None:
             self._start_thread()
         item = self._q.get()
         if isinstance(item, BaseException):
+            # the producer died on this exception without advancing past
+            # the failed batch; reset to the consumer position so a retry
+            # restarts a fresh thread at exactly the failed batch
+            self._thread.join()
+            self._thread = None
+            self._q = None
+            self._epoch, self._step = self._consumed_next
             raise item
         s = item["step"] + 1
         self._consumed_next = (s // self.steps_per_epoch,
@@ -255,13 +265,14 @@ class StreamingLoader:
 
         def work():
             # the shared cursor only moves here while the thread runs;
-            # load_state_dict drains the thread before touching it
+            # load_state_dict / __next__'s error path drain it first
             while not self._stop.is_set():
                 try:
-                    batch = self._assemble(*self._advance())
+                    batch = self._assemble(self._epoch, self._step)
                 except BaseException as e:  # surfaced on the consumer side
-                    self._q.put(e)
+                    self._q.put(e)          # cursor NOT advanced: retryable
                     return
+                self._advance()
                 while not self._stop.is_set():
                     try:
                         self._q.put(batch, timeout=0.1)
@@ -281,8 +292,8 @@ class StreamingLoader:
         self._stop.set()
         while True:
             try:
-                self._q.get_nowait()
-            except queue.Empty:
+                self._q.get(timeout=0.05)   # timed get: no busy spin while
+            except queue.Empty:             # the producer finishes a gather
                 if not self._thread.is_alive():
                     break
         self._thread.join()
