@@ -405,7 +405,8 @@ def test_conversion_report_cli_entrypoint(tmp_path):
     path = _save(tmp_path, "report_cli.pt", tm.state_dict())
     proc = subprocess.run(
         [sys.executable, "-m", "uni_adapter_tpu.models.loader", path,
-         "--vlm3d", "clip_text", "--text-preset", "ulip"],
+         "--vlm3d", "clip_text", "--text-preset", "ulip",
+         "--device", "cpu"],
         capture_output=True, text=True, timeout=600,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert proc.returncode == 1, proc.stderr

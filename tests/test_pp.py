@@ -1,0 +1,271 @@
+"""Pipeline parallelism (parallel/pp.py): the GPipe-scheduled forward must
+equal the plain single-device forward for both trunk families, across stage
+counts and microbatch factors (bubble schedules included).
+
+Runs on the virtual 8-device CPU mesh (conftest pins JAX_PLATFORMS=cpu +
+xla_force_host_platform_device_count=8).  No reference analogue — the
+reference has no pipeline parallelism (SURVEY.md §2.4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from uni_adapter_tpu.models.pointbert import ULIP
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.parallel import pp
+
+
+def _mesh(n, axis="stage"):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return Mesh(np.asarray(jax.devices()[:n]), (axis,))
+
+
+def _uni3d(depth):
+    return Uni3D(trans_dim=48, embed_dim=32, num_group=16, group_size=8,
+                 encoder_dim=24, depth=depth, num_heads=4,
+                 dtype=jnp.float32)
+
+
+def _ulip(depth):
+    return ULIP(trans_dim=48, depth=depth, num_heads=4, num_group=16,
+                group_size=8, encoder_dim=24, embed_dim=32,
+                dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("n_stages,depth,n_micro", [
+    (2, 4, 2),    # 2 blocks/stage, no extra microbatching
+    (4, 4, 2),    # 1 block/stage, bubble = 3/5 of ticks
+    (4, 8, 4),
+    (8, 8, 2),    # full virtual mesh
+])
+def test_pp_uni3d_matches_plain_forward(n_stages, depth, n_micro):
+    mesh = _mesh(n_stages)
+    model = _uni3d(depth)
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    want = np.asarray(jax.jit(model.apply)(params, pc))
+
+    prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=n_micro)
+    got = np.asarray(fwd(prepare(params), pc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_stages,depth,n_micro", [
+    (2, 4, 2),
+    (4, 4, 4),
+])
+def test_pp_ulip_matches_plain_forward(n_stages, depth, n_micro):
+    mesh = _mesh(n_stages)
+    model = _ulip(depth)
+    rng = np.random.default_rng(1)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    want = np.asarray(jax.jit(model.apply)(params, pc))
+
+    prepare, fwd = pp.make_pp_forward_ulip(model, mesh, n_micro=n_micro)
+    got = np.asarray(fwd(prepare(params), pc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pp_dp_composition_matches_plain_forward():
+    """PP × DP on a 2-D (stage, data) mesh: trunk blocks sharded over
+    `stage`, the microbatch batch dimension over `data` — output equal to
+    the plain forward."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("stage", "data"))
+    model = _uni3d(4)
+    rng = np.random.default_rng(5)
+    pc = jnp.asarray(rng.standard_normal((8, 64, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    want = np.asarray(jax.jit(model.apply)(params, pc))
+
+    prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=2,
+                                            data_axis="data")
+    got = np.asarray(fwd(prepare(params), pc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("rel_pe", [False, True])
+def test_pp_openshape_matches_plain_forward(rel_pe):
+    from uni_adapter_tpu.models.ppta import PPTAPreset, Projected
+
+    mesh = _mesh(2)
+    preset = PPTAPreset(dim=48, depth=4, heads=4, mlp_dim=96, sa_dim=24,
+                        patches=16, prad=0.4, nsamp=8)
+    model = Projected(preset=preset, out_channel=32, rel_pe=rel_pe,
+                      dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    xyz = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    features = jnp.concatenate([xyz, jnp.ones_like(xyz)], axis=-1)
+    params = model.init(jax.random.PRNGKey(0), xyz, features)
+    want = np.asarray(jax.jit(model.apply)(params, xyz, features))
+
+    from uni_adapter_tpu.parallel.pp import make_pp_forward_openshape
+    prepare, fwd = make_pp_forward_openshape(model, mesh, n_micro=2)
+    got = np.asarray(fwd(prepare(params), xyz, features))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pp_stage_shards_hold_distinct_blocks():
+    """Each stage's local stack must be that stage's blocks, in order —
+    stacking + resharding must not permute layers (a wrong order would
+    still produce the right shapes, so assert on values)."""
+    mesh = _mesh(2)
+    model = _uni3d(4)
+    pc = jnp.zeros((1, 64, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    pe = params["params"]["point_encoder"]
+    stacked = pp.stack_trunk_params(pe, 4, 2)
+    k = stacked["attn"]["q_proj"]["kernel"]
+    assert k.shape[:2] == (2, 2)
+    for s in range(2):
+        for j in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(k[s, j]),
+                np.asarray(pe[f"blocks_{2 * s + j}"]["attn"]["q_proj"]
+                           ["kernel"]))
+
+
+def test_pp_rejects_indivisible_depth():
+    mesh = _mesh(4)
+    model = _uni3d(6)   # 6 blocks over 4 stages
+    pc = jnp.zeros((1, 64, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    prepare, _ = pp.make_pp_forward_uni3d(model, mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        prepare(params)
+
+
+def test_pp_grad_matches_plain_forward():
+    """jax.grad through the GPipe schedule must equal the plain forward's
+    gradients — block grads (transposed ppermute ring) AND the replicated
+    pre/post params.  This is what makes PP training-capable."""
+    mesh = _mesh(2)
+    model = _uni3d(4)
+    rng = np.random.default_rng(7)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    ct = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+
+    want = jax.grad(lambda p: jnp.sum(model.apply(p, pc) * ct))(params)
+    want_pe = want["params"]["point_encoder"]
+
+    prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=2)
+    got_stacked, got_rest = jax.grad(
+        lambda pp_p: jnp.sum(fwd(pp_p, pc) * ct))(prepare(params))
+
+    # block grads: stage s, local j  ==  plain blocks_{2s+j}
+    for s in range(2):
+        for j in range(2):
+            got_b = jax.tree.map(lambda a: np.asarray(a[s, j]), got_stacked)
+            jax.tree.map(
+                lambda g, w: np.testing.assert_allclose(
+                    g, np.asarray(w), rtol=1e-4, atol=1e-5),
+                got_b, want_pe[f"blocks_{2 * s + j}"])
+    # replicated pre/post params
+    for key in got_rest:
+        jax.tree.map(
+            lambda g, w: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-5),
+            got_rest[key], want_pe[key])
+
+
+def test_pp_train_step_matches_single_device():
+    """One PP train step == one single-device train_step: same metrics and
+    the same updated parameters (optimizer moments live stage-sharded).
+
+    SGD, not AdamW, for the param-parity assertion: Adam's first step is
+    ~lr·g/(|g|+eps), which amplifies float-noise-scale gradients (the tiny
+    random model has q_norm grads ~1e-8) into ±lr/2 sign flips — an
+    ill-conditioned comparison that says nothing about the PP machinery.
+    SGD inherits the grad parity proven above linearly.  The AdamW-specific
+    piece (the decay mask) is covered by
+    test_decay_mask_stacking_invariant."""
+    import optax
+
+    from uni_adapter_tpu import train as tr
+
+    mesh = _mesh(2)
+    model = _uni3d(4)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.sgd(1e-2))
+    rng = np.random.default_rng(9)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    image = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+
+    state0 = tr.init_train_state(model, jax.random.PRNGKey(0), pc, tx)
+    state1, metrics1 = tr.train_step(model, tx, state0, pc, text, image)
+
+    prepare, step = pp.make_pp_train_step_uni3d(model, tx, mesh, n_micro=2)
+    pstate0 = pp.init_pp_train_state(model, jax.random.PRNGKey(0), pc, tx,
+                                     prepare)
+    pstate1, pmetrics = step(pstate0, pc, text, image)
+
+    np.testing.assert_allclose(float(pmetrics["loss"]),
+                               float(metrics1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(pstate1.logit_scale),
+                               float(state1.logit_scale), rtol=1e-6)
+
+    # updated params equal: unstack the PP blocks against the plain tree
+    upd_pe = state1.params["point_encoder"]
+    got_stacked, got_rest = pstate1.params
+    for s in range(2):
+        for j in range(2):
+            got_b = jax.tree.map(lambda a: np.asarray(a[s, j]), got_stacked)
+            jax.tree.map(
+                lambda g, w: np.testing.assert_allclose(
+                    g, np.asarray(w), rtol=1e-4, atol=1e-6),
+                got_b, upd_pe[f"blocks_{2 * s + j}"])
+    for key in got_rest:
+        jax.tree.map(
+            lambda g, w: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-6),
+            got_rest[key], upd_pe[key])
+
+
+def test_decay_mask_stacking_invariant():
+    """train.decay_mask must mark the SAME leaves (kernels yes;
+    biases/norm gains/cls tokens no) whether the block params are plain
+    or PP-stacked to (S, L/S, ...) — a rank-based mask would not."""
+    from uni_adapter_tpu import train as tr
+
+    model = _uni3d(4)
+    pc = jnp.zeros((1, 64, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)["params"]
+    mask_plain, ls_plain = tr.decay_mask((params, jnp.float32(0.0)))
+    assert ls_plain is False
+
+    pe = params["point_encoder"]
+    stacked = pp.stack_trunk_params(pe, 4, 2)
+    mask_stacked, _ = tr.decay_mask(((stacked,), jnp.float32(0.0)))
+
+    # stacked mask for block leaf == plain mask for the same leaf name
+    plain_b0 = jax.tree_util.tree_leaves_with_path(
+        tr.decay_mask((pe["blocks_0"], jnp.float32(0.0)))[0])
+    stacked_leaves = jax.tree_util.tree_leaves_with_path(mask_stacked[0])
+    assert [m for _, m in plain_b0] == [m for _, m in stacked_leaves]
+
+    # spot-check semantics on the plain tree
+    flat = {jax.tree_util.keystr(p): m
+            for p, m in jax.tree_util.tree_leaves_with_path(mask_plain)}
+    assert any(k.endswith("['kernel']") and m for k, m in flat.items())
+    assert not any(m for k, m in flat.items() if k.endswith("['bias']"))
+    assert not any(m for k, m in flat.items() if "cls_token" in k)
+    assert not any(m for k, m in flat.items() if k.endswith("['scale']"))
+
+
+def test_pp_rejects_indivisible_batch():
+    mesh = _mesh(2)
+    model = _uni3d(4)
+    rng = np.random.default_rng(2)
+    pc = jnp.asarray(rng.standard_normal((3, 64, 6)), jnp.float32)  # B=3
+    params = model.init(jax.random.PRNGKey(0), pc)
+    prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        fwd(prepare(params), pc)

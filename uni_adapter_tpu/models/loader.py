@@ -355,7 +355,15 @@ def _report_main(argv: Optional[Sequence[str]] = None) -> int:
                          "(ulip/uni3d/openshape_vitg14/openshape_vitl14)")
     ap.add_argument("--eva-depth", type=int, default=None)
     ap.add_argument("--max-items", type=int, default=20)
+    ap.add_argument("--device", default="default",
+                    help="jax platform override (cpu/tpu), matching "
+                         "main.py --device — the env var alone is not "
+                         "enough when a backend was preregistered at "
+                         "interpreter start")
     args = ap.parse_args(argv)
+
+    if args.device != "default":
+        jax.config.update("jax_platforms", args.device)
 
     mc = ModelConfig(vlm3d=args.vlm3d if args.vlm3d != "clip_text"
                      else "uni3d", compute_dtype="float32")

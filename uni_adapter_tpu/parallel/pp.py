@@ -1,0 +1,436 @@
+"""Pipeline parallelism for the encoder trunks (GPipe microbatch schedule
+over a `stage` mesh axis: shard_map + lax.ppermute).
+
+The reference has no pipeline parallelism anywhere (SURVEY.md §2.4 —
+single-GPU inference; file:line n/a, capability absent upstream).  This
+module is a beyond-reference capability completing the parallelism
+portfolio: DP (parallel/mesh.py, three modes), TP (parallel/tp.py), and
+depth-wise PP here.
+
+Why PP when TP exists: PP shards the trunk *depth-wise* — each chip holds
+depth/S of the transformer weights, and the only communication is one
+(Bm, N, width) activation ppermute per stage per microbatch, vs TP's two
+all-reduces per block.  For trunks whose weights exceed one chip's HBM, or
+on meshes where per-block all-reduces are expensive, PP is the right axis;
+PP × TP × DP compose on a 3-D mesh in the usual way.
+
+Mechanics: the L homogeneous trunk blocks' parameters are stacked into
+leaves of shape (S, L/S, ...) and sharded over `stage`, so each device
+lax.scans its local L/S blocks (one traced block body in the program).
+The batch splits into n_micro microbatches rotating through the device
+ring: at tick t, device 0 injects microbatch t, device s applies blocks
+[s·L/S, (s+1)·L/S) to the microbatch injected at tick t−s, and device S−1
+emits microbatch t−(S−1).  Devices outside their valid window compute on
+dead buffers that never reach the output (the GPipe bubble —
+(S−1)/(n_micro+S−1) of the ticks); the emitted microbatches accumulate
+into a zeros buffer on the last stage only, so a final psum over `stage`
+is a pure broadcast of the result.
+
+The carry through the pipeline is a pytree, not a single array — ULIP's
+Point-BERT re-adds the positional embedding at every block (reference
+models/ulip/pointbert/point_encoder.py:95-98), so its carry is (x, pos);
+PPTA with rel_pe carries the centroid-delta tensor every block recomputes
+its attention bias from (reference models/openshape/ppta.py:50-59).
+Builders cover all three backbones.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def stack_trunk_params(trunk_params: dict, depth: int, n_stages: int,
+                       fmt: str = "blocks_{}"):
+    """Stack per-block param trees `fmt.format(i)` into leaves of shape
+    (n_stages, depth // n_stages, ...)."""
+    if depth % n_stages:
+        raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
+    blocks = [trunk_params[fmt.format(i)] for i in range(depth)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return jax.tree.map(
+        lambda a: a.reshape(n_stages, depth // n_stages, *a.shape[1:]),
+        stacked)
+
+
+def _shard(tree, mesh: Mesh, spec: P):
+    sh = NamedSharding(mesh, spec)
+    return jax.device_put(tree, jax.tree.map(lambda _: sh, tree))
+
+
+def _pipeline(block_apply: Callable, local_blocks, micro_carry,
+              n_stages: int, axis: str):
+    """GPipe schedule; runs inside shard_map over `axis`.
+
+    local_blocks: this stage's (L/S, ...) stacked block params.
+    micro_carry: replicated pytree with leading (n_micro, Bm, ...) axes.
+    Returns the pytree after all L blocks, same leading axes.
+    """
+    idx = jax.lax.axis_index(axis)
+    n_micro = jax.tree.leaves(micro_carry)[0].shape[0]
+
+    def stage_fn(carry):
+        def blk(c, p):
+            return block_apply(p, c), None
+        carry, _ = jax.lax.scan(blk, carry, local_blocks)
+        return carry
+
+    def take(tree, i):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            tree)
+
+    buf = jax.tree.map(jnp.zeros_like, take(micro_carry, 0))
+    outs = jax.tree.map(jnp.zeros_like, micro_carry)
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def tick(state, t):
+        buf, outs = state
+        inject = take(micro_carry, jnp.clip(t, 0, n_micro - 1))
+        buf = jax.tree.map(lambda i_, b: jnp.where(idx == 0, i_, b),
+                           inject, buf)
+        buf = stage_fn(buf)
+        m = t - (n_stages - 1)
+        write = (idx == n_stages - 1) & (m >= 0) & (m < n_micro)
+        mc = jnp.clip(m, 0, n_micro - 1)
+        outs = jax.tree.map(
+            lambda o, b: jnp.where(
+                write, jax.lax.dynamic_update_index_in_dim(o, b, mc, 0), o),
+            outs, buf)
+        buf = jax.tree.map(lambda b: jax.lax.ppermute(b, axis, perm), buf)
+        return (buf, outs), None
+
+    (_, outs), _ = jax.lax.scan(tick, (buf, outs),
+                                jnp.arange(n_micro + n_stages - 1))
+    # outs is nonzero only on the last stage — psum broadcasts it
+    return jax.tree.map(lambda o: jax.lax.psum(o, axis), outs)
+
+
+def _split_micro(tree, n_micro: int):
+    def r(a):
+        B = a.shape[0]
+        if B % n_micro:
+            raise ValueError(f"batch {B} not divisible into {n_micro} "
+                             f"microbatches")
+        return a.reshape(n_micro, B // n_micro, *a.shape[1:])
+    return jax.tree.map(r, tree)
+
+
+def _merge_micro(tree):
+    return jax.tree.map(
+        lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), tree)
+
+
+def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
+                     n_micro: int, block_apply, pre, post,
+                     data_axis: Optional[str] = None, jit: bool = True):
+    """Assemble the jitted PP forward from per-model pre/block/post fns.
+
+    pre/post run replicated on every device (they are a negligible weight
+    and FLOP fraction — the trunk holds the model's mass); only the trunk
+    pipelines.  With `data_axis` (PP × DP on a 2-D mesh) each microbatch's
+    batch dimension additionally shards over that axis — the same GPipe
+    schedule runs per data shard, params replicate over `data`, and the
+    stage psum stays stage-only.
+    """
+    carry_spec = P(None, data_axis) if data_axis else P()
+
+    def pipe_body(stacked_local, micro_carry):
+        local = jax.tree.map(lambda a: a[0], stacked_local)
+        return _pipeline(block_apply, local, micro_carry, n_stages,
+                         stage_axis)
+
+    pipe = jax.shard_map(
+        pipe_body, mesh=mesh,
+        in_specs=(P(stage_axis), carry_spec), out_specs=carry_spec,
+        check_vma=False)
+
+    def fwd(pp_params, pc):
+        stacked, rest = pp_params
+        carry = pre(rest, pc)
+        carry = _merge_micro(pipe(stacked, _split_micro(carry, n_micro)))
+        return post(rest, carry)
+
+    return jax.jit(fwd) if jit else fwd
+
+
+def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
+                          n_micro: Optional[int] = None,
+                          data_axis: Optional[str] = None, jit: bool = True):
+    """(prepare_params, forward) for a pipeline-parallel Uni3D.
+
+    prepare_params(params) -> pp_params: stacks the EVA block params over
+    (stage, L/S) and shards them over `stage`; everything else replicates.
+    forward(pp_params, pc) -> (B, embed_dim) fp32, equal to model.apply.
+    `data_axis` composes PP × DP on a 2-D mesh (microbatch batch dimension
+    sharded over it).
+    """
+    from uni_adapter_tpu.models.common import EvaBlock, LN
+    from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
+    from uni_adapter_tpu.ops.geometry import group_points
+
+    S = mesh.shape[stage_axis]
+    n_micro = n_micro or S
+    block = EvaBlock(model.trans_dim, model.num_heads,
+                     quantize=model.quantize,
+                     use_pallas_attention=model.use_pallas_attention,
+                     dtype=model.dtype)
+
+    def block_apply(p, x):
+        return block.apply({"params": p}, x)
+
+    def prepare(params):
+        pe = params["params"]["point_encoder"]
+        stacked = stack_trunk_params(pe, model.depth, S)
+        rest = {k: v for k, v in pe.items() if not k.startswith("blocks_")}
+        return (_shard(stacked, mesh, P(stage_axis)),
+                _shard(rest, mesh, P()))
+
+    def pre(rest, pc):
+        xyz, color = pc[:, :, :3], pc[:, :, 3:]
+        _, center, features = group_points(
+            xyz, color, model.num_group, model.group_size,
+            use_pallas_fps=model.use_pallas_fps,
+            approx_knn=model.approx_knn,
+            use_pallas_knn=model.use_pallas_knn,
+            use_pallas_knn_gather=model.use_pallas_knn_gather)
+        tokens = MiniPointNet(model.encoder_dim, 6, dtype=model.dtype).apply(
+            {"params": rest["encoder"]}, features)
+        tokens = nn.Dense(model.trans_dim, dtype=model.dtype).apply(
+            {"params": rest["encoder2trans"]}, tokens)
+        B = tokens.shape[0]
+        pos = PosEmbedMLP(model.trans_dim, dtype=model.dtype).apply(
+            {"params": rest["pos_embed"]}, center)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(rest["cls_token"].astype(model.dtype),
+                              (B, 1, model.trans_dim)), tokens], axis=1)
+        pos = jnp.concatenate(
+            [jnp.broadcast_to(rest["cls_pos"].astype(model.dtype),
+                              (B, 1, model.trans_dim)), pos], axis=1)
+        return x + pos   # pos added once (point_encoder.py:210)
+
+    def post(rest, x):
+        x = LN(dtype=model.dtype).apply({"params": rest["norm"]}, x[:, 0, :])
+        x = LN(dtype=model.dtype).apply({"params": rest["fc_norm"]}, x)
+        x = nn.Dense(model.embed_dim, dtype=model.dtype).apply(
+            {"params": rest["trans2embed"]}, x)
+        return x.astype(jnp.float32)
+
+    return prepare, _make_pp_forward(mesh, stage_axis, S, n_micro,
+                                     block_apply, pre, post, data_axis, jit)
+
+
+def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
+                              n_micro: Optional[int] = None,
+                              data_axis: Optional[str] = None):
+    """(prepare_params, forward) for a pipeline-parallel OpenShape PPTA
+    (cache_type='global', the TTA path).
+
+    forward(pp_params, xyz, features) -> (B, out_channel) fp32.  With
+    rel_pe the (B, S+1, S+1, 3) centroid-delta tensor rides the ring as a
+    carry extra (each block recomputes its bias from it, reference
+    ppta.py:50-59); without rel_pe only the activations rotate and blocks
+    get a dummy delta.
+    """
+    from uni_adapter_tpu.models.common import LN
+    from uni_adapter_tpu.models.ppta import (PPTABlockPair, SetAbstraction)
+
+    if model.cache_type != "global":
+        raise ValueError("pipeline forward covers cache_type='global' "
+                         "(the TTA path)")
+    p = model.preset
+    S = mesh.shape[stage_axis]
+    n_micro = n_micro or S
+    block = PPTABlockPair(p.dim, p.heads, 64, p.mlp_dim, model.rel_pe,
+                          use_pallas_attention=model.use_pallas_attention,
+                          dtype=model.dtype)
+
+    def block_apply(pp, carry):
+        if model.rel_pe:
+            x, delta = carry
+            return block.apply({"params": pp}, x, delta), delta
+        x = carry
+        dummy = jnp.zeros((x.shape[0], 1, 1, 3), jnp.float32)
+        return block.apply({"params": pp}, x, dummy)
+
+    def prepare(params):
+        ppat = params["params"]["ppat"]
+        stacked = stack_trunk_params(ppat, p.depth, S, fmt="layers_{}")
+        rest = {
+            "ppat": {k: v for k, v in ppat.items()
+                     if not k.startswith("layers_")},
+            "proj": params["params"]["proj"],
+        }
+        return (_shard(stacked, mesh, P(stage_axis)),
+                _shard(rest, mesh, P()))
+
+    def pre(rest, inputs):
+        xyz, features = inputs
+        ppat = rest["ppat"]
+        centroids, feat = SetAbstraction(
+            p.patches, p.prad, p.nsamp, (64, 64, p.sa_dim),
+            use_pallas_fps=model.use_pallas_fps,
+            use_pallas_ballq=model.use_pallas_ballq,
+            dtype=model.dtype).apply({"params": ppat["sa"]}, xyz, features)
+        x = jnp.concatenate([centroids.astype(model.dtype), feat], axis=-1)
+        x = nn.Dense(p.dim, dtype=model.dtype).apply(
+            {"params": ppat["lift"]}, x)
+        x = LN(dtype=model.dtype).apply({"params": ppat["lift_norm"]}, x)
+        B = x.shape[0]
+        x = jnp.concatenate(
+            [jnp.broadcast_to(ppat["cls_token"].astype(model.dtype),
+                              (B, 1, p.dim)), x], axis=1)
+        if not model.rel_pe:
+            return x
+        centroids = jnp.concatenate(
+            [jnp.zeros((B, 1, 3), centroids.dtype), centroids], axis=1)
+        delta = centroids[:, :, None, :] - centroids[:, None, :, :]
+        return x, delta
+
+    def post(rest, carry):
+        x = carry[0] if model.rel_pe else carry
+        return nn.Dense(model.out_channel, dtype=jnp.float32).apply(
+            {"params": rest["proj"]}, x[:, 0].astype(jnp.float32))
+
+    pipe_fwd = _make_pp_forward(mesh, stage_axis, S, n_micro,
+                                block_apply, pre, post, data_axis)
+
+    def fwd(pp_params, xyz, features):
+        return pipe_fwd(pp_params, (xyz, features))
+
+    return prepare, fwd
+
+
+def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
+                         n_micro: Optional[int] = None,
+                         data_axis: Optional[str] = None):
+    """(prepare_params, forward) for a pipeline-parallel ULIP Point-BERT.
+
+    The pipeline carry is (x, pos): Point-BERT re-adds the positional
+    embedding at every block (reference point_encoder.py:95-98), so pos
+    rides the ring alongside the activations.
+    """
+    from uni_adapter_tpu.models.common import LN, ViTBlock
+    from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
+    from uni_adapter_tpu.ops.geometry import group_points
+
+    S = mesh.shape[stage_axis]
+    n_micro = n_micro or S
+    block = ViTBlock(model.trans_dim, model.num_heads,
+                     use_pallas_attention=model.use_pallas_attention,
+                     dtype=model.dtype)
+
+    def block_apply(p, carry):
+        x, pos = carry
+        return block.apply({"params": p}, x + pos), pos
+
+    def prepare(params):
+        pe = params["params"]["point_encoder"]
+        stacked = stack_trunk_params(pe, model.depth, S)
+        rest = {
+            "pe": {k: v for k, v in pe.items()
+                   if not k.startswith("blocks_")},
+            "pc_projection": params["params"]["pc_projection"],
+        }
+        return (_shard(stacked, mesh, P(stage_axis)),
+                _shard(rest, mesh, P()))
+
+    def pre(rest, pts):
+        pe = rest["pe"]
+        neighborhood, center, _ = group_points(
+            pts, None, model.num_group, model.group_size,
+            use_pallas_fps=model.use_pallas_fps,
+            approx_knn=model.approx_knn,
+            use_pallas_knn=model.use_pallas_knn,
+            use_pallas_knn_gather=model.use_pallas_knn_gather)
+        tokens = MiniPointNet(model.encoder_dim, 3, dtype=model.dtype).apply(
+            {"params": pe["encoder"]}, neighborhood)
+        tokens = nn.Dense(model.trans_dim, dtype=model.dtype).apply(
+            {"params": pe["reduce_dim"]}, tokens)
+        B = tokens.shape[0]
+        pos = PosEmbedMLP(model.trans_dim, dtype=model.dtype).apply(
+            {"params": pe["pos_embed"]}, center)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(pe["cls_token"].astype(model.dtype),
+                              (B, 1, model.trans_dim)), tokens], axis=1)
+        pos = jnp.concatenate(
+            [jnp.broadcast_to(pe["cls_pos"].astype(model.dtype),
+                              (B, 1, model.trans_dim)), pos], axis=1)
+        return x, pos
+
+    def post(rest, carry):
+        x, _ = carry
+        x = LN(dtype=model.dtype).apply({"params": rest["pe"]["norm"]}, x)
+        concat_f = jnp.concatenate([x[:, 0], jnp.max(x[:, 1:], axis=1)],
+                                   axis=-1)
+        return jnp.matmul(concat_f.astype(jnp.float32),
+                          rest["pc_projection"],
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return prepare, _make_pp_forward(mesh, stage_axis, S, n_micro,
+                                     block_apply, pre, post, data_axis)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel pretraining (GPipe backward: jax.grad through the
+# scheduled forward — ppermute/psum transpose to the reverse rotation, so
+# each stage's block gradients stay on that stage's chip, as do its AdamW
+# moments; only activations and their cotangents ride the ring)
+# ---------------------------------------------------------------------------
+
+def init_pp_train_state(model, rng, example_pc, tx, prepare,
+                        init_logit_scale: Optional[float] = None):
+    """TrainState whose params are the stage-sharded (stacked, rest) pair;
+    optimizer state inherits the same shardings via tx.init."""
+    from uni_adapter_tpu.train import TrainState
+
+    if init_logit_scale is None:
+        init_logit_scale = float(jnp.log(1 / 0.07))
+    pp_params = prepare(model.init(rng, example_pc))
+    logit_scale = jnp.float32(init_logit_scale)
+    opt_state = tx.init((pp_params, logit_scale))
+    return TrainState(pp_params, logit_scale, opt_state, jnp.int32(0))
+
+
+def make_pp_train_step_uni3d(model, tx, mesh: Mesh,
+                             stage_axis: str = "stage",
+                             n_micro: Optional[int] = None,
+                             data_axis: Optional[str] = None):
+    """(prepare_params, train_step) for pipeline-parallel contrastive
+    pretraining of a Uni3D point encoder (the reference's training-era
+    loss, models/losses.py:7-69; no PP exists upstream — SURVEY.md §2.4).
+
+    train_step(state, pc, text_embed, image_embed, mask) -> (state, metrics)
+    with state.params = the stage-sharded (stacked, rest) pair from
+    `prepare_params`/`init_pp_train_state`.  The loss sees the globally
+    assembled embeddings (the forward's output is replicated), so with
+    `data_axis` the negatives are global by construction — equal to the
+    single-device step on the same batch (tested in tests/test_pp.py).
+    """
+    from uni_adapter_tpu.models.losses import uni3d_text_image_loss
+    from uni_adapter_tpu.train import _apply_grads
+
+    prepare, fwd = make_pp_forward_uni3d(model, mesh, stage_axis, n_micro,
+                                         data_axis, jit=False)
+
+    def loss_fn(pp_params, logit_scale, pc, text_embed, image_embed, mask):
+        pc_embed = fwd(pp_params, pc)
+        out = uni3d_text_image_loss(pc_embed, text_embed, image_embed,
+                                    jnp.exp(logit_scale), mask=mask,
+                                    axis_name=None)
+        return out["loss"], out
+
+    @jax.jit
+    def train_step(state, pc, text_embed, image_embed, mask=None):
+        if mask is None:
+            mask = jnp.ones((pc.shape[0],), jnp.float32)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            state.params, state.logit_scale, pc, text_embed, image_embed,
+            mask)
+        return _apply_grads(state, tx, grads), metrics
+
+    return prepare, train_step

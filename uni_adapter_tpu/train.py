@@ -38,6 +38,25 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def decay_mask(grads_like):
+    """Weight-decay mask for (params, logit_scale) grad trees.
+
+    Masks by NAME, not rank: flax matrices are 'kernel' leaves (plus the
+    raw ULIP pc_projection matrix).  A rank test would decay
+    cls_token/cls_pos (embeddings, excluded in the open_clip/timm recipe)
+    and break under pipeline parallelism, where block params stack to
+    (S, L/S, ...) and every leaf gains two axes — the name mask is
+    stacking-invariant (tested in tests/test_pp.py)."""
+    params, _logit_scale = grads_like
+
+    def is_matrix(path, _p):
+        last = path[-1]
+        key = getattr(last, "key", getattr(last, "name", ""))
+        return key in ("kernel", "pc_projection")
+
+    return (jax.tree_util.tree_map_with_path(is_matrix, params), False)
+
+
 def make_optimizer(lr: float = 1e-3, weight_decay: float = 0.05,
                    total_steps: int = 100_000,
                    warmup_steps: int = 2_000) -> optax.GradientTransformation:
@@ -49,10 +68,6 @@ def make_optimizer(lr: float = 1e-3, weight_decay: float = 0.05,
     """
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
-
-    def decay_mask(grads_like):
-        params, _logit_scale = grads_like
-        return (jax.tree_util.tree_map(lambda p: p.ndim >= 2, params), False)
 
     return optax.chain(optax.clip_by_global_norm(10.0),
                        optax.adamw(sched, weight_decay=weight_decay,
