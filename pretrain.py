@@ -8,7 +8,10 @@ full TPU-first stack end to end:
   sharded corpus (data/streaming.ShardedCorpus, mmap/C++ fast path)
     → deterministic resumable StreamingLoader (per-process slices)
     → global jax.Array over the mesh dp axis (streaming.global_batch)
-    → train.make_dp_train_step (all_gather negatives, pmean grads)
+    → train.make_dp_train_step (all_gather negatives, pmean grads), or
+      `--parallel pp`: parallel/pp.make_pp_train_step_uni3d (GPipe stages
+      over the device ring, trunk weights + optimizer moments sharded
+      depth-wise, replicated batch)
     → checkpoint.save_state every --ckpt-every steps, including the
       LOADER cursor — `--resume` continues the exact batch schedule.
 
@@ -80,6 +83,17 @@ def main(argv=None):
     parser.add_argument("--group-size", type=int, default=8)
     parser.add_argument("--encoder-dim", type=int, default=32)
     parser.add_argument("--heads", type=int, default=4)
+    parser.add_argument("--parallel", default="dp", choices=["dp", "pp"],
+                        help="dp: data-parallel over all devices (negatives "
+                             "gathered, grads pmean'd).  pp: GPipe pipeline "
+                             "stages over all devices (depth must divide by "
+                             "the device count; single-process only)")
+    parser.add_argument("--pp-microbatches", type=int, default=None,
+                        help="GPipe microbatch count (default: one per "
+                             "stage); the local batch must divide by it")
+    parser.add_argument("--pp-stages", type=int, default=None,
+                        help="pipeline stage count (default: all devices); "
+                             "the model depth must divide by it")
     parser.add_argument("--device", default="default",
                         help="jax platform override (cpu/tpu)")
     args = parser.parse_args(argv)
@@ -139,8 +153,28 @@ def main(argv=None):
                             total_steps=args.steps,
                             warmup_steps=args.warmup_steps)
     example = jnp.zeros((1,) + corpus.sample_shape, jnp.float32)
-    state = init_train_state(model, jax.random.PRNGKey(args.seed), example,
-                             tx_opt)
+
+    if args.parallel == "pp":
+        # pipeline stages over ALL devices; the model's depth shards, the
+        # batch replicates (negatives are global by construction)
+        from uni_adapter_tpu.parallel import pp as ppar
+
+        if jax.process_count() > 1:
+            raise ValueError("--parallel pp is single-process (each stage "
+                             "needs the full replicated batch); use dp for "
+                             "multi-host runs")
+        n_stages = args.pp_stages or len(jax.devices())
+        mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+        prepare, pp_step = ppar.make_pp_train_step_uni3d(
+            model, tx_opt, mesh, n_micro=args.pp_microbatches)
+        state = ppar.init_pp_train_state(
+            model, jax.random.PRNGKey(args.seed), example, tx_opt, prepare)
+        logging.info("pipeline parallel: %d stages x %d blocks/stage, "
+                     "%d microbatches", n_stages, args.depth // n_stages,
+                     args.pp_microbatches or n_stages)
+    else:
+        state = init_train_state(model, jax.random.PRNGKey(args.seed),
+                                 example, tx_opt)
 
     ckpt_path = os.path.join(args.out, "ckpt")
     start_step = 0
@@ -158,6 +192,16 @@ def main(argv=None):
                     f"--resume with {key}={now} but the checkpoint was "
                     f"trained with {key}={was}: the batch schedule would "
                     "diverge (samples skipped/duplicated)")
+        was_par = str(blob.get("parallel", "dp"))
+        if was_par != args.parallel:
+            raise ValueError(
+                f"--resume with --parallel {args.parallel} but the "
+                f"checkpoint was trained with {was_par}: the param trees "
+                "are laid out differently (PP stacks the trunk blocks)")
+        if args.parallel == "pp":
+            # restored leaves are host arrays — re-apply the stage sharding
+            state = state._replace(
+                params=ppar.shard_pp_params(state.params, mesh))
         # the cursor is DERIVED from the checkpointed step — one atomic
         # artifact, nothing to desynchronize on a crash mid-save
         start_step = int(state.step)
@@ -168,19 +212,27 @@ def main(argv=None):
         logging.info("resumed at train step %d (loader %s)", start_step,
                      loader.state_dict())
 
-    mesh = Mesh(np.array(jax.devices()), ("dp",))
-    dp_step = make_dp_train_step(model, tx_opt, mesh)
+    if args.parallel == "dp":
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        train_fn = make_dp_train_step(model, tx_opt, mesh)
+    else:
+        train_fn = pp_step
 
     def save():
         checkpoint.save_state(ckpt_path, {"train": state,
                                           "data_seed": args.seed,
-                                          "global_batch": args.batch_size})
+                                          "global_batch": args.batch_size,
+                                          "parallel": args.parallel})
 
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):
-        batch = global_batch(next(loader), mesh, "dp")
-        state, metrics = dp_step(state, batch["pc"], batch["text_embed"],
-                                 batch["image_embed"], batch["mask"])
+        if args.parallel == "dp":
+            batch = global_batch(next(loader), mesh, "dp")
+        else:
+            # PP: the batch replicates (every stage sees all microbatches)
+            batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
+        state, metrics = train_fn(state, batch["pc"], batch["text_embed"],
+                                  batch["image_embed"], batch["mask"])
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             loss = float(metrics["loss"])
             dt = time.perf_counter() - t0

@@ -381,6 +381,13 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
 # moments; only activations and their cotangents ride the ring)
 # ---------------------------------------------------------------------------
 
+def shard_pp_params(pp_params, mesh: Mesh, stage_axis: str = "stage"):
+    """Re-apply the stage sharding to a (stacked, rest) pair — e.g. after a
+    checkpoint restore, where leaves come back as unsharded host arrays."""
+    stacked, rest = pp_params
+    return (_shard(stacked, mesh, P(stage_axis)), _shard(rest, mesh, P()))
+
+
 def init_pp_train_state(model, rng, example_pc, tx, prepare,
                         init_logit_scale: Optional[float] = None):
     """TrainState whose params are the stage-sharded (stacked, rest) pair;
