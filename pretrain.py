@@ -164,6 +164,9 @@ def main(argv=None):
                              "needs the full replicated batch); use dp for "
                              "multi-host runs")
         n_stages = args.pp_stages or len(jax.devices())
+        if n_stages > len(jax.devices()):
+            raise ValueError(f"--pp-stages {n_stages} exceeds the "
+                             f"{len(jax.devices())} available devices")
         mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
         prepare, pp_step = ppar.make_pp_train_step_uni3d(
             model, tx_opt, mesh, n_micro=args.pp_microbatches)
@@ -180,28 +183,58 @@ def main(argv=None):
     start_step = 0
     if args.resume and os.path.exists(ckpt_path + ".npz"):
         blob = checkpoint.restore_state(ckpt_path)
-        state = blob["train"]
-        # the batch schedule is a pure function of (data seed, global batch
-        # size, step); a resume under different values would silently
-        # train on a divergent schedule — refuse instead
-        for key, now in (("data_seed", args.seed),
-                         ("global_batch", args.batch_size)):
-            was = int(blob[key])
+        # refuse every silent-divergence vector, not just the batch
+        # schedule: a geometry mismatch (pp stage count / depth) would
+        # silently DROP trunk blocks (each stage scans only its local
+        # (L/S, ...) slice), and a weight-decay-recipe change would
+        # silently alter the trajectory mid-run
+        checks = [("data_seed", args.seed), ("global_batch", args.batch_size),
+                  ("depth", args.depth)]
+        if args.parallel == "pp":
+            checks.append(("pp_stages", n_stages))
+        for key, now in checks:
+            was = int(blob[key]) if key in blob else now
             if was != now:
                 raise ValueError(
                     f"--resume with {key}={now} but the checkpoint was "
-                    f"trained with {key}={was}: the batch schedule would "
-                    "diverge (samples skipped/duplicated)")
+                    f"trained with {key}={was}: the run would silently "
+                    "diverge (batch schedule or trunk-block layout)")
         was_par = str(blob.get("parallel", "dp"))
         if was_par != args.parallel:
             raise ValueError(
                 f"--resume with --parallel {args.parallel} but the "
                 f"checkpoint was trained with {was_par}: the param trees "
                 "are laid out differently (PP stacks the trunk blocks)")
+        was_mask = str(blob.get("wd_mask", "rank"))
+        if was_mask != "name":
+            raise ValueError(
+                "the checkpoint predates the name-based weight-decay mask "
+                "(train.decay_mask); resuming would silently change which "
+                "params decay — restart training or convert the checkpoint")
         if args.parallel == "pp":
-            # restored leaves are host arrays — re-apply the stage sharding
-            state = state._replace(
-                params=ppar.shard_pp_params(state.params, mesh))
+            # restored leaves are unsharded host arrays; re-apply the full
+            # stage-sharded layout (params AND optimizer moments — the
+            # moments live stage-sharded, same as the weights) using the
+            # freshly initialized state as the sharding template.  Leaves
+            # whose template sharding is not on the stage mesh (scalars:
+            # logit_scale, step, schedule counts) replicate over it —
+            # device_put commits arrays, and a committed single-device
+            # scalar would conflict with the mesh-sharded params
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def stage_sharding(t):
+                sh = t.sharding
+                if getattr(sh, "mesh", None) is not None:
+                    return sh
+                return NamedSharding(mesh, PartitionSpec())
+
+            state = jax.device_put(
+                blob["train"], jax.tree.map(stage_sharding, state))
+        else:
+            # dp: leave the leaves uncommitted — the jitted step replicates
+            # them over the mesh (committing to the template's single init
+            # device would conflict with the sharded batch)
+            state = blob["train"]
         # the cursor is DERIVED from the checkpointed step — one atomic
         # artifact, nothing to desynchronize on a crash mid-save
         start_step = int(state.step)
@@ -219,10 +252,12 @@ def main(argv=None):
         train_fn = pp_step
 
     def save():
-        checkpoint.save_state(ckpt_path, {"train": state,
-                                          "data_seed": args.seed,
-                                          "global_batch": args.batch_size,
-                                          "parallel": args.parallel})
+        blob = {"train": state, "data_seed": args.seed,
+                "global_batch": args.batch_size, "parallel": args.parallel,
+                "depth": args.depth, "wd_mask": "name"}
+        if args.parallel == "pp":
+            blob["pp_stages"] = n_stages
+        checkpoint.save_state(ckpt_path, blob)
 
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):

@@ -245,6 +245,13 @@ def test_pretrain_cli_pp_mode(tmp_path):
     with pytest.raises(ValueError, match="parallel"):
         pretrain.main([a for a in common if a not in ("--parallel", "pp")]
                       + ["--out", out_b, "--steps", "6", "--resume"])
+    # a stage-count mismatch would silently drop trunk blocks (each stage
+    # scans only its local slice) — refuse
+    i = common.index("--pp-stages")
+    restaged = common[:i + 1] + ["1"] + common[i + 2:]
+    with pytest.raises(ValueError, match="pp_stages"):
+        pretrain.main(restaged + ["--out", out_b, "--steps", "6",
+                                  "--resume"])
 
 
 class _FlakyCorpus:

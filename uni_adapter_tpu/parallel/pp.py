@@ -26,6 +26,13 @@ dead buffers that never reach the output (the GPipe bubble —
 into a zeros buffer on the last stage only, so a final psum over `stage`
 is a pure broadcast of the result.
 
+Maintenance note: each builder's pre/post re-states its model's embedding
+and head path (the non-block portion of the encoder's __call__).  Any edit
+to a model's embedding/head breaks the PP == plain-forward equality that
+tests/test_pp.py asserts on every run, so drift cannot land silently; the
+duplication buys pipelining without threading a block-boundary API through
+the flax modules.
+
 The carry through the pipeline is a pytree, not a single array — ULIP's
 Point-BERT re-adds the positional embedding at every block (reference
 models/ulip/pointbert/point_encoder.py:95-98), so its carry is (x, pos);
