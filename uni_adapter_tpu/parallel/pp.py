@@ -68,6 +68,27 @@ def _shard(tree, mesh: Mesh, spec: P):
     return jax.device_put(tree, jax.tree.map(lambda _: sh, tree))
 
 
+def _shard_stacked(stacked, mesh: Mesh, stage_axis: str,
+                   tp_axis: Optional[str]):
+    """Stage-shard the stacked (S, L/S, ...) block params; with `tp_axis`,
+    additionally Megatron-shard each block's matrices over it (specs from
+    parallel/tp.py, shifted right by the two stacking axes)."""
+    if tp_axis is None:
+        return _shard(stacked, mesh, P(stage_axis))
+    from uni_adapter_tpu.parallel import tp as _tp
+
+    # per-block TP specs computed on the (L/S, ...)-free view: drop the two
+    # leading stacking axes for spec inference, then prepend them
+    block_view = jax.tree.map(lambda a: a[0, 0], stacked)
+    tp_specs = _tp.tp_param_specs(block_view, axis=tp_axis)
+    stacked_specs = jax.tree.map(
+        lambda s: P(*((stage_axis, None) + tuple(s))), tp_specs,
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        stacked, stacked_specs)
+
+
 def _pipeline(block_apply: Callable, local_blocks, micro_carry,
               n_stages: int, axis: str):
     """GPipe schedule; runs inside shard_map over `axis`.
@@ -133,7 +154,8 @@ def _merge_micro(tree):
 
 def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
                      n_micro: int, block_apply, pre, post,
-                     data_axis: Optional[str] = None, jit: bool = True):
+                     data_axis: Optional[str] = None, jit: bool = True,
+                     tp_axis: Optional[str] = None):
     """Assemble the jitted PP forward from per-model pre/block/post fns.
 
     pre/post run replicated on every device (they are a negligible weight
@@ -141,7 +163,11 @@ def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
     pipelines.  With `data_axis` (PP × DP on a 2-D mesh) each microbatch's
     batch dimension additionally shards over that axis — the same GPipe
     schedule runs per data shard, params replicate over `data`, and the
-    stage psum stays stage-only.
+    stage psum stays stage-only.  With `tp_axis` (PP × TP) the shard_map
+    goes PARTIAL-manual: manual over stage (and data), while the model
+    axis stays automatic — each stage's block matrices carry their
+    Megatron shardings (parallel/tp.py specs) and GSPMD inserts the
+    per-block all-reduces over `tp_axis` inside the pipeline body.
     """
     carry_spec = P(None, data_axis) if data_axis else P()
 
@@ -150,10 +176,12 @@ def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
         return _pipeline(block_apply, local, micro_carry, n_stages,
                          stage_axis)
 
+    manual = {stage_axis} | ({data_axis} if data_axis else set())
     pipe = jax.shard_map(
         pipe_body, mesh=mesh,
         in_specs=(P(stage_axis), carry_spec), out_specs=carry_spec,
-        check_vma=False)
+        check_vma=False,
+        **({"axis_names": manual} if tp_axis else {}))
 
     def fwd(pp_params, pc):
         stacked, rest = pp_params
@@ -166,14 +194,18 @@ def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
 
 def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
                           n_micro: Optional[int] = None,
-                          data_axis: Optional[str] = None, jit: bool = True):
+                          data_axis: Optional[str] = None, jit: bool = True,
+                          tp_axis: Optional[str] = None):
     """(prepare_params, forward) for a pipeline-parallel Uni3D.
 
     prepare_params(params) -> pp_params: stacks the EVA block params over
     (stage, L/S) and shards them over `stage`; everything else replicates.
     forward(pp_params, pc) -> (B, embed_dim) fp32, equal to model.apply.
     `data_axis` composes PP × DP on a 2-D mesh (microbatch batch dimension
-    sharded over it).
+    sharded over it); `tp_axis` composes PP × TP (each stage's blocks
+    Megatron-sharded over that axis, GSPMD all-reduces inside the ring) —
+    all three compose on a 3-D (stage, model, data) mesh.  Head count and
+    SwiGLU hidden dim must divide by the `tp_axis` size.
     """
     from uni_adapter_tpu.models.common import EvaBlock, LN
     from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
@@ -193,7 +225,7 @@ def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
         pe = params["params"]["point_encoder"]
         stacked = stack_trunk_params(pe, model.depth, S)
         rest = {k: v for k, v in pe.items() if not k.startswith("blocks_")}
-        return (_shard(stacked, mesh, P(stage_axis)),
+        return (_shard_stacked(stacked, mesh, stage_axis, tp_axis),
                 _shard(rest, mesh, P()))
 
     def pre(rest, pc):
@@ -227,7 +259,8 @@ def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
         return x.astype(jnp.float32)
 
     return prepare, _make_pp_forward(mesh, stage_axis, S, n_micro,
-                                     block_apply, pre, post, data_axis, jit)
+                                     block_apply, pre, post, data_axis, jit,
+                                     tp_axis)
 
 
 def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
