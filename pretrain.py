@@ -163,10 +163,11 @@ def main(argv=None):
             raise ValueError("--parallel pp is single-process (each stage "
                              "needs the full replicated batch); use dp for "
                              "multi-host runs")
-        n_stages = args.pp_stages or len(jax.devices())
-        if n_stages > len(jax.devices()):
-            raise ValueError(f"--pp-stages {n_stages} exceeds the "
-                             f"{len(jax.devices())} available devices")
+        n_stages = (args.pp_stages if args.pp_stages is not None
+                    else len(jax.devices()))
+        if not 1 <= n_stages <= len(jax.devices()):
+            raise ValueError(f"--pp-stages {n_stages} must be in [1, "
+                             f"{len(jax.devices())}] (available devices)")
         mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
         prepare, pp_step = ppar.make_pp_train_step_uni3d(
             model, tx_opt, mesh, n_micro=args.pp_microbatches)
@@ -189,28 +190,39 @@ def main(argv=None):
         # (L/S, ...) slice), and a weight-decay-recipe change would
         # silently alter the trajectory mid-run
         checks = [("data_seed", args.seed), ("global_batch", args.batch_size),
-                  ("depth", args.depth)]
+                  ("depth", args.depth),
+                  # the optimizer recipe shapes the whole trajectory: lr /
+                  # decay scale the updates, warmup reshapes the schedule.
+                  # --steps is deliberately NOT checked: continuing a run
+                  # with a longer horizon is the resume workflow, and it
+                  # re-stretches the cosine tail by documented design
+                  ("lr", args.lr), ("weight_decay", args.weight_decay),
+                  ("warmup_steps", args.warmup_steps)]
         if args.parallel == "pp":
             checks.append(("pp_stages", n_stages))
         for key, now in checks:
-            was = int(blob[key]) if key in blob else now
+            was = type(now)(blob[key]) if key in blob else now
             if was != now:
                 raise ValueError(
                     f"--resume with {key}={now} but the checkpoint was "
                     f"trained with {key}={was}: the run would silently "
-                    "diverge (batch schedule or trunk-block layout)")
+                    "diverge (batch schedule, trunk-block layout, or "
+                    "optimizer trajectory)")
         was_par = str(blob.get("parallel", "dp"))
         if was_par != args.parallel:
             raise ValueError(
                 f"--resume with --parallel {args.parallel} but the "
                 f"checkpoint was trained with {was_par}: the param trees "
                 "are laid out differently (PP stacks the trunk blocks)")
-        was_mask = str(blob.get("wd_mask", "rank"))
+        was_mask = str(blob.get("wd_mask", "unstamped"))
         if was_mask != "name":
             raise ValueError(
-                "the checkpoint predates the name-based weight-decay mask "
-                "(train.decay_mask); resuming would silently change which "
-                "params decay — restart training or convert the checkpoint")
+                f"the checkpoint's weight-decay-mask recipe is "
+                f"{was_mask!r} (current: 'name', train.decay_mask); an "
+                "unstamped checkpoint may predate the name-based mask, and "
+                "resuming across a mask change silently alters which "
+                "params decay — restart training or re-stamp the "
+                "checkpoint if its recipe is known")
         if args.parallel == "pp":
             # restored leaves are unsharded host arrays; re-apply the full
             # stage-sharded layout (params AND optimizer moments — the
@@ -254,7 +266,9 @@ def main(argv=None):
     def save():
         blob = {"train": state, "data_seed": args.seed,
                 "global_batch": args.batch_size, "parallel": args.parallel,
-                "depth": args.depth, "wd_mask": "name"}
+                "depth": args.depth, "wd_mask": "name",
+                "lr": args.lr, "weight_decay": args.weight_decay,
+                "warmup_steps": args.warmup_steps}
         if args.parallel == "pp":
             blob["pp_stages"] = n_stages
         checkpoint.save_state(ckpt_path, blob)

@@ -209,6 +209,10 @@ def test_pretrain_cli_smoke_and_resume(tmp_path):
     with pytest.raises(ValueError, match="data_seed"):
         pretrain.main(common + ["--out", out_b, "--steps", "6",
                                 "--seed", "1", "--resume"])
+    # ... as must an optimizer-recipe change (silently different trajectory)
+    with pytest.raises(ValueError, match="lr"):
+        pretrain.main(common + ["--out", out_b, "--steps", "4",
+                                "--lr", "0.01", "--resume"])
     for x, y in zip(jax.tree_util.tree_leaves(st_a.params),
                     jax.tree_util.tree_leaves(st_b.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),

@@ -81,12 +81,10 @@ def _shard_stacked(stacked, mesh: Mesh, stage_axis: str,
     # leading stacking axes for spec inference, then prepend them
     block_view = jax.tree.map(lambda a: a[0, 0], stacked)
     tp_specs = _tp.tp_param_specs(block_view, axis=tp_axis)
-    stacked_specs = jax.tree.map(
-        lambda s: P(*((stage_axis, None) + tuple(s))), tp_specs,
-        is_leaf=lambda x: isinstance(x, P))
-    return jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-        stacked, stacked_specs)
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, P(*((stage_axis, None) + tuple(s)))),
+        tp_specs, is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(stacked, shardings)
 
 
 def _pipeline(block_apply: Callable, local_blocks, micro_carry,
@@ -420,13 +418,6 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
 # each stage's block gradients stay on that stage's chip, as do its AdamW
 # moments; only activations and their cotangents ride the ring)
 # ---------------------------------------------------------------------------
-
-def shard_pp_params(pp_params, mesh: Mesh, stage_axis: str = "stage"):
-    """Re-apply the stage sharding to a (stacked, rest) pair — e.g. after a
-    checkpoint restore, where leaves come back as unsharded host arrays."""
-    stacked, rest = pp_params
-    return (_shard(stacked, mesh, P(stage_axis)), _shard(rest, mesh, P()))
-
 
 def init_pp_train_state(model, rng, example_pc, tx, prepare,
                         init_logit_scale: Optional[float] = None):
