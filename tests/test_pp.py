@@ -276,6 +276,145 @@ def test_pp_train_step_matches_single_device():
             got_rest[key], upd_pe[key])
 
 
+def test_pp_train_step_ulip_matches_single_device():
+    """The ULIP PP train step equals train.train_step (same loss, same
+    updated params) — single-input convention, carry (x, pos)."""
+    import optax
+
+    from uni_adapter_tpu import train as tr
+
+    mesh = _mesh(2)
+    model = _ulip(4)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.sgd(1e-2))
+    rng = np.random.default_rng(17)
+    pts = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    image = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+
+    state0 = tr.init_train_state(model, jax.random.PRNGKey(0), pts, tx)
+    state1, metrics1 = tr.train_step(model, tx, state0, pts, text, image)
+
+    prepare, step = pp.make_pp_train_step_ulip(model, tx, mesh, n_micro=2)
+    pstate0 = pp.init_pp_train_state(model, jax.random.PRNGKey(0), pts, tx,
+                                     prepare)
+    pstate1, pmetrics = step(pstate0, pts, text, image)
+
+    np.testing.assert_allclose(float(pmetrics["loss"]),
+                               float(metrics1["loss"]), rtol=1e-5)
+    upd_pe = state1.params["point_encoder"]
+    got_stacked, got_rest = pstate1.params
+    for s in range(2):
+        for j in range(2):
+            got_b = jax.tree.map(lambda a: np.asarray(a[s, j]), got_stacked)
+            jax.tree.map(
+                lambda g, w: np.testing.assert_allclose(
+                    g, np.asarray(w), rtol=1e-4, atol=1e-6),
+                got_b, upd_pe[f"blocks_{2 * s + j}"])
+
+
+def test_pp_train_step_openshape_matches_manual():
+    """The OpenShape PP train step ((xyz, features) convention) equals a
+    manually assembled single-device SGD step on the same loss."""
+    import optax
+
+    from uni_adapter_tpu.models.losses import uni3d_text_image_loss
+    from uni_adapter_tpu.models.ppta import PPTAPreset, Projected
+    from uni_adapter_tpu.train import TrainState, _apply_grads
+
+    mesh = _mesh(2)
+    preset = PPTAPreset(dim=48, depth=4, heads=4, mlp_dim=96, sa_dim=24,
+                        patches=16, prad=0.4, nsamp=8)
+    model = Projected(preset=preset, out_channel=32, rel_pe=False,
+                      dtype=jnp.float32)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.sgd(1e-2))
+    rng = np.random.default_rng(19)
+    xyz = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    features = jnp.concatenate([xyz, jnp.ones_like(xyz)], axis=-1)
+    text = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    image = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    mask = jnp.ones((4,), jnp.float32)
+
+    params = model.init(jax.random.PRNGKey(0), xyz, features)["params"]
+    logit_scale = jnp.float32(np.log(1 / 0.07))
+    opt_state = tx.init((params, logit_scale))
+    state0 = TrainState(params, logit_scale, opt_state, jnp.int32(0))
+
+    def loss_fn(p, ls):
+        emb = model.apply({"params": p}, xyz, features)
+        out = uni3d_text_image_loss(emb, text, image, jnp.exp(ls),
+                                    mask=mask, axis_name=None)
+        return out["loss"], out
+
+    (_, metrics1), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(params, logit_scale)
+    state1 = _apply_grads(state0, tx, grads)
+
+    prepare, step = pp.make_pp_train_step_openshape(model, tx, mesh,
+                                                    n_micro=2)
+    pstate0 = pp.init_pp_train_state(model, jax.random.PRNGKey(0),
+                                     (xyz, features), tx, prepare)
+    pstate1, pmetrics = step(pstate0, xyz, features, text, image, mask)
+
+    np.testing.assert_allclose(float(pmetrics["loss"]),
+                               float(metrics1["loss"]), rtol=1e-5)
+    got_stacked, got_rest = pstate1.params
+    upd = state1.params
+    for s in range(2):
+        for j in range(2):
+            got_b = jax.tree.map(lambda a: np.asarray(a[s, j]), got_stacked)
+            jax.tree.map(
+                lambda g, w: np.testing.assert_allclose(
+                    g, np.asarray(w), rtol=1e-4, atol=1e-6),
+                got_b, upd["ppat"][f"layers_{2 * s + j}"])
+    jax.tree.map(
+        lambda g, w: np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-6),
+        got_rest["proj"], upd["proj"])
+
+
+def test_pp_tp_train_step_matches_single_device():
+    """PP × TP TRAINING on a (stage, model) mesh: one step equals the
+    single-device step — block grads and moments shard over both axes."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import optax
+
+    from uni_adapter_tpu import train as tr
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("stage", "model"))
+    model = _uni3d(4)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.sgd(1e-2))
+    rng = np.random.default_rng(23)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    image = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+
+    state0 = tr.init_train_state(model, jax.random.PRNGKey(0), pc, tx)
+    state1, metrics1 = tr.train_step(model, tx, state0, pc, text, image)
+
+    prepare, step = pp.make_pp_train_step_uni3d(model, tx, mesh, n_micro=2,
+                                                tp_axis="model")
+    pstate0 = pp.init_pp_train_state(model, jax.random.PRNGKey(0), pc, tx,
+                                     prepare)
+    pstate1, pmetrics = step(pstate0, pc, text, image)
+
+    np.testing.assert_allclose(float(pmetrics["loss"]),
+                               float(metrics1["loss"]), rtol=1e-5)
+    # updated block params keep the 2-axis sharding and equal the plain step
+    got_stacked, _ = pstate1.params
+    assert "model" in str(got_stacked["attn"]["q_proj"]["kernel"]
+                          .sharding.spec)
+    upd_pe = state1.params["point_encoder"]
+    for s in range(2):
+        for j in range(2):
+            got_b = jax.tree.map(lambda a: np.asarray(a[s, j]), got_stacked)
+            jax.tree.map(
+                lambda g, w: np.testing.assert_allclose(
+                    g, np.asarray(w), rtol=1e-4, atol=1e-6),
+                got_b, upd_pe[f"blocks_{2 * s + j}"])
+
+
 def test_decay_mask_stacking_invariant():
     """train.decay_mask must mark the SAME leaves (kernels yes;
     biases/norm gains/cls tokens no) whether the block params are plain

@@ -263,7 +263,8 @@ def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
 
 def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
                               n_micro: Optional[int] = None,
-                              data_axis: Optional[str] = None):
+                              data_axis: Optional[str] = None,
+                              jit: bool = True):
     """(prepare_params, forward) for a pipeline-parallel OpenShape PPTA
     (cache_type='global', the TTA path).
 
@@ -334,7 +335,7 @@ def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
             {"params": rest["proj"]}, x[:, 0].astype(jnp.float32))
 
     pipe_fwd = _make_pp_forward(mesh, stage_axis, S, n_micro,
-                                block_apply, pre, post, data_axis)
+                                block_apply, pre, post, data_axis, jit)
 
     def fwd(pp_params, xyz, features):
         return pipe_fwd(pp_params, (xyz, features))
@@ -344,7 +345,7 @@ def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
 
 def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
                          n_micro: Optional[int] = None,
-                         data_axis: Optional[str] = None):
+                         data_axis: Optional[str] = None, jit: bool = True):
     """(prepare_params, forward) for a pipeline-parallel ULIP Point-BERT.
 
     The pipeline carry is (x, pos): Point-BERT re-adds the positional
@@ -422,53 +423,93 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
 def init_pp_train_state(model, rng, example_pc, tx, prepare,
                         init_logit_scale: Optional[float] = None):
     """TrainState whose params are the stage-sharded (stacked, rest) pair;
-    optimizer state inherits the same shardings via tx.init."""
+    optimizer state inherits the same shardings via tx.init.
+
+    `example_pc` is passed to model.init — a (B, N, 6) cloud for Uni3D,
+    (B, N, 3) for ULIP, or an (xyz, features) tuple for OpenShape."""
     from uni_adapter_tpu.train import TrainState
 
     if init_logit_scale is None:
         init_logit_scale = float(jnp.log(1 / 0.07))
-    pp_params = prepare(model.init(rng, example_pc))
+    init_args = (example_pc if isinstance(example_pc, tuple)
+                 else (example_pc,))
+    pp_params = prepare(model.init(rng, *init_args))
     logit_scale = jnp.float32(init_logit_scale)
     opt_state = tx.init((pp_params, logit_scale))
     return TrainState(pp_params, logit_scale, opt_state, jnp.int32(0))
 
 
-def make_pp_train_step_uni3d(model, tx, mesh: Mesh,
-                             stage_axis: str = "stage",
-                             n_micro: Optional[int] = None,
-                             data_axis: Optional[str] = None):
-    """(prepare_params, train_step) for pipeline-parallel contrastive
-    pretraining of a Uni3D point encoder (the reference's training-era
-    loss, models/losses.py:7-69; no PP exists upstream — SURVEY.md §2.4).
+def _make_pp_train_step(tx, fwd, n_model_inputs: int):
+    """Contrastive train step over an (unjitted) PP forward: the reference's
+    training-era loss (models/losses.py:7-69) on the pipelined encoder.
 
-    train_step(state, pc, text_embed, image_embed, mask) -> (state, metrics)
-    with state.params = the stage-sharded (stacked, rest) pair from
-    `prepare_params`/`init_pp_train_state`.  The loss sees the globally
-    assembled embeddings (the forward's output is replicated), so with
-    `data_axis` the negatives are global by construction — equal to the
-    single-device step on the same batch (tested in tests/test_pp.py).
-    """
+    train_step(state, *model_inputs, text_embed, image_embed, mask)
+    -> (state, metrics) with state.params = the stage-sharded
+    (stacked, rest) pair.  The loss sees the globally assembled embeddings
+    (the forward's output is replicated), so with a data axis the
+    negatives are global by construction — equal to the single-device step
+    on the same batch (tested in tests/test_pp.py)."""
     from uni_adapter_tpu.models.losses import uni3d_text_image_loss
     from uni_adapter_tpu.train import _apply_grads
 
-    prepare, fwd = make_pp_forward_uni3d(model, mesh, stage_axis, n_micro,
-                                         data_axis, jit=False)
-
-    def loss_fn(pp_params, logit_scale, pc, text_embed, image_embed, mask):
-        pc_embed = fwd(pp_params, pc)
+    def loss_fn(pp_params, logit_scale, model_inputs, text_embed,
+                image_embed, mask):
+        pc_embed = fwd(pp_params, *model_inputs)
         out = uni3d_text_image_loss(pc_embed, text_embed, image_embed,
                                     jnp.exp(logit_scale), mask=mask,
                                     axis_name=None)
         return out["loss"], out
 
     @jax.jit
-    def train_step(state, pc, text_embed, image_embed, mask=None):
+    def train_step(state, *args, mask=None):
+        model_inputs, (text_embed, image_embed) = \
+            args[:n_model_inputs], args[n_model_inputs:n_model_inputs + 2]
+        if len(args) > n_model_inputs + 2:
+            mask = args[n_model_inputs + 2]
         if mask is None:
-            mask = jnp.ones((pc.shape[0],), jnp.float32)
+            mask = jnp.ones((text_embed.shape[0],), jnp.float32)
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
-            state.params, state.logit_scale, pc, text_embed, image_embed,
-            mask)
+            state.params, state.logit_scale, model_inputs, text_embed,
+            image_embed, mask)
         return _apply_grads(state, tx, grads), metrics
 
-    return prepare, train_step
+    return train_step
+
+
+def make_pp_train_step_uni3d(model, tx, mesh: Mesh,
+                             stage_axis: str = "stage",
+                             n_micro: Optional[int] = None,
+                             data_axis: Optional[str] = None,
+                             tp_axis: Optional[str] = None):
+    """(prepare_params, train_step) for pipeline-parallel contrastive
+    pretraining of a Uni3D point encoder (no PP exists upstream —
+    SURVEY.md §2.4).  train_step(state, pc, text_embed, image_embed, mask);
+    `tp_axis` composes PP × TP training (block grads and moments shard
+    over BOTH stage and model axes)."""
+    prepare, fwd = make_pp_forward_uni3d(model, mesh, stage_axis, n_micro,
+                                         data_axis, jit=False,
+                                         tp_axis=tp_axis)
+    return prepare, _make_pp_train_step(tx, fwd, 1)
+
+
+def make_pp_train_step_ulip(model, tx, mesh: Mesh,
+                            stage_axis: str = "stage",
+                            n_micro: Optional[int] = None,
+                            data_axis: Optional[str] = None):
+    """PP pretraining for the ULIP Point-BERT encoder:
+    train_step(state, pts, text_embed, image_embed, mask), pts (B, N, 3)."""
+    prepare, fwd = make_pp_forward_ulip(model, mesh, stage_axis, n_micro,
+                                        data_axis, jit=False)
+    return prepare, _make_pp_train_step(tx, fwd, 1)
+
+
+def make_pp_train_step_openshape(model, tx, mesh: Mesh,
+                                 stage_axis: str = "stage",
+                                 n_micro: Optional[int] = None,
+                                 data_axis: Optional[str] = None):
+    """PP pretraining for the OpenShape PPTA encoder:
+    train_step(state, xyz, features, text_embed, image_embed, mask)."""
+    prepare, fwd = make_pp_forward_openshape(model, mesh, stage_axis,
+                                             n_micro, data_axis, jit=False)
+    return prepare, _make_pp_train_step(tx, fwd, 2)
