@@ -66,6 +66,28 @@ def test_methods_run_and_match_scan(setup, method):
     assert 0.0 <= summary["acc1"] <= 100.0
 
 
+def test_fix_fusion_normalization_plumbs_through_engine(setup):
+    """DotaConfig.fix_fusion_normalization reaches the fusion step: the
+    corrected convex combination produces a different trajectory than the
+    reference's double-normalisation (the default reproduces the bug —
+    Uni_Adapter.py:512-513; the formula itself is unit-tested in
+    tests/test_adapt.py)."""
+    model, params, text, pcs, rgbs, targets = setup
+    cfg = cfg_for("mode")
+    cfg_fixed = dataclasses.replace(
+        cfg, dota=dataclasses.replace(cfg.dota,
+                                      fix_fusion_normalization=True))
+    _, outs = engine.run_stream_scan(
+        cfg, model, params, text, jnp.array(pcs), jnp.array(rgbs),
+        jnp.array(targets))
+    _, outs_fixed = engine.run_stream_scan(
+        cfg_fixed, model, params, text, jnp.array(pcs), jnp.array(rgbs),
+        jnp.array(targets))
+    assert not np.allclose(np.asarray(outs.final_logits),
+                           np.asarray(outs_fixed.final_logits))
+    assert np.all(np.isfinite(np.asarray(outs_fixed.final_logits)))
+
+
 def test_adaptation_state_evolves(setup):
     model, params, text, pcs, rgbs, targets = setup
     cfg = cfg_for("mode")

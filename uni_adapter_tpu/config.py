@@ -140,6 +140,11 @@ class DotaConfig:
     # reference numerics EXACTLY.  Off by default: the round-trip is a
     # GPU-era artifact and fp32 is strictly more precise on TPU.
     fp16_predict_input: bool = False
+    # The reference's inverse-entropy fusion weights do not sum to 1:
+    # w_dota divides by the already-normalised w_clip (Uni_Adapter.py:512-513).
+    # Off (reference parity) by default; True uses the corrected convex
+    # combination (adapt/fusion.py).
+    fix_fusion_normalization: bool = False
     # Matmul precision of the alignment-loss (K,KM) log-likelihoods:
     # "highest" = fp32-exact 6-pass (reference numerics, the default);
     # "high" = 3-pass bf16 splits, ~2x faster — worthwhile at large label

@@ -248,7 +248,9 @@ def make_step_fn(cfg: Config, model,
 
             w = fusion.dota_fusion_weight(dc.rho, dc.eta, jnp.mean(ms.c),
                                           fit_batch)
-            final = fusion.fuse_mode_dota(clip_logits, dota_logits, w)
+            final = fusion.fuse_mode_dota(
+                clip_logits, dota_logits, w,
+                fix_normalization=dc.fix_fusion_normalization)
 
         elif dc.use_gmm_dota:
             # present-but-unwired in the reference (SURVEY.md §2.1); fused
@@ -261,7 +263,9 @@ def make_step_fn(cfg: Config, model,
             w = fusion.dota_fusion_weight(
                 dc.rho, dc.eta, jnp.mean(gmm.class_counts_per_class(ms)),
                 fit_batch)
-            final = fusion.fuse_mode_dota(clip_logits, gmm_logits, w)
+            final = fusion.fuse_mode_dota(
+                clip_logits, gmm_logits, w,
+                fix_normalization=dc.fix_fusion_normalization)
 
         elif dc.use_adaptive_dota:
             # `--use-adaptive-dota` is parsed but never read in the reference
@@ -276,7 +280,9 @@ def make_step_fn(cfg: Config, model,
                                   axis_name=axis_name)
             w = fusion.dota_fusion_weight(dc.rho, dc.eta, jnp.mean(ms.c),
                                           fit_batch)
-            final = fusion.fuse_mode_dota(clip_logits, ad_logits, w)
+            final = fusion.fuse_mode_dota(
+                clip_logits, ad_logits, w,
+                fix_normalization=dc.fix_fusion_normalization)
 
         else:
             prop_ent = normalized_entropy(ent, K)[0]
