@@ -131,7 +131,8 @@ def init_state(cfg: Config, text_features_initial: jax.Array,
 
 
 def make_step_fn(cfg: Config, model,
-                 axis_name: Optional[str] = None) -> Callable:
+                 axis_name: Optional[str] = None,
+                 encode_fn: Optional[Callable] = None) -> Callable:
     """Build the pure per-sample step:
         step(params, text_init, state, batch) -> (state, StepOutput)
     where `batch` is (pc (B,N,3), rgb (B,N,3), target (B,)).
@@ -139,8 +140,14 @@ def make_step_fn(cfg: Config, model,
     With `axis_name` set (inside shard_map), each device feeds its local
     batch shard and the fit sufficient statistics psum-merge — the
     adaptation state stays replicated and the update is the exact global
-    streaming update (SURVEY.md §5.8)."""
-    encode = make_encode_fn(cfg, model)
+    streaming update (SURVEY.md §5.8).
+
+    `encode_fn` overrides the model-apply forward — `params` is then
+    whatever pytree the override consumes (e.g. the stage-sharded
+    (stacked, rest) pair of parallel/pp.make_pp_encode_fn, which runs the
+    trunk as a GPipe pipeline for models too large for one chip)."""
+    encode = encode_fn if encode_fn is not None else \
+        make_encode_fn(cfg, model)
     dc, cc = cfg.dota, cfg.cache
     use_res = dc.use_mode_dota and dc.res_learning
     res_opt = residual.make_optimizer(dc.residual_lr) if use_res else None
@@ -305,10 +312,12 @@ def make_step_fn(cfg: Config, model,
 
 
 def make_scan_fn(cfg: Config, model,
-                 axis_name: Optional[str] = None) -> Callable:
+                 axis_name: Optional[str] = None,
+                 encode_fn: Optional[Callable] = None) -> Callable:
     """scan_fn(params, text, state, pcs, rgbs, targets) -> (state, outs).
     Jit this (or embed in shard_map); all arrays are arguments."""
-    step = make_step_fn(cfg, model, axis_name=axis_name)
+    step = make_step_fn(cfg, model, axis_name=axis_name,
+                        encode_fn=encode_fn)
 
     def scan_fn(params, text, state, pcs, rgbs, targets):
         return jax.lax.scan(

@@ -413,6 +413,51 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
                                      block_apply, pre, post, data_axis)
 
 
+def make_pp_encode_fn(model, mesh: Mesh, kind: str = "uni3d",
+                      stage_axis: str = "stage",
+                      n_micro: Optional[int] = None,
+                      tp_axis: Optional[str] = None):
+    """(prepare_params, encode) for a pipeline-parallel TTA encoder.
+
+    `encode(pp_params, pc, rgb)` matches engine.make_encode_fn's contract
+    (per-backbone input conventions of the reference's get_logits_wrapper,
+    Uni_Adapter.py:53-67, L2-normalised output) so it drops into
+    engine.make_step_fn/make_scan_fn via `encode_fn=` — the adaptation
+    loop is unchanged, only the trunk forward pipelines.  n_micro defaults
+    to 1: TTA steps are batch-1 (2 with the fused noise-aug double fit),
+    too small to microbatch — PP here is a capacity feature (trunks larger
+    than one chip's HBM), not a throughput one.
+    """
+    n_micro = 1 if n_micro is None else n_micro
+    if kind == "uni3d":
+        prepare, fwd = make_pp_forward_uni3d(model, mesh, stage_axis,
+                                             n_micro, jit=False,
+                                             tp_axis=tp_axis)
+
+        def raw(pp_params, pc, rgb):
+            return fwd(pp_params, jnp.concatenate([pc, rgb], axis=-1))
+    elif kind == "ulip":
+        prepare, fwd = make_pp_forward_ulip(model, mesh, stage_axis,
+                                            n_micro, jit=False)
+
+        def raw(pp_params, pc, rgb):
+            return fwd(pp_params, pc)
+    elif kind == "openshape":
+        prepare, fwd = make_pp_forward_openshape(model, mesh, stage_axis,
+                                                 n_micro, jit=False)
+
+        def raw(pp_params, pc, rgb):
+            return fwd(pp_params, pc, jnp.concatenate([pc, rgb], axis=-1))
+    else:
+        raise ValueError(kind)
+
+    def encode(pp_params, pc, rgb):
+        feat = raw(pp_params, pc, rgb)
+        return feat / (jnp.linalg.norm(feat, axis=-1, keepdims=True) + 1e-12)
+
+    return prepare, encode
+
+
 # ---------------------------------------------------------------------------
 # Pipeline-parallel pretraining (GPipe backward: jax.grad through the
 # scheduled forward — ppermute/psum transpose to the reverse rotation, so
