@@ -22,6 +22,7 @@ for case in range(10):
         B=int(_rng.choice([1, 2])),
         method=["mode", "dota", "cache", "gmm", "adaptive"][case % 5],
         res=bool(_rng.integers(0, 2)),
+        fix_norm=bool(_rng.integers(0, 2)),
         T=int(_rng.integers(2, 5)),
     ))
 
@@ -30,7 +31,8 @@ for case in range(10):
 def test_random_config_stays_finite(case):
     K, D, M, B, T = case["K"], case["D"], case["M"], case["B"], case["T"]
     dc = DotaConfig(use_dota=False, use_mode_dota=False, mode_M=M,
-                    res_learning=case["res"], residual_steps=2)
+                    res_learning=case["res"], residual_steps=2,
+                    fix_fusion_normalization=case["fix_norm"])
     if case["method"] == "mode":
         dc.use_mode_dota = True
     elif case["method"] == "dota":
