@@ -82,6 +82,39 @@ def test_ragged_ticks_preserve_isolation(setup):
     assert int(server.states["b"].step) == (T + 1) // 2
 
 
+def test_server_with_pp_encode_matches_plain(setup):
+    """TTAServer(encode_fn=pp.make_pp_encode_fn(...)) serves the same
+    per-client trajectories as the plain server — the client-vmapped step
+    composes with the GPipe shard_map pipeline."""
+    from jax.sharding import Mesh
+
+    from uni_adapter_tpu.parallel import pp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    cfg, _, _, text, streams = setup
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=2, num_heads=4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, N, 6), jnp.float32))
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("stage",))
+    prepare, encode = pp.make_pp_encode_fn(model, mesh, "uni3d")
+
+    plain = TTAServer(cfg, model, params, text, sizes=(1, 2), seed=42)
+    pped = TTAServer(cfg, model, prepare(params), text, sizes=(1, 2),
+                     seed=42, encode_fn=encode)
+    for server in (plain, pped):
+        for cid in ("a", "b"):
+            server.register(cid)
+    for t in range(T):
+        reqs = [(c, streams[i, t], None) for i, c in enumerate("ab")]
+        out_plain = plain.submit(reqs)
+        out_pp = pped.submit(reqs)
+        for c in "ab":
+            np.testing.assert_allclose(out_pp[c], out_plain[c],
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_server_guards(setup):
     cfg, model, params, text, streams = setup
     server = TTAServer(cfg, model, params, text, sizes=(1, 2), seed=0)

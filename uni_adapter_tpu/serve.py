@@ -35,13 +35,18 @@ class TTAServer:
     """Stateful multi-client test-time-adaptation server."""
 
     def __init__(self, cfg: Config, model, params, text_features,
-                 sizes: Sequence[int] = (1, 2, 4, 8, 16), seed: int = 42):
+                 sizes: Sequence[int] = (1, 2, 4, 8, 16), seed: int = 42,
+                 encode_fn=None):
+        """`encode_fn` (with matching `params`) swaps the trunk forward —
+        e.g. parallel/tp.shard_params_tp'd params, or
+        parallel/pp.make_pp_encode_fn for trunks larger than one chip's
+        HBM; the serving loop is encode-agnostic."""
         self.cfg = cfg
         self.params = params
         self.text = jnp.asarray(text_features)
         self.sizes = sorted(sizes)
         self.seed = seed
-        self._step = engine.make_step_fn(cfg, model)
+        self._step = engine.make_step_fn(cfg, model, encode_fn=encode_fn)
         self._vstep = jax.jit(jax.vmap(self._step, in_axes=(None, None, 0, 0)))
         self.states: Dict[str, engine.EngineState] = {}
         self._next_client = 0
