@@ -378,6 +378,24 @@ def test_overlay_strict_reports_suffix_shadowed_leaf(tiny_uni3d):
     assert "params/point_encoder/norm/scale" not in rep["missing"]
 
 
+def test_labels_key_inferred_from_dataset_name():
+    """--validate-dataset-name defaults to the dataset family's labels.json
+    key (the reference makes the user sync the two flags by hand,
+    utils/params.py:80-83 — a mismatch silently scores against the wrong
+    label set); an explicit flag still wins, and unknown dist modes are
+    rejected instead of silently running replicated."""
+    c = parse_args(["--dataset-name", "scanobject"])
+    assert c.data.validate_dataset_name == "scanobjnn_openshape"
+    c = parse_args(["--dataset-name", "shapenetcore"])
+    assert c.data.validate_dataset_name == "shapenet_openshape"
+    c = parse_args(["--dataset-name", "scanobject",
+                    "--validate-dataset-name", "modelnet40_openshape"])
+    assert c.data.validate_dataset_name == "modelnet40_openshape"
+    import pytest
+    with pytest.raises(ValueError, match="dist-mode"):
+        parse_args(["--dist-mode", "none"])
+
+
 def test_parse_args_explicit_flags_beat_dataset_table():
     """Explicit CLI flags must survive resolve()'s per-dataset table
     (previously the table silently clobbered them), and None-default

@@ -187,7 +187,10 @@ class CacheConfig:
 class DataConfig:
     root: str = ""
     dataset_name: str = "modelnet"       # modelnet | scanobject | shapenetcore
-    validate_dataset_name: str = "modelnet40_openshape"
+    # labels.json key; None = inferred from dataset_name (resolve()) — the
+    # reference makes the user keep the two flags in sync by hand
+    # (utils/params.py:80-83); a mismatch scores against the wrong label set
+    validate_dataset_name: Optional[str] = None
     template_key: str = "modelnet40_64"
     corruption: str = "all"
     severity: int = 5
@@ -235,7 +238,8 @@ class Config:
     run: RunConfig = field(default_factory=RunConfig)
 
     def resolve(self) -> "Config":
-        """Apply the per-dataset hyperparameter table (hyperparams.py:9-33)."""
+        """Apply the per-dataset hyperparameter table (hyperparams.py:9-33)
+        and infer the labels.json key when not explicitly set."""
         name = self.data.dataset_name.lower()
         c = dataclasses.replace(self.cache)
         if "modelnet" in name:
@@ -245,7 +249,11 @@ class Config:
         elif "shapenet" in name:
             c.lambda_reg, c.threshold = 0.07, 0.45
             c.use_new_approximation = False
-        return dataclasses.replace(self, cache=c)
+        d = self.data
+        if d.validate_dataset_name is None:
+            d = dataclasses.replace(
+                d, validate_dataset_name=labels_key_for(d.dataset_name))
+        return dataclasses.replace(self, cache=c, data=d)
 
 
 def get_hyperparams(dataset_name: str) -> dict:
@@ -260,9 +268,25 @@ def get_hyperparams(dataset_name: str) -> dict:
     }
 
 
+def labels_key_for(dataset_name: str) -> str:
+    """labels.json key for a dataset family (the reference's per-dataset
+    defaults, utils/params.py:81-83)."""
+    name = dataset_name.lower()
+    if "modelnet" in name:
+        return "modelnet40_openshape"
+    if "scanobject" in name:
+        return "scanobjnn_openshape"
+    if "shapenet" in name:
+        return "shapenet_openshape"
+    raise ValueError(f"cannot infer a labels.json key for dataset "
+                     f"{dataset_name!r}; pass --validate-dataset-name")
+
+
 def load_labels(cfg: Config) -> list[str]:
+    key = (cfg.data.validate_dataset_name
+           or labels_key_for(cfg.data.dataset_name))
     with open(cfg.data.labels_path) as f:
-        return json.load(f)[cfg.data.validate_dataset_name]
+        return json.load(f)[key]
 
 
 def load_templates(cfg: Config) -> list[str]:
@@ -331,6 +355,11 @@ def parse_args(argv=None) -> Config:
         dota=dataclasses.replace(cfg.dota, **explicit(cfg.dota, "dota_")),
         cache=dataclasses.replace(cfg.cache, **cache_explicit),
     )
+    if cfg.run.dist_mode not in ("replicated", "sharded", "psum"):
+        # main.py string-compares the mode; without this check a typo would
+        # silently fall through to the replicated path
+        raise ValueError(f"--dist-mode {cfg.run.dist_mode!r}: expected "
+                         "replicated, sharded, or psum")
     cfg = cfg.resolve()
     # explicit cache flags beat the table
     return dataclasses.replace(

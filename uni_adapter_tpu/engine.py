@@ -59,28 +59,34 @@ class StepOutput(NamedTuple):
     correct: jax.Array                # (3,) top-1/3/5 correct counts
 
 
-def make_encode_fn(cfg: Config, model) -> Callable:
-    """Model-dispatch forward: (params, pc, rgb) -> L2-normalised (B, D).
+def encode_with(kind: str, apply_fn: Callable) -> Callable:
+    """Per-backbone encode over any raw forward `apply_fn(params, *inputs)`:
+    (params, pc, rgb) -> L2-normalised (B, D).
 
-    Mirrors get_logits_wrapper's per-backbone input conventions
-    (Uni_Adapter.py:53-67): uni3d consumes xyz‖color, ulip xyz only,
-    openshape (xyz, xyz‖color).
+    Mirrors get_logits_wrapper's input conventions (Uni_Adapter.py:53-67):
+    uni3d consumes xyz‖color, ulip xyz only, openshape (xyz, xyz‖color).
+    The single home of this dispatch and the normalisation epsilon —
+    alternate forwards (TP/PP pipelines) plug in via `apply_fn` so they
+    cannot drift from the plain path.
     """
-    kind = cfg.model.vlm3d
-
     def encode(params, pc: jax.Array, rgb: jax.Array) -> jax.Array:
         if kind == "uni3d":
-            feat = model.apply(params, jnp.concatenate([pc, rgb], axis=-1))
+            feat = apply_fn(params, jnp.concatenate([pc, rgb], axis=-1))
         elif kind == "ulip":
-            feat = model.apply(params, pc)
+            feat = apply_fn(params, pc)
         elif kind == "openshape":
             feature = jnp.concatenate([pc, rgb], axis=-1)
-            feat = model.apply(params, pc, feature)
+            feat = apply_fn(params, pc, feature)
         else:
             raise ValueError(kind)
         return feat / (jnp.linalg.norm(feat, axis=-1, keepdims=True) + 1e-12)
 
     return encode
+
+
+def make_encode_fn(cfg: Config, model) -> Callable:
+    """Model-dispatch forward: (params, pc, rgb) -> L2-normalised (B, D)."""
+    return encode_with(cfg.model.vlm3d, model.apply)
 
 
 def clip_logits_from(feat: jax.Array, clip_weights: jax.Array,

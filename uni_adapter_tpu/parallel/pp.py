@@ -410,7 +410,7 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
                           precision=jax.lax.Precision.HIGHEST)
 
     return prepare, _make_pp_forward(mesh, stage_axis, S, n_micro,
-                                     block_apply, pre, post, data_axis)
+                                     block_apply, pre, post, data_axis, jit)
 
 
 def make_pp_encode_fn(model, mesh: Mesh, kind: str = "uni3d",
@@ -428,34 +428,29 @@ def make_pp_encode_fn(model, mesh: Mesh, kind: str = "uni3d",
     too small to microbatch — PP here is a capacity feature (trunks larger
     than one chip's HBM), not a throughput one.
     """
+    from uni_adapter_tpu.engine import encode_with
+
     n_micro = 1 if n_micro is None else n_micro
+    if tp_axis is not None and kind != "uni3d":
+        raise ValueError(f"tp_axis is supported for kind='uni3d' only "
+                         f"(got kind={kind!r}) — silently stage-only "
+                         "sharding would defeat the point of asking for TP")
     if kind == "uni3d":
         prepare, fwd = make_pp_forward_uni3d(model, mesh, stage_axis,
                                              n_micro, jit=False,
                                              tp_axis=tp_axis)
-
-        def raw(pp_params, pc, rgb):
-            return fwd(pp_params, jnp.concatenate([pc, rgb], axis=-1))
     elif kind == "ulip":
         prepare, fwd = make_pp_forward_ulip(model, mesh, stage_axis,
                                             n_micro, jit=False)
-
-        def raw(pp_params, pc, rgb):
-            return fwd(pp_params, pc)
     elif kind == "openshape":
         prepare, fwd = make_pp_forward_openshape(model, mesh, stage_axis,
                                                  n_micro, jit=False)
-
-        def raw(pp_params, pc, rgb):
-            return fwd(pp_params, pc, jnp.concatenate([pc, rgb], axis=-1))
     else:
         raise ValueError(kind)
 
-    def encode(pp_params, pc, rgb):
-        feat = raw(pp_params, pc, rgb)
-        return feat / (jnp.linalg.norm(feat, axis=-1, keepdims=True) + 1e-12)
-
-    return prepare, encode
+    # input-convention dispatch + normalisation live in ONE place
+    # (engine.encode_with); this module only supplies the pipelined forward
+    return prepare, encode_with(kind, fwd)
 
 
 # ---------------------------------------------------------------------------
