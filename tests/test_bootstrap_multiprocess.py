@@ -42,25 +42,79 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(180)
-def test_two_process_bootstrap_psum(tmp_path):
+def _spawn_pair(worker: str, extra_env=None, timeout=150):
     port = _free_port()
     procs = []
     for rank in range(2):
         env = dict(os.environ,
                    RANK=str(rank), LOCAL_RANK=str(rank), WORLD_SIZE="2",
                    MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port),
-                   JAX_PLATFORMS="cpu")
+                   JAX_PLATFORMS="cpu", **(extra_env or {}))
         env["PYTHONPATH"] = os.pathsep.join(
             [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
             + env.get("PYTHONPATH", "").split(os.pathsep))
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", _WORKER], env=env,
+            [sys.executable, "-c", worker], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=150)
-        outs.append(out)
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    return procs, outs
+
+
+@pytest.mark.timeout(180)
+def test_two_process_bootstrap_psum(tmp_path):
+    procs, outs = _spawn_pair(_WORKER)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"OK rank={rank} total=3" in out, out
+
+
+_PP_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from uni_adapter_tpu.parallel.bootstrap import init_distributed_device
+
+info = init_distributed_device()
+assert info["world_size"] == 2, info
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.parallel import pp
+
+assert jax.device_count() == 4, jax.devices()   # 2 local x 2 processes
+mesh = Mesh(np.asarray(jax.devices()), ("stage",))
+
+model = Uni3D(trans_dim=48, embed_dim=32, num_group=8, group_size=8,
+              encoder_dim=16, depth=4, num_heads=4, dtype=jnp.float32)
+rng = np.random.default_rng(0)
+pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+# deterministic init => identical params on both processes; the plain
+# forward computed locally is the oracle
+params = model.init(jax.random.PRNGKey(0), pc)
+want = np.asarray(jax.jit(model.apply)(params, pc))
+
+prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=2)
+got = np.asarray(fwd(prepare(params), pc))
+np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+print(f"OK rank={info['rank']} pp-multiprocess", flush=True)
+"""
+
+
+@pytest.mark.timeout(600)
+def test_two_process_pipeline_forward():
+    """The GPipe pipeline crosses a PROCESS boundary: 2 processes x 2 local
+    CPU devices form a 4-stage global mesh; the ppermute ring rides the
+    inter-process transport and the PP forward still equals the plain
+    forward.  The multi-host story for parallel/pp.py (single-host PP is
+    covered by tests/test_pp.py)."""
+    procs, outs = _spawn_pair(
+        _PP_WORKER,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+        timeout=550)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"OK rank={rank} pp-multiprocess" in out, out
