@@ -104,6 +104,116 @@ print(f"OK rank={info['rank']} pp-multiprocess", flush=True)
 """
 
 
+_TP_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from uni_adapter_tpu.parallel.bootstrap import init_distributed_device
+
+info = init_distributed_device()
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.parallel import tp
+
+assert jax.device_count() == 4, jax.devices()
+mesh = Mesh(np.asarray(jax.devices()), ("model",))
+
+model = Uni3D(trans_dim=48, embed_dim=32, num_group=8, group_size=8,
+              encoder_dim=16, depth=2, num_heads=4, dtype=jnp.float32)
+rng = np.random.default_rng(0)
+pc = jnp.asarray(rng.standard_normal((2, 64, 6)), jnp.float32)
+params = model.init(jax.random.PRNGKey(0), pc)
+want = np.asarray(jax.jit(model.apply)(params, pc))
+
+sharded = tp.shard_params_tp(params, mesh)
+got = np.asarray(tp.make_tp_forward(model, mesh)(sharded, pc))
+np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+print(f"OK rank={info['rank']} tp-multiprocess", flush=True)
+"""
+
+
+_PSUM_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from uni_adapter_tpu.parallel.bootstrap import init_distributed_device
+
+info = init_distributed_device()
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.parallel import mesh as pmesh
+
+assert jax.device_count() == 4, jax.devices()
+mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
+K, N, T = 5, 64, 8
+model = Uni3D(trans_dim=48, embed_dim=32, num_group=8, group_size=8,
+              encoder_dim=16, depth=2, num_heads=4, dtype=jnp.float32)
+rng = np.random.default_rng(0)
+pc0 = jnp.zeros((1, N, 6), jnp.float32)
+params = model.init(jax.random.PRNGKey(0), pc0)
+text = rng.standard_normal((K, 32)).astype(np.float32)
+text /= np.linalg.norm(text, axis=1, keepdims=True)
+cfg = Config(model=ModelConfig(compute_dtype="float32"),
+             dota=DotaConfig(use_mode_dota=True, mode_M=2,
+                             res_learning=True, residual_steps=2),
+             cache=CacheConfig(cg_max_iter=5))
+pcs = rng.standard_normal((T, 1, N, 3)).astype(np.float32)
+rgbs = np.ones_like(pcs)
+tgts = rng.integers(0, K, (T, 1)).astype(np.int32)
+
+_, summary = pmesh.run_stream_psum(
+    cfg, model, params, jnp.asarray(text), pcs, rgbs, tgts, mesh=mesh)
+assert np.isfinite(summary["acc1"]), summary
+print(f"OK rank={info['rank']} psum acc1={summary['acc1']:.6f}", flush=True)
+"""
+
+
+@pytest.mark.timeout(600)
+def test_two_process_tp_forward():
+    """Megatron TP across a process boundary: the GSPMD per-block
+    all-reduces ride the inter-process transport on a 4-way model mesh;
+    output equals the plain forward on both ranks."""
+    procs, outs = _spawn_pair(
+        _TP_WORKER,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+        timeout=550)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"OK rank={rank} tp-multiprocess" in out, out
+
+
+@pytest.mark.timeout(600)
+def test_two_process_psum_tta_stream():
+    """The full MODE-DOTA psum TTA mode on a 4-device mesh spanning two
+    processes: the fit sufficient statistics psum across ranks, both ranks
+    converge to the identical summary (the multi-host form of
+    tests/test_parallel.py's single-process exactness proof)."""
+    procs, outs = _spawn_pair(
+        _PSUM_WORKER,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+        timeout=550)
+    accs = []
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"OK rank={rank} psum")]
+        assert line, out
+        accs.append(line[0].rsplit("=", 1)[1])
+    assert accs[0] == accs[1], accs   # identical global summary on both ranks
+
+
 @pytest.mark.timeout(600)
 def test_two_process_pipeline_forward():
     """The GPipe pipeline crosses a PROCESS boundary: 2 processes x 2 local
