@@ -42,21 +42,34 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn_pair(worker: str, extra_env=None, timeout=150):
+def _spawn_pair(worker: str, xla_flags: str = "", timeout=150):
     port = _free_port()
     procs = []
     for rank in range(2):
         env = dict(os.environ,
                    RANK=str(rank), LOCAL_RANK=str(rank), WORLD_SIZE="2",
                    MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port),
-                   JAX_PLATFORMS="cpu", **(extra_env or {}))
+                   JAX_PLATFORMS="cpu")
+        if xla_flags:
+            # append: clobbering would drop site-level flags the rest of
+            # the suite runs with
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                                + " " + xla_flags).strip()
         env["PYTHONPATH"] = os.pathsep.join(
             [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
             + env.get("PYTHONPATH", "").split(os.pathsep))
         procs.append(subprocess.Popen(
             [sys.executable, "-c", worker], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    finally:
+        # a deadlocked pair (the failure mode these smokes exist to catch)
+        # must not orphan CPU-spinning workers holding the coordinator port
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     return procs, outs
 
 
@@ -187,7 +200,7 @@ def test_two_process_tp_forward():
     output equals the plain forward on both ranks."""
     procs, outs = _spawn_pair(
         _TP_WORKER,
-        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+        xla_flags="--xla_force_host_platform_device_count=2",
         timeout=550)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
@@ -202,7 +215,7 @@ def test_two_process_psum_tta_stream():
     tests/test_parallel.py's single-process exactness proof)."""
     procs, outs = _spawn_pair(
         _PSUM_WORKER,
-        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+        xla_flags="--xla_force_host_platform_device_count=2",
         timeout=550)
     accs = []
     for rank, (p, out) in enumerate(zip(procs, outs)):
@@ -223,7 +236,7 @@ def test_two_process_pipeline_forward():
     covered by tests/test_pp.py)."""
     procs, outs = _spawn_pair(
         _PP_WORKER,
-        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+        xla_flags="--xla_force_host_platform_device_count=2",
         timeout=550)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"

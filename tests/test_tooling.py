@@ -391,7 +391,15 @@ def test_labels_key_inferred_from_dataset_name():
     c = parse_args(["--dataset-name", "scanobject",
                     "--validate-dataset-name", "modelnet40_openshape"])
     assert c.data.validate_dataset_name == "modelnet40_openshape"
-    import pytest
+    c = parse_args(["--dataset-name", "objaverse_lvis"])
+    assert c.data.validate_dataset_name == "objaverse_lvis_openshape"
+    # un-inferable family: hyperparam resolution must not die — labels
+    # raise only when actually requested
+    c = parse_args(["--dataset-name", "omniobject"])
+    assert c.data.validate_dataset_name is None
+    from uni_adapter_tpu.config import load_labels
+    with pytest.raises(ValueError, match="validate-dataset-name"):
+        load_labels(c)
     with pytest.raises(ValueError, match="dist-mode"):
         parse_args(["--dist-mode", "none"])
 

@@ -251,8 +251,14 @@ class Config:
             c.use_new_approximation = False
         d = self.data
         if d.validate_dataset_name is None:
-            d = dataclasses.replace(
-                d, validate_dataset_name=labels_key_for(d.dataset_name))
+            try:
+                d = dataclasses.replace(
+                    d, validate_dataset_name=labels_key_for(d.dataset_name))
+            except ValueError:
+                # un-inferable family (e.g. omniobject): leave None —
+                # load_labels raises a targeted error only if labels are
+                # actually needed (hyperparam resolution must not die here)
+                pass
         return dataclasses.replace(self, cache=c, data=d)
 
 
@@ -278,13 +284,16 @@ def labels_key_for(dataset_name: str) -> str:
         return "scanobjnn_openshape"
     if "shapenet" in name:
         return "shapenet_openshape"
+    if "lvis" in name or "objaverse" in name:
+        return "objaverse_lvis_openshape"
     raise ValueError(f"cannot infer a labels.json key for dataset "
                      f"{dataset_name!r}; pass --validate-dataset-name")
 
 
 def load_labels(cfg: Config) -> list[str]:
-    key = (cfg.data.validate_dataset_name
-           or labels_key_for(cfg.data.dataset_name))
+    key = cfg.data.validate_dataset_name
+    if key is None:   # hand-built / unresolved Config, or un-inferable family
+        key = labels_key_for(cfg.data.dataset_name)
     with open(cfg.data.labels_path) as f:
         return json.load(f)[key]
 
