@@ -72,6 +72,13 @@ def main(argv=None):
     parser.add_argument("--ckpt-every", type=int, default=50)
     parser.add_argument("--resume", action="store_true",
                         help="resume from <out>/ckpt if present")
+    parser.add_argument("--ckpt-async", action="store_true",
+                        help="write checkpoints on a background thread so "
+                             "the train loop never stalls on IO (jax "
+                             "arrays are immutable — serialising the "
+                             "previous state races nothing; the atomic "
+                             "tmp+rename in checkpoint.save_state still "
+                             "guarantees a consistent file pair)")
     parser.add_argument("--log-every", type=int, default=10)
     # model size (Uni3D point encoder; defaults are demo-sized — pass the
     # EVA02-L numbers for a real run)
@@ -263,6 +270,8 @@ def main(argv=None):
     else:
         train_fn = pp_step
 
+    pending_save = []
+
     def save():
         blob = {"train": state, "data_seed": args.seed,
                 "global_batch": args.batch_size, "parallel": args.parallel,
@@ -271,7 +280,20 @@ def main(argv=None):
                 "warmup_steps": args.warmup_steps}
         if args.parallel == "pp":
             blob["pp_stages"] = n_stages
-        checkpoint.save_state(ckpt_path, blob)
+        if args.ckpt_async:
+            import threading
+
+            # at most one in-flight snapshot: join the previous first so
+            # writes land in order and a slow disk backpressures cleanly
+            for t in pending_save:
+                t.join()
+            pending_save.clear()
+            th = threading.Thread(target=checkpoint.save_state,
+                                  args=(ckpt_path, blob), daemon=True)
+            th.start()
+            pending_save.append(th)
+        else:
+            checkpoint.save_state(ckpt_path, blob)
 
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):
@@ -292,6 +314,8 @@ def main(argv=None):
         if (step + 1) % args.ckpt_every == 0:
             save()
     save()
+    for t in pending_save:   # drain the in-flight async snapshot
+        t.join()
     loader.close()
     logging.info("done: %d steps, checkpoint at %s.npz", args.steps,
                  ckpt_path)

@@ -219,6 +219,33 @@ def test_pretrain_cli_smoke_and_resume(tmp_path):
                                    atol=1e-6, rtol=1e-5)
 
 
+def test_pretrain_cli_async_checkpoint(tmp_path):
+    """--ckpt-async (background-thread snapshots) is trajectory-neutral:
+    async 2+2 resumed equals sync 4-in-one-go, and the drained final
+    checkpoint is complete and loadable."""
+    import jax
+    import pretrain
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    common = ["--device", "cpu", "--batch-size", "8", "--depth", "1",
+              "--trans-dim", "16", "--embed-dim", "16", "--num-group", "4",
+              "--group-size", "4", "--encoder-dim", "8", "--heads", "2",
+              "--warmup-steps", "1", "--log-every", "2", "--prefetch", "0"]
+    st_a = pretrain.main(common + ["--out", out_a, "--steps", "4",
+                                   "--ckpt-every", "100"])
+    pretrain.main(common + ["--out", out_b, "--steps", "2",
+                            "--ckpt-every", "1", "--ckpt-async"])
+    st_b = pretrain.main(common + ["--out", out_b, "--steps", "4",
+                                   "--ckpt-every", "100", "--ckpt-async",
+                                   "--resume"])
+    assert int(st_a.step) == int(st_b.step) == 4
+    for x, y in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-6, rtol=1e-5)
+
+
 def test_pretrain_cli_pp_mode(tmp_path):
     """--parallel pp trains, checkpoints, and resumes: 4 steps in one go
     vs 2+2 resumed give identical final params; resuming a pp checkpoint
