@@ -159,6 +159,27 @@ def test_pp_openshape_matches_plain_forward(rel_pe):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_pp_bf16_matches_plain_forward():
+    """PP under the production compute dtype (bf16 compute / fp32 state):
+    the pipeline must match the plain bf16 forward within bf16 tolerance —
+    catches layout- or schedule-dependent precision drift the fp32 tests
+    cannot see."""
+    mesh = _mesh(2)
+    model = Uni3D(trans_dim=48, embed_dim=32, num_group=16, group_size=8,
+                  encoder_dim=24, depth=4, num_heads=4,
+                  dtype=jnp.bfloat16)
+    rng = np.random.default_rng(31)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    want = np.asarray(jax.jit(model.apply)(params, pc))
+
+    prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=2)
+    got = np.asarray(fwd(prepare(params), pc))
+    # identical op order per block; only the (replicated) pre/post and the
+    # ring transport differ — bf16-scale tolerance
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_pp_stage_shards_hold_distinct_blocks():
     """Each stage's local stack must be that stage's blocks, in order —
     stacking + resharding must not permute layers (a wrong order would
