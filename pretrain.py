@@ -120,12 +120,20 @@ def main(argv=None):
     from uni_adapter_tpu.models.uni3d import Uni3D
     from uni_adapter_tpu.train import (init_train_state, make_dp_train_step,
                                        make_optimizer)
+    from uni_adapter_tpu.parallel.bootstrap import init_distributed_device
     from uni_adapter_tpu.utils.logging import setup_logging
     from uni_adapter_tpu.utils.profiling import enable_compile_cache
 
+    # must run BEFORE any backend use (single-process launches are a no-op)
+    # — without it a RANK/WORLD_SIZE launch would see process_count()==1
+    # and every process would stream the same rows
+    dist = init_distributed_device()
     enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(args.out, exist_ok=True)
     setup_logging(os.path.join(args.out, "pretrain.log"))
+    if dist["distributed"]:
+        logging.info("distributed: process %d/%d, %d global devices",
+                     dist["rank"], dist["world_size"], dist["device_count"])
 
     if args.pc_shards:
         pc = sorted(glob.glob(args.pc_shards))
@@ -142,8 +150,16 @@ def main(argv=None):
     else:
         logging.info("no --pc-shards: synthetic corpus under %s/synthetic",
                      args.out)
-        pc, tx, im = _synthetic_corpus(os.path.join(args.out, "synthetic"),
-                                       dim=args.embed_dim)
+        synth_root = os.path.join(args.out, "synthetic")
+        if jax.process_index() == 0:
+            pc, tx, im = _synthetic_corpus(synth_root, dim=args.embed_dim)
+        if jax.process_count() > 1:
+            # one writer on a shared filesystem; everyone else waits, then
+            # re-derives the (now existing) shard paths
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("synthetic-corpus")
+        if jax.process_index() != 0:
+            pc, tx, im = _synthetic_corpus(synth_root, dim=args.embed_dim)
     corpus = ShardedCorpus(pc, tx, im)
     loader = StreamingLoader(corpus, args.batch_size, seed=args.seed,
                              prefetch=args.prefetch)
@@ -273,6 +289,8 @@ def main(argv=None):
     pending_save = []
 
     def save():
+        if jax.process_index() != 0:
+            return   # replicated state — one writer (shared-filesystem safe)
         blob = {"train": state, "data_seed": args.seed,
                 "global_batch": args.batch_size, "parallel": args.parallel,
                 "depth": args.depth, "wd_mask": "name",

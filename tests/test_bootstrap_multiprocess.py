@@ -42,14 +42,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn_pair(worker: str, xla_flags: str = "", timeout=150):
+def _spawn_pair(worker: str, xla_flags: str = "", timeout=150,
+                extra_env=None):
     port = _free_port()
     procs = []
     for rank in range(2):
         env = dict(os.environ,
                    RANK=str(rank), LOCAL_RANK=str(rank), WORLD_SIZE="2",
                    MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port),
-                   JAX_PLATFORMS="cpu")
+                   JAX_PLATFORMS="cpu", **(extra_env or {}))
         if xla_flags:
             # append: clobbering would drop site-level flags the rest of
             # the suite runs with
@@ -191,6 +192,79 @@ _, summary = pmesh.run_stream_psum(
 assert np.isfinite(summary["acc1"]), summary
 print(f"OK rank={info['rank']} psum acc1={summary['acc1']:.6f}", flush=True)
 """
+
+
+_PRETRAIN_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+import pretrain
+
+st = pretrain.main([
+    "--device", "cpu", "--steps", "4", "--batch-size", "8", "--depth", "1",
+    "--trans-dim", "16", "--embed-dim", "16", "--num-group", "4",
+    "--group-size", "4", "--encoder-dim", "8", "--heads", "2",
+    "--warmup-steps", "1", "--log-every", "2", "--prefetch", "0",
+    "--ckpt-every", "100",
+    "--pc-shards", os.environ["CORPUS"] + "/pc_*.npy",
+    "--text-shards", os.environ["CORPUS"] + "/text_*.npy",
+    "--image-shards", os.environ["CORPUS"] + "/image_*.npy",
+    "--out", os.environ["PRETRAIN_OUT"]])
+checksum = sum(float(np.asarray(l).sum())
+               for l in jax.tree_util.tree_leaves(st.params))
+print(f"OK rank={jax.process_index()} scale={float(st.logit_scale):.8f} "
+      f"checksum={checksum:.6f}", flush=True)
+"""
+
+
+@pytest.mark.timeout(600)
+def test_two_process_pretrain_dp(tmp_path):
+    """The full pretraining CLI across two real processes: each rank
+    streams only its rows, negatives all_gather across the boundary, and
+    the final state equals the single-process run on the same corpus
+    (the multi-host form of test_streaming's DP-equality proof).  Also
+    covers the rank-0-only checkpoint write."""
+    import pretrain
+
+    corpus = str(tmp_path / "corpus")
+    pretrain._synthetic_corpus(corpus, dim=16)
+
+    single_out = str(tmp_path / "single")
+    st = pretrain.main([
+        "--device", "cpu", "--steps", "4", "--batch-size", "8",
+        "--depth", "1", "--trans-dim", "16", "--embed-dim", "16",
+        "--num-group", "4", "--group-size", "4", "--encoder-dim", "8",
+        "--heads", "2", "--warmup-steps", "1", "--log-every", "2",
+        "--prefetch", "0", "--ckpt-every", "100",
+        "--pc-shards", corpus + "/pc_*.npy",
+        "--text-shards", corpus + "/text_*.npy",
+        "--image-shards", corpus + "/image_*.npy",
+        "--out", single_out])
+    import numpy as np
+
+    want_scale = float(st.logit_scale)
+    want_sum = sum(float(np.asarray(l).sum())
+                   for l in __import__("jax").tree_util
+                   .tree_leaves(st.params))
+
+    out_dir = str(tmp_path / "mp")
+    procs, outs = _spawn_pair(
+        _PRETRAIN_WORKER, timeout=550,
+        xla_flags="--xla_force_host_platform_device_count=1",
+        extra_env={"CORPUS": corpus, "PRETRAIN_OUT": out_dir})
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"OK rank={rank} ")]
+        assert line, out
+        scale = float(line[0].split("scale=")[1].split()[0])
+        checksum = float(line[0].split("checksum=")[1])
+        assert abs(scale - want_scale) < 1e-6, (scale, want_scale)
+        assert abs(checksum - want_sum) < 1e-3, (checksum, want_sum)
+    # rank 0 wrote the checkpoint; rank 1 did not race it
+    assert os.path.exists(os.path.join(out_dir, "ckpt.npz"))
 
 
 @pytest.mark.timeout(600)
