@@ -73,6 +73,11 @@ def main(argv=None):
     cfg = parse_args(argv)
     if cfg.run.device != "default":
         jax.config.update("jax_platforms", cfg.run.device)
+    # multi-host launches (RANK/WORLD_SIZE env, the reference's
+    # utils/distributed.py convention) must initialise BEFORE any backend
+    # use; single-process runs are a no-op
+    from uni_adapter_tpu.parallel.bootstrap import init_distributed_device
+    dist = init_distributed_device()
     from uni_adapter_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
     name = cfg.run.name or datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
@@ -81,6 +86,9 @@ def main(argv=None):
     setup_logging(os.path.join(log_dir, "out.log"))
     logging.info("Running Experiment: %s", name)
     logging.info("Config: %s", cfg)
+    if dist["distributed"]:
+        logging.info("distributed: process %d/%d, %d global devices",
+                     dist["rank"], dist["world_size"], dist["device_count"])
 
     model, params = build_model(cfg)
     if cfg.model.checkpoint_path is None:
@@ -154,8 +162,9 @@ def main(argv=None):
 
     logging.info("Summary of Results: %s", results)
     logging.info("Average Top-1: %.3f", float(np.mean(list(results.values()))))
-    with open(os.path.join(log_dir, "results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    if pmesh.is_primary():
+        with open(os.path.join(log_dir, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
     return results
 
 
@@ -170,6 +179,7 @@ def run_all_vmapped(cfg, model, params, text, corruptions, log_dir):
 
     from uni_adapter_tpu import engine
     from uni_adapter_tpu.data.datasets import load_tta_dataset
+    from uni_adapter_tpu.parallel import mesh as pmesh
 
     stacks = []
     for corr in corruptions:
@@ -186,8 +196,6 @@ def run_all_vmapped(cfg, model, params, text, corruptions, log_dir):
 
     t0 = time.perf_counter()
     if cfg.run.dist_mode == "sharded":
-        from uni_adapter_tpu.parallel import mesh as pmesh
-
         _, summary_s = pmesh.run_streams_sharded(
             cfg, model, params, text, pcs, rgbs, tgts, seed=cfg.run.seed)
         summaries = [{"acc1": a} for a in summary_s["acc1_per_stream"]]
@@ -203,8 +211,9 @@ def run_all_vmapped(cfg, model, params, text, corruptions, log_dir):
     logging.info("Average Top-1: %.3f", float(np.mean(list(results.values()))))
     logging.info("Total time: %.1f ms (%.1f pc/s over %d samples)",
                  dt * 1e3, total / dt, total)
-    with open(os.path.join(log_dir, "results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    if pmesh.is_primary():
+        with open(os.path.join(log_dir, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
     return results
 
 

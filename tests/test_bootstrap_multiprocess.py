@@ -267,6 +267,81 @@ def test_two_process_pretrain_dp(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "ckpt.npz"))
 
 
+_MAIN_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import main as main_mod
+
+results = main_mod.main([
+    "--device", "cpu", "--root", os.environ["CORR_DATA"],
+    "--corruption", "uniform", "--npoints", "128", "--eva-depth", "2",
+    "--pc-feat-dim", "64", "--num-group", "16", "--group-size", "8",
+    "--pc-encoder-dim", "32", "--eva-heads", "4",
+    "--compute-dtype", "float32", "--precomputed-text-features", "large",
+    "--dist-mode", "psum", "--name", "mp",
+    "--output-dir", os.environ["EVAL_OUT"]])
+print(f"OK rank={jax.process_index()} acc1={results['uniform']:.6f}",
+      flush=True)
+"""
+
+
+@pytest.mark.timeout(600)
+def test_two_process_main_eval_psum(tmp_path):
+    """The evaluation CLI across two real processes (--dist-mode psum, one
+    device each): the streaming-EM sufficient statistics psum across the
+    process boundary, both ranks report the acc1 a single-process 2-device
+    psum run produces, and only rank 0 writes results.json."""
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    from uni_adapter_tpu.config import parse_args
+    from uni_adapter_tpu.data.datasets import load_tta_dataset
+    from uni_adapter_tpu.parallel import mesh as pmesh
+    import main as main_mod
+
+    data = tmp_path / "corr"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    np.save(data / "data_uniform_5.npy",
+            rng.standard_normal((8, 128, 3)).astype(np.float32))
+    np.save(data / "label.npy", rng.integers(0, 40, (8,)).astype(np.int64))
+
+    flags = ["--device", "cpu", "--root", str(data),
+             "--corruption", "uniform", "--npoints", "128",
+             "--eva-depth", "2", "--pc-feat-dim", "64", "--num-group", "16",
+             "--group-size", "8", "--pc-encoder-dim", "32",
+             "--eva-heads", "4", "--compute-dtype", "float32",
+             "--precomputed-text-features", "large"]
+    # single-process oracle on a 2-device mesh (same geometry as 2x1 procs)
+    cfg = parse_args(flags)
+    model, params = main_mod.build_model(cfg)
+    text = main_mod.get_text_anchors_with_fallback(cfg)
+    ds = load_tta_dataset(cfg)
+    pcs, rgbs, tgts = ds.as_arrays(1, npoints=128, seed=cfg.run.seed)
+    mesh2 = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    _, summary = pmesh.run_stream_psum(cfg, model, params, text, pcs, rgbs,
+                                       tgts, mesh=mesh2, seed=cfg.run.seed)
+    want = float(summary["acc1"])
+
+    out_dir = str(tmp_path / "eval_out")
+    procs, outs = _spawn_pair(
+        _MAIN_WORKER, timeout=550,
+        xla_flags="--xla_force_host_platform_device_count=1",
+        extra_env={"CORR_DATA": str(data), "EVAL_OUT": out_dir})
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"OK rank={rank} ")]
+        assert line, out
+        acc1 = float(line[0].split("acc1=")[1])
+        assert abs(acc1 - want) < 1e-6, (acc1, want)
+    assert os.path.exists(os.path.join(out_dir, "mp", "results.json"))
+
+
 @pytest.mark.timeout(600)
 def test_two_process_tp_forward():
     """Megatron TP across a process boundary: the GSPMD per-block
