@@ -121,17 +121,21 @@ def main(argv=None):
         pcs, rgbs, targets = dataset.as_arrays(cfg.data.batch_size,
                                                npoints=cfg.data.npoints,
                                                seed=cfg.run.seed)
-        # batch-0 visualization, best-effort (reference Uni_Adapter.py:371-377)
-        try:
-            from uni_adapter_tpu.visualize import visualize_pointclouds_plotly
+        # batch-0 visualization, best-effort (reference Uni_Adapter.py:371-377);
+        # rank-0 only — concurrent writers would interleave the same HTML
+        if pmesh.is_primary():
+            try:
+                from uni_adapter_tpu.visualize import (
+                    visualize_pointclouds_plotly)
 
-            viz = {f"Sample_{j}_{dataset.class_names[int(targets[0, j])]}":
-                   pcs[0, j] for j in range(min(2, pcs.shape[1]))}
-            visualize_pointclouds_plotly(
-                viz, save_path=os.path.join(log_dir, f"vis_{corr}_batch_0"),
-                title=f"{corr} batch 0 input")
-        except Exception as e:
-            logging.warning("Visualization failed: %s", e)
+                viz = {f"Sample_{j}_{dataset.class_names[int(targets[0, j])]}":
+                       pcs[0, j] for j in range(min(2, pcs.shape[1]))}
+                visualize_pointclouds_plotly(
+                    viz,
+                    save_path=os.path.join(log_dir, f"vis_{corr}_batch_0"),
+                    title=f"{corr} batch 0 input")
+            except Exception as e:
+                logging.warning("Visualization failed: %s", e)
         t0 = time.perf_counter()
         if cfg.run.dist_mode == "sharded":
             _, summary = pmesh.run_stream_sharded(

@@ -152,11 +152,21 @@ def main(argv=None):
                      args.out)
         synth_root = os.path.join(args.out, "synthetic")
         if jax.process_index() == 0:
-            pc, tx, im = _synthetic_corpus(synth_root, dim=args.embed_dim)
+            try:
+                pc, tx, im = _synthetic_corpus(synth_root, dim=args.embed_dim)
+            except Exception:
+                # surface the real cause before peers see only an opaque
+                # barrier/heartbeat failure
+                logging.exception("rank 0 failed writing the synthetic "
+                                  "corpus under %s", synth_root)
+                raise
         if jax.process_count() > 1:
             # one writer on a shared filesystem; everyone else waits, then
             # re-derives the (now existing) shard paths
             from jax.experimental import multihost_utils
+            if jax.process_index() != 0:
+                logging.info("waiting for rank 0 to write the synthetic "
+                             "corpus under %s", synth_root)
             multihost_utils.sync_global_devices("synthetic-corpus")
         if jax.process_index() != 0:
             pc, tx, im = _synthetic_corpus(synth_root, dim=args.embed_dim)
@@ -279,6 +289,20 @@ def main(argv=None):
             "seed": args.seed})
         logging.info("resumed at train step %d (loader %s)", start_step,
                      loader.state_dict())
+
+    if jax.process_count() > 1:
+        # ranks must agree on the resume point: with --out on host-local
+        # disks only rank 0 holds the checkpoint (save() is rank-0-gated),
+        # and a silent disagreement would run mismatched step ranges whose
+        # collectives deadlock — fail loudly instead
+        from jax.experimental import multihost_utils
+        steps_all = multihost_utils.process_allgather(
+            jnp.asarray([start_step], jnp.int32))
+        if int(steps_all.min()) != int(steps_all.max()):
+            raise ValueError(
+                f"ranks disagree on the resume step ({steps_all.ravel()}): "
+                "--out must be a SHARED filesystem so every process sees "
+                "the rank-0 checkpoint")
 
     if args.parallel == "dp":
         mesh = Mesh(np.array(jax.devices()), ("dp",))
