@@ -11,6 +11,9 @@ both sides), these tests drive the ACTUAL reference implementation:
   * `compute_text_alignment_loss`     (/root/reference/Uni_Adapter.py:191-270)
   * the full `test_zeroshot_3d_core`
     loop                              (/root/reference/Uni_Adapter.py:272-595)
+  * `DOTA_mix_adaptive.fit/predict` incl. component splits
+                                      (/root/reference/dota_mixture_adaptive.py:7-438)
+  * `GMMDOTA.fit/update/predict`      (/root/reference/gmm_dota_adaptation_model.py:6-256)
 
 on feature streams identical to what our engine consumes, and assert
 component-level state parity plus per-step final-logit parity — including
@@ -41,7 +44,9 @@ import jax
 import jax.numpy as jnp
 
 from uni_adapter_tpu import engine
+from uni_adapter_tpu.adapt import adaptive as our_adaptive
 from uni_adapter_tpu.adapt import dota as our_dota
+from uni_adapter_tpu.adapt import gmm as our_gmm
 from uni_adapter_tpu.adapt import mode_dota as our_mode_dota
 from uni_adapter_tpu.adapt import residual as our_residual
 from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
@@ -87,6 +92,8 @@ def ref():
             dota=importlib.import_module("dota"),
             math_utils=importlib.import_module("utils.math_utils"),
             uni_adapter=importlib.import_module("Uni_Adapter"),
+            adaptive=importlib.import_module("dota_mixture_adaptive"),
+            gmm=importlib.import_module("gmm_dota_adaptation_model"),
         )
     finally:
         sys.path.remove(REF)
@@ -520,3 +527,195 @@ def test_full_loop_cache_old_approximation_parity(ref, cpu_cuda_shim,
                                   theirs[:, 0].argmax(-1))
     assert engine.summarize(outs, pcs.shape[0])["acc1"] == pytest.approx(
         their_result["acc1"])
+
+
+# ---------------------------------------------------------------------------
+# Variant adaptation models: the reference's ACTUAL DOTA_mix_adaptive and
+# GMMDOTA (previously covered only by transcribed oracles in
+# tests/test_variants.py — these close that last transcription gap)
+# ---------------------------------------------------------------------------
+
+def test_gmm_state_and_predict_parity(ref):
+    """Our gmm vs the reference's ACTUAL GMMDOTA
+    (gmm_dota_adaptation_model.py:6-256), anchored on the reference's own
+    float64 trajectory.
+
+    GMMDOTA's fitted variances shrink to ~5e-4, so the Mahalanobis term
+    amplifies fp32 rounding by ~1/σ ≈ 2000×: the reference's OWN fp32 run
+    deviates from its float64 run (same init, same inputs) by up to ~8e-3
+    on predict scores, while ours stays within ~6e-4.  A fixed tight
+    tolerance would therefore test the noise, not the semantics, so the
+    float64 reference trajectory (the `.float()` casts at :138,:225
+    neutralised, torch default dtype float64) is the anchor and the
+    assertion is a self-calibrating envelope: our fp32 deviation from the
+    anchor must not exceed twice the reference's own fp32 deviation.
+
+    The QR-orthonormal mean init draws torch randomness JAX cannot
+    reproduce bit-for-bit, so the reference's fp32-initialised mu is
+    injected into all three runs; everything downstream — the old-mu
+    covariance fit, the shrinkage update, the uniform/empirical
+    blended-prior predict — runs each implementation's own code."""
+    text = _text_anchors(31)
+    feats = _feature_stream(32, T, 2)
+    probs = np.asarray(jax.nn.softmax(
+        100.0 * jnp.asarray(feats) @ jnp.asarray(text).T, axis=-1))
+
+    torch.manual_seed(7)
+    ref32 = ref.gmm.GMMDOTA({"epsilon": EPS, "sigma": SIGMA},
+                            D, K, torch.tensor(text).T, M=M)
+    mu0 = ref32.mu.numpy().copy()
+
+    # float64 anchor: same fp32 init, internal .float() casts neutralised
+    orig_float = torch.Tensor.float
+    orig_dtype = torch.get_default_dtype()
+    try:
+        torch.Tensor.float = lambda self: self
+        torch.set_default_dtype(torch.float64)
+        ref64 = ref.gmm.GMMDOTA(
+            {"epsilon": EPS, "sigma": SIGMA}, D, K,
+            torch.tensor(text, dtype=torch.float64).T, M=M)
+        ref64.mu = torch.tensor(mu0, dtype=torch.float64)
+        preds64 = []
+        for t in range(T):
+            xt = torch.tensor(feats[t], dtype=torch.float64)
+            ref64.fit(xt, torch.tensor(probs[t], dtype=torch.float64))
+            ref64.update()
+            preds64.append(ref64.predict(xt).numpy())
+    finally:
+        torch.Tensor.float = orig_float
+        torch.set_default_dtype(orig_dtype)
+
+    ours = our_gmm.init(EPS, SIGMA, D, K, jnp.asarray(text).T, num_modes=M)
+    ours = ours._replace(mu=jnp.asarray(mu0))
+    worst_ref = worst_ours = 0.0
+    for t in range(T):
+        xt = torch.tensor(feats[t])
+        ref32.fit(xt, torch.tensor(probs[t]))
+        ref32.update()
+        ours = our_gmm.fit(ours, jnp.asarray(feats[t]), jnp.asarray(probs[t]))
+        ours = our_gmm.update(ours, EPS)
+        p32 = ref32.predict(xt).numpy()
+        po = np.asarray(our_gmm.predict(ours, jnp.asarray(feats[t]),
+                                        alpha_max=ref32.alpha_max))
+        worst_ref = max(worst_ref, np.abs(p32 - preds64[t]).max())
+        worst_ours = max(worst_ours, np.abs(po - preds64[t]).max())
+        # decision-level agreement with the fp64 anchor at every step
+        np.testing.assert_array_equal(po.argmax(-1), preds64[t].argmax(-1))
+    assert worst_ours <= 2.0 * worst_ref + 1e-3, (worst_ours, worst_ref)
+
+    # state parity against the fp64 anchor, same envelope discipline
+    for name, our_arr in [("mu", ours.mu), ("Sigma", ours.sigma),
+                          ("Sigma_reg", ours.sigma_reg), ("pi", ours.pi),
+                          ("C", ours.C)]:
+        anchor = getattr(ref64, name).numpy()
+        d_ref = np.abs(getattr(ref32, name).numpy() - anchor).max()
+        d_ours = np.abs(np.asarray(our_arr) - anchor).max()
+        assert d_ours <= 2.0 * d_ref + 1e-5, (name, d_ours, d_ref)
+    np.testing.assert_allclose(np.asarray(ours.class_counts),
+                               ref64.class_counts.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    assert int(ours.total_samples) == int(ref64.total_samples)
+
+
+def _adaptive_stream(text, steps, batch, seed=33):
+    """Per-class bimodal stream: two clusters offset ±0.45 along dim 0 so
+    the fitted dim-0 variance exceeds the split threshold with a wide
+    margin (no fp32 eligibility edge cases), while repeatedly producing
+    checks where MULTIPLE components of a class are simultaneously
+    eligible — exercising the reference's collect-ascending /
+    execute-reversed split protocol and its capacity cap."""
+    rng = np.random.default_rng(seed)
+    K_, D_ = text.shape
+    feats = np.empty((steps, batch, D_), np.float32)
+    gammas = np.empty((steps, batch, K_), np.float32)
+    visit = 0
+    for t in range(steps):
+        for b in range(batch):
+            k = visit % K_
+            sign = 1.0 if (visit // K_) % 2 == 0 else -1.0
+            f = text[k] + 0.04 * rng.standard_normal(D_).astype(np.float32)
+            f[0] += 0.45 * sign
+            f /= np.linalg.norm(f)
+            feats[t, b] = f
+            g = np.full((K_,), 0.1 / K_, np.float32)
+            g[k] += 0.9
+            gammas[t, b] = g
+            visit += 1
+    return feats, gammas
+
+
+def test_adaptive_state_and_predict_parity(ref):
+    """Our adaptive vs the reference's ACTUAL DOTA_mix_adaptive
+    (dota_mixture_adaptive.py:7-438), component splits included.
+
+    Our check_and_split reproduces the reference's split protocol
+    slot-exactly (collect eligible ascending up to capacity, execute in
+    reverse index order, −offset children appended at the ragged-list
+    end), so padded state is compared PER SLOT, not just up to mode
+    permutation.  The stream triggers checks where several components of
+    one class are eligible at once — including one where capacity allows
+    only a single split, which the reference resolves by index order, not
+    worst-variance — so the protocol itself is what's being verified.
+    The test asserts splits actually happened (it would silently weaken to
+    masked-EM-only parity otherwise) and that mode counts, masks, and
+    per-slot mu/var/pi/c all match the reference's padded tensors.
+    Per-step predict tolerance is 5e-3: the regularised variances sit at
+    ~1e-3, so the Mahalanobis term amplifies fp32 rounding ~1000×
+    (measured trajectory noise ≤ ~1e-3 on this stream; a split-placement
+    mismatch shows up at ~0.3, two orders of magnitude above it)."""
+    text = _text_anchors(34)
+    steps = 40
+    feats, gammas = _adaptive_stream(text, steps, 2)
+    sigma_init, threshold, min_count, interval, max_modes = \
+        0.01, 0.08, 2.0, 5, 4
+
+    theirs = ref.adaptive.DOTA_mix_adaptive(
+        {"epsilon": EPS, "sigma": sigma_init}, D, K,
+        torch.tensor(text).T, max_modes=max_modes,
+        split_threshold=threshold, min_count_to_split=min_count,
+        split_check_interval=interval)
+    ours = our_adaptive.init(EPS, sigma_init, D, K, jnp.asarray(text).T,
+                             max_modes=max_modes)
+
+    for t in range(steps):
+        x_t, g_t = torch.tensor(feats[t]), torch.tensor(gammas[t])
+        pred_theirs = theirs.predict(x_t).numpy()
+        pred_ours = np.asarray(our_adaptive.predict(
+            ours, jnp.asarray(feats[t]), EPS))
+        np.testing.assert_allclose(pred_ours, pred_theirs,
+                                   rtol=5e-3, atol=5e-3, err_msg=f"step {t}")
+        theirs.fit(x_t, g_t)
+        ours = our_adaptive.fit(
+            ours, jnp.asarray(feats[t]), jnp.asarray(gammas[t]), EPS,
+            split_threshold=threshold, min_count_to_split=min_count,
+            split_check_interval=interval)
+
+    # splits must actually have happened, or this test proves less than
+    # it claims
+    their_stats = theirs.get_mode_stats()
+    our_stats = our_adaptive.get_mode_stats(ours)
+    assert their_stats["total"] > K, "stream never triggered a split"
+    assert our_stats["per_class"] == their_stats["per_class"]
+
+    # slot-level padded-state parity over the reference's padded width
+    mask_ref = theirs.mask.numpy()                      # (K, M_ref)
+    m_ref = mask_ref.shape[1]
+    mask_ours = np.asarray(ours.mask)
+    np.testing.assert_array_equal(mask_ours[:, :m_ref], mask_ref)
+    assert not mask_ours[:, m_ref:].any()
+
+    for name, our_arr, their_arr in [
+            ("mu", ours.mu, theirs.mu_pad), ("var", ours.var, theirs.var_pad),
+            ("pi", ours.pi, theirs.pi_pad), ("c", ours.c, theirs.c_pad)]:
+        o = np.asarray(our_arr)[:, :m_ref]
+        r = their_arr.numpy()
+        sel = mask_ref if o.ndim == 2 else np.broadcast_to(
+            mask_ref[..., None], o.shape)
+        np.testing.assert_allclose(o[sel], r[sel], rtol=1e-4, atol=1e-5,
+                                   err_msg=name)
+
+    np.testing.assert_allclose(np.asarray(ours.class_counts),
+                               theirs.class_counts.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    assert int(ours.t) == int(theirs.t)
+    assert int(ours.fit_calls) == int(theirs.fit_calls)

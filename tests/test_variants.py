@@ -131,7 +131,7 @@ def test_adaptive_split_mechanics(clipw):
     # inflate class 0 mode 0: high variance on dim 3, enough count
     var = st.var.at[0, 0, 3].set(1.0)
     st = st._replace(var=var, c=st.c.at[0, 0].set(10.0))
-    st2 = adaptive._split_once(st, split_threshold=0.5, min_count=5.0)
+    st2 = adaptive.check_and_split(st, split_threshold=0.5, min_count_to_split=5.0)
     n = np.asarray(adaptive.num_modes_per_class(st2))
     assert n[0] == 2 and np.all(n[1:] == 1)
     # children offset ±½σ along dim 3, variance halved there

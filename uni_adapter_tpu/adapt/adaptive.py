@@ -15,16 +15,17 @@ mechanics (:212-260): replace the parent with a child offset +½σ along the
 highest-variance dim, append a −½σ child, halve the variance on that dim and
 the parent's count/weight.
 
-One representational difference, documented: the reference splits every
-eligible component of a class in one check; here each vectorised pass splits
-the single worst (largest max-variance) eligible component per class, and
-the pass is repeated `max_modes` times per check — the same set of splits,
-children appended in worst-first rather than index order (mode order is
-semantically irrelevant: the mixture is exchangeable over modes).  A child
-whose remaining variance still exceeds the threshold may re-qualify within
-the same check, where the reference defers it to the next
-`split_check_interval`; both converge to the same refinement with timing
-differing by at most one interval.
+Split semantics are slot-exact with the reference, vectorised: the
+reference collects eligible components in ascending index order until the
+class hits `max_modes` (:186-200), then executes the collected splits in
+REVERSE index order, each appending its −offset child at the end of the
+ragged list (:202-206, :252-258).  `check_and_split` reproduces that
+placement in one masked scatter — the selected parent with ascending rank
+r (of S selected) keeps the +offset child in place and writes the −offset
+child to slot `n_modes + (S − 1 − r)`.  Eligibility is evaluated once from
+the pre-check state, so a fresh child never re-qualifies within the same
+check, exactly like the reference (tests/test_reference_import_oracle.py
+drives the reference's ACTUAL DOTA_mix_adaptive against this module).
 """
 from __future__ import annotations
 
@@ -90,59 +91,51 @@ def _masked_log_pi(state: AdaptiveState) -> jax.Array:
     return jnp.where(state.mask, lp, -jnp.inf)
 
 
-def _split_once(state: AdaptiveState, split_threshold: float,
-                min_count: float) -> AdaptiveState:
-    """Split the worst eligible component of every class that has one
-    (vectorised over K)."""
-    K, M, D = state.mu.shape
-    max_var = jnp.where(state.mask, state.var.max(-1), -jnp.inf)   # (K, M)
-    n_modes = num_modes_per_class(state)                           # (K,)
-    eligible = (state.mask & (state.c >= min_count)
-                & (max_var > split_threshold))                     # (K, M)
-    class_can = (n_modes < M) & eligible.any(axis=1)               # (K,)
-
-    parent = jnp.argmax(jnp.where(eligible, max_var, -jnp.inf), axis=1)  # (K,)
-    child_slot = n_modes                                           # first free
-    # clamp for safe indexing; class_can gates the actual write
-    child_slot = jnp.minimum(child_slot, M - 1)
-
-    ks = jnp.arange(K)
-    mu_p = state.mu[ks, parent]                                    # (K, D)
-    var_p = state.var[ks, parent]
-    c_p = state.c[ks, parent]
-    pi_p = state.pi[ks, parent]
-
-    split_dim = jnp.argmax(var_p, axis=1)                          # (K,)
-    split_std = jnp.sqrt(var_p[ks, split_dim])
-    e = jax.nn.one_hot(split_dim, D, dtype=jnp.float32)            # (K, D)
-    mu_c1 = mu_p + 0.5 * split_std[:, None] * e
-    mu_c2 = mu_p - 0.5 * split_std[:, None] * e
-    var_c = jnp.clip(var_p * (1.0 - 0.5 * e), min=_FLOOR)          # halve d*
-
-    def put(arr, idx, val):
-        new = arr.at[ks, idx].set(val)
-        return jnp.where(class_can[:, None, None] if arr.ndim == 3
-                         else class_can[:, None], new, arr)
-
-    mu = put(put(state.mu, parent, mu_c1), child_slot, mu_c2)
-    var = put(put(state.var, parent, var_c), child_slot, var_c)
-    c = put(put(state.c, parent, c_p * 0.5), child_slot, c_p * 0.5)
-    pi = put(put(state.pi, parent, pi_p * 0.5), child_slot, pi_p * 0.5)
-    mask = state.mask.at[ks, child_slot].set(True)
-    mask = jnp.where(class_can[:, None], mask, state.mask)
-    return state._replace(mu=mu, var=var, c=c, pi=pi, mask=mask)
-
-
 def check_and_split(state: AdaptiveState, split_threshold: float,
                     min_count_to_split: float = 5.0) -> AdaptiveState:
-    """Split all eligible components (reference _check_and_split,
-    :173-210), as `max_modes` vectorised worst-first passes."""
-    M = state.mu.shape[1]
+    """Split eligible components, slot-exact with the reference's
+    collect-ascending / execute-reversed protocol (_check_and_split
+    :173-210 + _split_component :211-260), in one masked scatter.
 
-    def body(_, s):
-        return _split_once(s, split_threshold, min_count_to_split)
+    Per class: eligible slots are taken in ascending index order up to the
+    spare capacity `max_modes − n_modes` (the reference's collection break
+    at :197-200 is inclusive of the split that reaches capacity, so the
+    cap IS the spare capacity).  Execution in reverse index order means the
+    selected parent of ascending rank r (out of S selected) appends its
+    −offset child at ragged-list position n_modes + (S − 1 − r)."""
+    K, M, D = state.mu.shape
+    n_modes = num_modes_per_class(state)                           # (K,)
+    max_var = jnp.where(state.mask, state.var.max(-1), -jnp.inf)   # (K, M)
+    eligible = (state.mask & (state.c >= min_count_to_split)
+                & (max_var > split_threshold))                     # (K, M)
+    cap = jnp.maximum(M - n_modes, 0)                              # (K,)
+    rank = jnp.cumsum(eligible, axis=1) - 1                        # (K, M)
+    selected = eligible & (rank < cap[:, None])                    # (K, M)
+    n_sel = selected.sum(axis=1)                                   # (K,)
+    # reverse-execution placement: rank r of S → child slot n_modes+S−1−r
+    child_slot = n_modes[:, None] + n_sel[:, None] - 1 - rank      # (K, M)
+    # non-selected rows scatter out of bounds and are dropped
+    child_slot = jnp.where(selected, child_slot, M)
 
-    return jax.lax.fori_loop(0, M, body, state)
+    split_dim = jnp.argmax(state.var, axis=-1)                     # (K, M)
+    split_std = jnp.sqrt(jnp.take_along_axis(
+        state.var, split_dim[..., None], axis=-1))                 # (K, M, 1)
+    e = jax.nn.one_hot(split_dim, D, dtype=jnp.float32)            # (K, M, D)
+    offset = 0.5 * split_std * e
+    var_c = jnp.clip(state.var * (1.0 - 0.5 * e), min=_FLOOR)      # halve d*
+
+    sel3 = selected[..., None]
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, M))
+    mu = jnp.where(sel3, state.mu + offset, state.mu)              # parent→c1
+    mu = mu.at[rows, child_slot].set(state.mu - offset, mode="drop")
+    var = jnp.where(sel3, var_c, state.var)
+    var = var.at[rows, child_slot].set(var_c, mode="drop")
+    c = jnp.where(selected, state.c * 0.5, state.c)
+    c = c.at[rows, child_slot].set(state.c * 0.5, mode="drop")
+    pi = jnp.where(selected, state.pi * 0.5, state.pi)
+    pi = pi.at[rows, child_slot].set(state.pi * 0.5, mode="drop")
+    mask = state.mask.at[rows, child_slot].set(True, mode="drop")
+    return state._replace(mu=mu, var=var, c=c, pi=pi, mask=mask)
 
 
 def fit(state: AdaptiveState, x: jax.Array, gamma_class: jax.Array,
