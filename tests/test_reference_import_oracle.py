@@ -14,6 +14,8 @@ both sides), these tests drive the ACTUAL reference implementation:
   * `DOTA_mix_adaptive.fit/predict` incl. component splits
                                       (/root/reference/dota_mixture_adaptive.py:7-438)
   * `GMMDOTA.fit/update/predict`      (/root/reference/gmm_dota_adaptation_model.py:6-256)
+  * `AttentionExtractor` hook-based map recomputation
+                                      (/root/reference/extract_attention.py:34-318)
 
 on feature streams identical to what our engine consumes, and assert
 component-level state parity plus per-step final-logit parity — including
@@ -94,6 +96,7 @@ def ref():
             uni_adapter=importlib.import_module("Uni_Adapter"),
             adaptive=importlib.import_module("dota_mixture_adaptive"),
             gmm=importlib.import_module("gmm_dota_adaptation_model"),
+            extract_attention=importlib.import_module("extract_attention"),
         )
     finally:
         sys.path.remove(REF)
@@ -719,3 +722,144 @@ def test_adaptive_state_and_predict_parity(ref):
                                rtol=1e-5, atol=1e-6)
     assert int(ours.t) == int(theirs.t)
     assert int(ours.fit_calls) == int(theirs.fit_calls)
+
+
+# ---------------------------------------------------------------------------
+# Analysis surface: the reference's ACTUAL hook-based AttentionExtractor
+# (extract_attention.py:34-318) vs our functional return_attn path
+# ---------------------------------------------------------------------------
+
+ADIM, AHEADS, AHID, ADEPTH, ATOK = 32, 4, 24, 2, 9
+
+
+class _EvaSeparateTwin(torch.nn.Module):
+    """Torch twin of an EVA02 trunk in timm's SEPARATE q/k/v naming — the
+    layout the reference hook's EVA branch introspects
+    (extract_attention.py:128-160: q_proj/k_proj, head-level q_norm/k_norm,
+    module `scale`), shaped `visual.blocks.*` so AttentionExtractor wires
+    itself exactly as it does onto Uni3D."""
+
+    def __init__(self):
+        super().__init__()
+        tnn = torch.nn
+        hd = ADIM // AHEADS
+
+        class A(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.num_heads = AHEADS
+                self.scale = hd ** -0.5
+                self.q_proj = tnn.Linear(ADIM, ADIM, bias=True)
+                self.k_proj = tnn.Linear(ADIM, ADIM, bias=False)
+                self.v_proj = tnn.Linear(ADIM, ADIM, bias=True)
+                self.q_norm = tnn.LayerNorm(hd)
+                self.k_norm = tnn.LayerNorm(hd)
+                self.proj = tnn.Linear(ADIM, ADIM)
+
+            def forward(self, x):
+                B, N, C = x.shape
+                sh = (B, N, AHEADS, hd)
+                q = self.q_norm(self.q_proj(x).reshape(sh).permute(0, 2, 1, 3))
+                k = self.k_norm(self.k_proj(x).reshape(sh).permute(0, 2, 1, 3))
+                v = self.v_proj(x).reshape(sh).permute(0, 2, 1, 3)
+                attn = torch.softmax(q @ k.transpose(-2, -1) * self.scale, -1)
+                return self.proj(
+                    (attn @ v).permute(0, 2, 1, 3).reshape(B, N, C))
+
+        class M(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.w1 = tnn.Linear(ADIM, AHID)     # gate
+                self.w2 = tnn.Linear(ADIM, AHID)     # value
+                self.ffn_ln = tnn.LayerNorm(AHID)
+                self.w3 = tnn.Linear(AHID, ADIM)
+
+            def forward(self, x):
+                return self.w3(self.ffn_ln(
+                    torch.nn.functional.silu(self.w1(x)) * self.w2(x)))
+
+        class Block(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = tnn.LayerNorm(ADIM)
+                self.norm2 = tnn.LayerNorm(ADIM)
+                self.attn = A()
+                self.mlp = M()
+
+            def forward(self, x):
+                x = x + self.attn(self.norm1(x))
+                return x + self.mlp(self.norm2(x))
+
+        visual = tnn.Module()
+        visual.blocks = tnn.ModuleList([Block() for _ in range(ADEPTH)])
+        self.visual = visual
+
+    def forward(self, x):
+        for blk in self.visual.blocks:
+            x = blk(x)
+        return x
+
+
+def test_attention_maps_match_reference_hook_extractor(ref):
+    """Per-layer (B, H, N, N) attention maps from the reference's ACTUAL
+    `AttentionExtractor._attention_hook_with_save` (extract_attention.py:
+    118-177 — the EVA branch that recomputes q/k from the module's own
+    projections, applies q_norm/k_norm, scales and softmaxes) vs our
+    `return_attn` functional extraction (models/common.py EvaAttention),
+    on identical weights (converted by models/loader) and identical token
+    inputs.  This closes the last transcription gap on the analysis
+    surface: analysis/attention.py was previously verified only against
+    our own blocks."""
+    import flax.linen as fnn
+
+    from uni_adapter_tpu.models.common import EvaBlock
+    from uni_adapter_tpu.models.loader import (convert_state_dict,
+                                               overlay_params)
+
+    torch.manual_seed(3)
+    twin = _EvaSeparateTwin().eval()
+    x = np.random.default_rng(5).standard_normal(
+        (2, ATOK, ADIM)).astype(np.float32)
+
+    extractor = ref.extract_attention.AttentionExtractor(twin, device="cpu")
+    assert extractor.num_layers == ADEPTH
+    assert extractor.num_heads == AHEADS
+    extractor.register_hooks()
+    try:
+        with torch.no_grad():
+            twin(torch.tensor(x))
+        # copy before remove_hooks(): it resets attention_maps (:192-197)
+        their_maps = dict(extractor.attention_maps)
+    finally:
+        extractor.remove_hooks()
+    assert set(their_maps) == {f"layer_{i}" for i in range(ADEPTH)}
+
+    class _EvaTrunk(fnn.Module):
+        @fnn.compact
+        def __call__(self, t, return_attn=False):
+            attns = []
+            for i in range(ADEPTH):
+                t = EvaBlock(ADIM, AHEADS, mlp_ratio=AHID / ADIM,
+                             dtype=jnp.float32, name=f"blocks_{i}")(
+                    t, return_attn=return_attn)
+                if return_attn:
+                    t, a = t
+                    attns.append(a)
+            return (t, attns) if return_attn else t
+
+    model = _EvaTrunk()
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+    params = overlay_params(params, convert_state_dict(sd), strict=True)
+
+    out, our_attns = model.apply(params, jnp.asarray(x), return_attn=True)
+    with torch.no_grad():
+        their_out = twin(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(out), their_out,
+                               rtol=2e-4, atol=2e-4)
+    for i in range(ADEPTH):
+        theirs = their_maps[f"layer_{i}"].numpy()
+        ours = np.asarray(our_attns[i])
+        assert theirs.shape == ours.shape == (2, AHEADS, ATOK, ATOK)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-5,
+                                   err_msg=f"layer {i}")
