@@ -191,3 +191,51 @@ def test_engine_runs_variants(flag):
         jnp.array(rng.integers(0, K, (T, 1)).astype(np.int32)))
     assert np.all(np.isfinite(np.asarray(outs.final_logits)))
     assert int(state.step) == T
+
+
+def test_engine_adaptive_splits_fire_inside_scan():
+    """The vectorised collect/execute split scatter must compile and FIRE
+    inside the jitted stream scan (test_engine_runs_variants stops at 4
+    steps — below the 50-fit split-check interval, so it never exercises
+    check_and_split under the real carry).  60 steps with a low split
+    threshold: mode counts must grow past 1/class, valid slots must stay a
+    contiguous prefix (the invariant the ascending-index selection relies
+    on), and the stream must stay finite through the split boundary."""
+    from uni_adapter_tpu import engine
+    from uni_adapter_tpu.adapt import adaptive
+    from uni_adapter_tpu.config import (CacheConfig, Config, DotaConfig,
+                                        ModelConfig)
+    from uni_adapter_tpu.models.uni3d import Uni3D
+
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    pc0 = jnp.array(rng.standard_normal((1, 32, 6)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc0)
+    text = rng.standard_normal((K, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    # sigma 5e-4 → split threshold 5e-3, far below the ~1/D variance the
+    # fitted components reach on unit-norm features: splits are certain for
+    # every class whose count clears min_count_to_split by fit call 50
+    dc = DotaConfig(use_dota=False, use_mode_dota=False,
+                    use_adaptive_dota=True, sigma=5e-4)
+    cfg = Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
+                 cache=CacheConfig(cg_max_iter=5))
+    T = 60
+    pcs = jnp.array(rng.standard_normal((T, 1, 32, 3)).astype(np.float32))
+    state, outs = engine.run_stream_scan(
+        cfg, model, params, jnp.array(text), pcs, jnp.ones_like(pcs),
+        jnp.array(rng.integers(0, K, (T, 1)).astype(np.int32)))
+    assert np.all(np.isfinite(np.asarray(outs.final_logits)))
+
+    n = np.asarray(adaptive.num_modes_per_class(state.method_state))
+    assert n.sum() > K, "no split fired inside the scan"
+    mask = np.asarray(state.method_state.mask)
+    for k in range(mask.shape[0]):
+        nk = int(mask[k].sum())
+        assert mask[k, :nk].all() and not mask[k, nk:].any(), \
+            f"class {k}: valid slots not a contiguous prefix"
+    # split bookkeeping: class pi still sums to 1 over valid slots after
+    # the post-split fit steps renormalise
+    pi = np.asarray(state.method_state.pi)
+    np.testing.assert_allclose((pi * mask).sum(1), 1.0, atol=1e-5)
