@@ -225,3 +225,71 @@ def test_engine_trajectory_kernels_on_vs_off_on_hw(backbone):
     np.testing.assert_array_equal(correct_p, correct_x)
     pred_agreement = (logits_p.argmax(-1) == logits_x.argmax(-1)).mean()
     assert pred_agreement == 1.0
+
+
+def test_adaptive_split_scatter_matches_cpu_on_hw():
+    """check_and_split's vectorised split protocol (cumsum ranks,
+    reverse-execution child placement, out-of-bounds `mode='drop'`
+    scatters) on real TPU lowering vs the CPU backend, element-exact.
+
+    One state exercises every regime of the reference protocol
+    (dota_mixture_adaptive.py:173-260, slot-exact per
+    tests/test_reference_import_oracle.py): a single-mode split, a
+    multi-split class (reverse-order child placement), a capacity-capped
+    class (two eligible, room for one — ascending-index selection), a full
+    class, and two ineligible classes (below threshold / below min count).
+    All arithmetic is elementwise fp32 (add/mul/sqrt), so TPU and CPU must
+    agree bitwise."""
+    from uni_adapter_tpu.adapt import adaptive
+
+    K_, M_, D_ = 6, 4, 16
+    rng = np.random.default_rng(7)
+    mu = rng.standard_normal((K_, M_, D_)).astype(np.float32)
+    var = np.full((K_, M_, D_), 1e10, np.float32)
+    pi = np.zeros((K_, M_), np.float32)
+    c = np.zeros((K_, M_), np.float32)
+    mask = np.zeros((K_, M_), bool)
+
+    def activate(k, modes, var_scale, count):
+        for j, (vs, ct) in enumerate(zip(var_scale, count)):
+            mask[k, j] = True
+            var[k, j] = np.abs(rng.standard_normal(D_)).astype(np.float32) \
+                * 0.01
+            var[k, j, rng.integers(0, D_)] = vs
+            c[k, j] = ct
+        pi[k, :modes] = 1.0 / modes
+
+    threshold, min_count = 0.05, 5.0
+    activate(0, 1, [0.2], [9.0])                 # 1 mode, splits → 2
+    activate(1, 2, [0.3, 0.4], [8.0, 7.0])       # both split → 4 (reversed)
+    activate(2, 3, [0.25, 0.01, 0.35], [6.0, 6.0, 6.0])  # cap 1: idx 0 wins
+    activate(3, 4, [0.5, 0.5, 0.5, 0.5], [9.0] * 4)      # full: no split
+    activate(4, 1, [0.01], [9.0])                # below threshold
+    activate(5, 1, [0.6], [2.0])                 # below min count
+
+    state = adaptive.AdaptiveState(
+        mu=jnp.asarray(mu), var=jnp.asarray(var), pi=jnp.asarray(pi),
+        c=jnp.asarray(c), mask=jnp.asarray(mask),
+        class_counts=jnp.zeros((K_,), jnp.float32),
+        t=jnp.zeros((), jnp.int32), fit_calls=jnp.zeros((), jnp.int32))
+
+    fn = jax.jit(lambda s: adaptive.check_and_split(
+        s, split_threshold=threshold, min_count_to_split=min_count))
+
+    def on_tpu():
+        return fn(state)
+
+    def on_cpu():
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return jax.jit(lambda s: adaptive.check_and_split(
+                s, split_threshold=threshold,
+                min_count_to_split=min_count))(jax.device_put(state, cpu))
+
+    n_got = np.asarray(adaptive.num_modes_per_class(on_tpu()))
+    assert list(n_got) == [2, 4, 4, 4, 1, 1]
+    for name in ("mu", "var", "pi", "c", "mask"):
+        # closures recompute both sides, so the corrupted-program-upload
+        # retry inside _assert_twins_equal genuinely recompiles
+        _assert_twins_equal(lambda f=name: getattr(on_cpu(), f),
+                            lambda f=name: getattr(on_tpu(), f))
