@@ -37,9 +37,15 @@ def setup():
 def _cfg(method="dota", **dota_kw):
     if method == "dota":
         dc = DotaConfig(use_dota=True, use_mode_dota=False, **dota_kw)
-    else:
+    elif method == "mode":
         dc = DotaConfig(use_dota=False, use_mode_dota=True, mode_M=2,
                         res_learning=False, **dota_kw)
+    elif method == "gmm":
+        dc = DotaConfig(use_dota=False, use_mode_dota=False,
+                        use_gmm_dota=True, mode_M=2, **dota_kw)
+    else:
+        dc = DotaConfig(use_dota=False, use_mode_dota=False,
+                        use_adaptive_dota=True, **dota_kw)
     return Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
                   cache=CacheConfig(shot_capacity=3, cg_max_iter=10))
 
@@ -74,7 +80,7 @@ def test_sharded_matches_independent_runs(setup):
     assert np.asarray(states.method_state.mu).shape[0] == n
 
 
-@pytest.mark.parametrize("method", ["dota", "mode"])
+@pytest.mark.parametrize("method", ["dota", "mode", "gmm", "adaptive"])
 def test_psum_matches_global_batch(setup, method):
     model, params, text, pcs, rgbs, targets = setup
     # noise off so the only difference between the two runs is the sharding
@@ -92,6 +98,7 @@ def test_psum_matches_global_batch(setup, method):
         cfg, model, params, text, jnp.array(pcs_g), jnp.array(rgbs_g),
         jnp.array(targets_g), seed=42)
 
+    counts_attr = "C" if method == "gmm" else "c"   # GMMDotaState names it C
     if method == "dota":
         np.testing.assert_allclose(np.asarray(state_p.method_state.mu),
                                    np.asarray(state_1.method_state.mu),
@@ -103,11 +110,62 @@ def test_psum_matches_global_batch(setup, method):
         np.testing.assert_allclose(np.asarray(state_p.method_state.mu),
                                    np.asarray(state_1.method_state.mu),
                                    rtol=1e-3, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(state_p.method_state.c),
-                                   np.asarray(state_1.method_state.c),
-                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(getattr(state_p.method_state, counts_attr)),
+            np.asarray(getattr(state_1.method_state, counts_attr)),
+            rtol=1e-4, atol=1e-5)
     want = engine.summarize(outs, T)
     assert summary["acc1"] == pytest.approx(want["acc1"], abs=1e-5)
+
+
+def test_psum_adaptive_splits_match_global_batch(setup):
+    """Component splits fire identically under psum and match the
+    single-device global-batch oracle slot for slot: the fit psums the
+    sufficient statistics, so every device holds the SAME state when the
+    50-fit split check fires, and the split decisions (ascending-index
+    selection, reverse-execution placement) are deterministic functions of
+    that state.  120 batch-1 samples over 2 devices = 60 fit calls —
+    crossing the split-check boundary with a low threshold (sigma 5e-4 →
+    threshold 5e-3, far under the ~1/D fitted variance)."""
+    from uni_adapter_tpu.adapt import adaptive
+
+    model, params, text, _, _, _ = setup
+    cfg = _cfg("adaptive", noise_std=0.0, sigma=5e-4)
+    n, steps = 2, 60
+    rng = np.random.default_rng(3)
+    pcs = rng.standard_normal((steps * n, 1, N, 3)).astype(np.float32)
+    rgbs = np.ones_like(pcs)
+    targets = rng.integers(0, K, (steps * n, 1)).astype(np.int32)
+
+    mesh = pmesh.make_mesh(n)
+    state_p, summary = pmesh.run_stream_psum(
+        cfg, model, params, text, pcs, rgbs, targets, mesh=mesh, seed=42)
+
+    state_1, outs = engine.run_stream_scan(
+        cfg, model, params, text,
+        jnp.array(pcs.reshape(steps, n, N, 3)),
+        jnp.array(rgbs.reshape(steps, n, N, 3)),
+        jnp.array(targets.reshape(steps, n)), seed=42)
+
+    n_p = np.asarray(adaptive.num_modes_per_class(state_p.method_state))
+    n_1 = np.asarray(adaptive.num_modes_per_class(state_1.method_state))
+    assert n_p.sum() > K, "stream never triggered a split"
+    assert list(n_p) == list(n_1)
+    mask = np.asarray(state_1.method_state.mask)
+    np.testing.assert_array_equal(np.asarray(state_p.method_state.mask),
+                                  mask)
+    sel = np.broadcast_to(mask[..., None],
+                          state_1.method_state.mu.shape)
+    for name in ("mu", "var"):
+        a = np.asarray(getattr(state_p.method_state, name))
+        b = np.asarray(getattr(state_1.method_state, name))
+        np.testing.assert_allclose(a[sel], b[sel], rtol=1e-3, atol=1e-5,
+                                   err_msg=name)
+    np.testing.assert_allclose(np.asarray(state_p.method_state.c),
+                               np.asarray(state_1.method_state.c),
+                               rtol=1e-4, atol=1e-5)
+    assert summary["acc1"] == pytest.approx(
+        engine.summarize(outs, steps * n)["acc1"], abs=1e-5)
 
 
 def test_psum_rejects_cache_method(setup):
