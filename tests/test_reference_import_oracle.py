@@ -16,6 +16,8 @@ both sides), these tests drive the ACTUAL reference implementation:
   * `GMMDOTA.fit/update/predict`      (/root/reference/gmm_dota_adaptation_model.py:6-256)
   * `AttentionExtractor` hook-based map recomputation
                                       (/root/reference/extract_attention.py:34-318)
+  * `CrossClassAttentionAnalyzer` centroid/distance/confusion math
+                                      (/root/reference/cross_class_attention_analysis.py:175-314)
 
 on feature streams identical to what our engine consumes, and assert
 component-level state parity plus per-step final-logit parity — including
@@ -86,6 +88,23 @@ def ref():
     plotly.graph_objects = go
     stub("plotly", plotly)
     stub("plotly.graph_objects", go)
+    # cross_class_attention_analysis → utils.load_models → models/* import
+    # timm and the CUDA pointnet2_ops at module level (used only inside
+    # functions/forwards this test never calls)
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_layers.DropPath = type("DropPath", (torch.nn.Identity,), {})
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+    stub("timm", timm)
+    stub("timm.models", timm_models)
+    stub("timm.models.layers", timm_layers)
+    p2 = types.ModuleType("pointnet2_ops")
+    p2.pointnet2_utils = types.ModuleType("pointnet2_ops.pointnet2_utils")
+    stub("pointnet2_ops", p2)
+    stub("pointnet2_ops.pointnet2_utils", p2.pointnet2_utils)
+    stub("torch_redstone", types.ModuleType("torch_redstone"))
 
     sys.path.insert(0, REF)
     try:
@@ -97,6 +116,8 @@ def ref():
             adaptive=importlib.import_module("dota_mixture_adaptive"),
             gmm=importlib.import_module("gmm_dota_adaptation_model"),
             extract_attention=importlib.import_module("extract_attention"),
+            cross_class=importlib.import_module(
+                "cross_class_attention_analysis"),
         )
     finally:
         sys.path.remove(REF)
@@ -863,3 +884,71 @@ def test_attention_maps_match_reference_hook_extractor(ref):
         assert theirs.shape == ours.shape == (2, AHEADS, ATOK, ATOK)
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-5,
                                    err_msg=f"layer {i}")
+
+
+def test_cross_class_analysis_math_matches_reference(ref):
+    """Our cross-class analysis math vs the reference's ACTUAL
+    CrossClassAttentionAnalyzer methods (cross_class_attention_analysis.py:
+    175-314) on identical centroid sets: cosine distance matrices,
+    nearest-neighbour structure and flip sets, top-confused-pair ranking,
+    and the summary statistics.  The reference's math methods never touch
+    self.model, so the instance is created without its __init__ (which
+    wants a loaded torch model)."""
+    from uni_adapter_tpu.analysis import cross_class as our_cc
+
+    rng = np.random.default_rng(17)
+    Kc, G = 9, 33
+    clean = rng.standard_normal((Kc, G))
+    corr = clean + 0.3 * rng.standard_normal((Kc, G))
+    names = [f"class_{i}" for i in range(Kc)]
+
+    RefCls = ref.cross_class.CrossClassAttentionAnalyzer
+    ran = RefCls.__new__(RefCls)
+    d_clean_ref = ran.compute_distance_matrix(clean, "cosine")
+    d_corr_ref = ran.compute_distance_matrix(corr, "cosine")
+    conf_ref = ran.analyze_confusion(d_clean_ref, d_corr_ref, names,
+                                     top_k=5)
+
+    # distance matrices (ours is the vectorised form of the ref loop)
+    np.testing.assert_allclose(our_cc._cosine_distance_matrix(clean),
+                               d_clean_ref, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(our_cc._cosine_distance_matrix(corr),
+                               d_corr_ref, rtol=1e-9, atol=1e-9)
+
+    # centroid math: ref's dict-of-lists mean == plain per-class mean
+    vecs = {k: [rng.standard_normal(G) for _ in range(k % 3 + 1)]
+            for k in range(Kc)}
+    cent_ref = ran.compute_class_centroids(vecs)
+    cent_np = np.stack([np.array(vecs[k]).mean(0) for k in range(Kc)])
+    np.testing.assert_allclose(cent_ref, cent_np, rtol=1e-12, atol=1e-12)
+
+    # nearest-neighbour structure + flips
+    ours_an = our_cc.CrossClassAttentionAnalyzer.__new__(
+        our_cc.CrossClassAttentionAnalyzer)
+    ours_an.class_names = names
+    conf_ours = ours_an.confusion_analysis(clean, corr)
+    ref_nn_clean = [m["clean_nearest_idx"] for m in
+                    conf_ref["class_movement"]]
+    ref_nn_corr = [m["corrupted_nearest_idx"] for m in
+                   conf_ref["class_movement"]]
+    assert conf_ours["nn_clean"] == ref_nn_clean
+    assert conf_ours["nn_corrupted"] == ref_nn_corr
+    assert conf_ours["n_flips"] == conf_ref["neighbor_change_count"]
+    assert ({f["class"] for f in conf_ours["flips"]}
+            == {m["class"] for m in conf_ref["class_movement"]
+                if m["neighbor_changed"]})
+
+    # top-confused-pair ranking + summary stats
+    mats = ours_an.distance_matrices(clean, corr)
+    top_ours = our_cc.top_confused_pairs(mats, names, top_k=5)
+    for po, pr in zip(top_ours["top_confused_pairs"],
+                      conf_ref["top_confused_pairs"]):
+        assert (po["class_i_idx"], po["class_j_idx"]) \
+            == (pr["class_i_idx"], pr["class_j_idx"])
+        np.testing.assert_allclose(po["distance_change"],
+                                   pr["distance_change"], rtol=1e-9)
+    np.testing.assert_allclose(top_ours["mean_distance_change"],
+                               conf_ref["mean_distance_change"], rtol=1e-9)
+    np.testing.assert_allclose(
+        top_ours["neighbor_change_ratio"],
+        conf_ref["neighbor_change_ratio"], rtol=1e-12)
