@@ -25,11 +25,8 @@ both sides), these tests drive the ACTUAL reference implementation:
   * the corrupted-dataset classes incl. label-shape quirks
                                       (/root/reference/data/tta_datasets.py:102-271)
   * `SimpleTokenizer` CLIP BPE        (/root/reference/utils/tokenizer.py:64-151)
-
-Together with the timm-fused-EVA twin (tests/test_converter_layouts.py)
-this covers every reference module executable in this environment; what
-remains un-drivable needs the real timm/open_clip towers or published
-checkpoints (scripts/validate_real_weights.sh is the playbook for that).
+  * `accuracy`/`AverageMeter` and the dataset dispatch
+                                      (/root/reference/utils/utils.py:103-167, data/data_utils.py:5-26)
 
 on feature streams identical to what our engine consumes, and assert
 component-level state parity plus per-step final-logit parity — including
@@ -46,6 +43,11 @@ The fp16 `.half()` round-trip the reference applies to every predict input
 computing, so the emulation is bit-faithful for MODE-DOTA; plain DOTA
 computes its whole predict in torch-half, which has no TPU equivalent —
 those comparisons use a correspondingly wider tolerance).
+
+Together with the converter-layout twins (tests/test_converter_layouts.py)
+this covers every reference module executable in this environment; what
+remains un-drivable needs the real timm/open_clip towers or published
+checkpoints (scripts/validate_real_weights.sh is the playbook for that).
 """
 import importlib
 import sys
@@ -1196,3 +1198,54 @@ def test_tokenizer_matches_reference(ref):
     ours = np.asarray(our_tokenize(texts))
     assert ours.shape == theirs.shape == (len(texts), 77)
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_metrics_and_dispatch_match_reference(ref, tmp_path):
+    """Our topk metrics and dataset dispatch vs the reference's ACTUAL
+    `accuracy` (utils/utils.py:154-167) and `load_tta_dataset`
+    (data/data_utils.py:5-26): per-k accuracies on random logits, the
+    AverageMeter running-average protocol, and the name-substring dispatch
+    choosing identical dataset contents."""
+    utils_mod = importlib.import_module("utils.utils")
+    data_utils = importlib.import_module("data.data_utils")
+
+    from uni_adapter_tpu.data import datasets as our_ds
+    from uni_adapter_tpu.utils import metrics as our_metrics
+
+    rng = np.random.default_rng(29)
+    logits = rng.standard_normal((32, 15)).astype(np.float32)
+    target = rng.integers(0, 15, (32,)).astype(np.int64)
+    (acc_ref, _) = utils_mod.accuracy(torch.tensor(logits),
+                                      torch.tensor(target), topk=(1, 3, 5))
+    counts = np.asarray(our_metrics.topk_correct(
+        jnp.asarray(logits), jnp.asarray(target), (1, 3, 5)))
+    acc_ours = counts * 100.0 / 32
+    np.testing.assert_allclose(acc_ours,
+                               [float(a) for a in acc_ref], rtol=1e-6)
+
+    m_ref = utils_mod.AverageMeter("acc", ":6.2f")
+    m_ours = our_metrics.AverageMeter("acc", ":6.2f")
+    for v, n in [(3.0, 2), (7.5, 1), (0.25, 4)]:
+        m_ref.update(v, n)
+        m_ours.update(v, n)
+    assert m_ours.avg == pytest.approx(m_ref.avg)
+    assert m_ours.count == m_ref.count and m_ours.sum == m_ref.sum
+
+    root = tmp_path / "dispatch"
+    root.mkdir()
+    data = rng.standard_normal((4, 16, 3)).astype(np.float32)
+    np.save(root / "data_uniform_5.npy", data)
+    np.save(root / "label.npy", rng.integers(0, 15, (4,)).astype(np.int64))
+    args = SimpleNamespace(myroot=str(root), dataset_name="scanobject_c",
+                           corruption="uniform", severity=5, debug=False)
+    theirs = data_utils.load_tta_dataset(args)
+    cfg = SimpleNamespace(data=SimpleNamespace(
+        dataset_name="scanobject_c", root=str(root), corruption="uniform",
+        severity=5, debug=False))
+    ours = our_ds.load_tta_dataset(cfg)
+    assert type(theirs).__name__ == "ScanObjectNN_C"
+    assert ours.class_names[theirs[0][1]] == theirs[0][2]
+    for j in range(len(theirs)):
+        np.testing.assert_array_equal(ours[j][0], np.asarray(theirs[j][0]))
+        assert ours[j][1] == int(theirs[j][1])
+        assert ours[j][2] == theirs[j][2]
