@@ -22,6 +22,8 @@ both sides), these tests drive the ACTUAL reference implementation:
                                       (/root/reference/models/ulip/ulip_model.py:7-19 + pointbert/*)
   * the OpenShape PPTA encoder, end to end on raw clouds, rel-PE on
                                       (/root/reference/models/openshape/ppta.py:10-155 + pointnet_util.py)
+  * the Uni3D PointcloudEncoder: Group/mini-PointNet/plumbing around a
+    fused-EVA twin trunk            (/root/reference/models/point_encoder.py:93-223)
   * the corrupted-dataset classes incl. label-shape quirks
                                       (/root/reference/data/tta_datasets.py:102-271)
   * `SimpleTokenizer` CLIP BPE        (/root/reference/utils/tokenizer.py:64-151)
@@ -1249,3 +1251,75 @@ def test_metrics_and_dispatch_match_reference(ref, tmp_path):
         np.testing.assert_array_equal(ours[j][0], np.asarray(theirs[j][0]))
         assert ours[j][1] == int(theirs[j][1])
         assert ours[j][2] == theirs[j][2]
+
+
+def test_uni3d_pointcloud_encoder_matches_reference(ref):
+    """The reference's ACTUAL Uni3D PointcloudEncoder
+    (models/point_encoder.py:161-223) — its Group with the xyz‖color
+    6-channel features (:93-127), mini-PointNet Encoder, encoder2trans /
+    CLS+pos / trans2embed plumbing — vs our flax PointcloudEncoder on
+    loader-converted weights.
+
+    The timm trunk is a stand-in in timm's FUSED EVA02 naming (the
+    converter twin's TimmFusedEvaBlock — the trunk itself is already
+    pinned by that twin and by the hook-extractor map parity; what this
+    test uniquely anchors is everything AROUND the trunk, which was
+    previously transcription-verified only).  pointnet2_ops is shimmed
+    with the reference's OWN pure-torch FPS fallback
+    (pointnet_util.farthest_point_sample, start aligned to index 0 — the
+    CUDA kernel's convention our ops/geometry.py mirrors) and a plain
+    torch.gather for gather_operation's (B, C, N) x (B, S) contract."""
+    from test_converter_layouts import DIM, HEADS, HID, TimmFusedEvaBlock
+
+    pointnet_util = importlib.import_module("models.openshape.pointnet_util")
+    p2u = sys.modules["pointnet2_ops"].pointnet2_utils
+    p2u.furthest_point_sample = (
+        lambda xyz, n: pointnet_util.farthest_point_sample(xyz, n).int())
+    p2u.gather_operation = (
+        lambda feat, idx: torch.gather(
+            feat, 2, idx.long().unsqueeze(1).expand(-1, feat.shape[1], -1)))
+    ref_pe = importlib.import_module("models.point_encoder")
+
+    depth = 2
+    torch.manual_seed(21)
+    visual = torch.nn.Module()
+    visual.pos_drop = torch.nn.Identity()
+    visual.blocks = torch.nn.ModuleList(
+        [TimmFusedEvaBlock() for _ in range(depth)])
+    visual.norm = torch.nn.LayerNorm(DIM)
+    visual.fc_norm = torch.nn.LayerNorm(DIM)
+    args = SimpleNamespace(pc_feat_dim=DIM, embed_dim=24, group_size=8,
+                           num_group=4, pc_encoder_dim=16, patch_dropout=0.0)
+    theirs = ref_pe.PointcloudEncoder(visual, args).eval()
+
+    rng = np.random.default_rng(37)
+    xyz = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    color = rng.random((2, 64, 3)).astype(np.float32)
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(torch, "randint",
+               lambda low, high, size, **kw: torch.zeros(
+                   size, dtype=kw.get("dtype", torch.int64)))
+    try:
+        with torch.no_grad():
+            want = theirs(torch.tensor(xyz), torch.tensor(color)).numpy()
+    finally:
+        mp.undo()
+
+    from uni_adapter_tpu.models.loader import (convert_state_dict,
+                                               overlay_params)
+    from uni_adapter_tpu.models.uni3d import PointcloudEncoder
+
+    model = PointcloudEncoder(trans_dim=DIM, embed_dim=24, num_group=4,
+                              group_size=8, encoder_dim=16, depth=depth,
+                              num_heads=HEADS, mlp_ratio=HID / DIM,
+                              dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(xyz),
+                        jnp.asarray(color))
+    sd = {k: v.numpy() for k, v in theirs.state_dict().items()}
+    params = overlay_params(params, convert_state_dict(sd), strict=True)
+    ours = np.asarray(model.apply(params, jnp.asarray(xyz),
+                                  jnp.asarray(color)))
+
+    assert ours.shape == want.shape == (2, 24)
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-4)

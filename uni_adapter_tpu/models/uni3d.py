@@ -80,6 +80,7 @@ class PointcloudEncoder(nn.Module):
     encoder_dim: int = 512
     depth: int = 24             # EVA02-L
     num_heads: int = 16
+    mlp_ratio: float = 4 * 2 / 3   # EVA02 SwiGLU hidden/width ratio
     use_pallas_fps: bool = False
     approx_knn: bool = False
     use_pallas_knn: bool = False
@@ -119,6 +120,7 @@ class PointcloudEncoder(nn.Module):
         attn_maps = []
         for i in range(self.depth):
             x = EvaBlock(self.trans_dim, self.num_heads,
+                         mlp_ratio=self.mlp_ratio,
                          quantize=self.quantize,
                          use_pallas_attention=self.use_pallas_attention,
                          dtype=self.dtype,
