@@ -1,0 +1,301 @@
+"""Interleaved virtual-stage pipeline schedule (parallel/pp_interleave.py):
+schedule-table invariants, bubble reduction vs GPipe in chunk-tick units,
+and forward/grad/train equality with the plain single-device forward for
+all three trunk families.
+
+Runs on the virtual 8-device CPU mesh (conftest).  No reference analogue —
+the reference has no pipeline parallelism (SURVEY.md §2.4); this is the
+1F1B-interleaving follow-up ROADMAP.md lists for deep trunks.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from uni_adapter_tpu.models.pointbert import ULIP
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.parallel import pp
+from uni_adapter_tpu.parallel.pp_interleave import (
+    build_interleaved_schedule, stack_trunk_params_interleaved)
+
+
+def _mesh(n, axes=("stage",)):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    shape = (n,) if len(axes) == 1 else (n // 2, 2)
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(shape), axes)
+
+
+def _uni3d(depth):
+    return Uni3D(trans_dim=48, embed_dim=32, num_group=16, group_size=8,
+                 encoder_dim=24, depth=depth, num_heads=4,
+                 dtype=jnp.float32)
+
+
+def _ulip(depth):
+    return ULIP(trans_dim=48, depth=depth, num_heads=4, num_group=16,
+                group_size=8, encoder_dim=24, embed_dim=32,
+                dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# schedule tables
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("S,V,M", [
+    (2, 2, 2), (2, 2, 4), (4, 2, 8), (2, 4, 8), (4, 4, 8), (3, 2, 5),
+])
+def test_schedule_invariants(S, V, M):
+    """Work conservation, injection order, output completeness, and a
+    legal queue-slot lifecycle (never write an occupied slot, never read a
+    free one — compute reads before the tick's arrival lands)."""
+    sched = build_interleaved_schedule(S, V, M)
+    trash = V * sched.queue
+
+    # every device performs exactly V*M chunk computes
+    np.testing.assert_array_equal(sched.busy, np.full(S, V * M))
+
+    # injections: device 0 only, each microbatch once, ascending
+    inj = sched.inj_m
+    assert (inj[:, 1:] == -1).all()
+    got = [m for m in inj[:, 0] if m >= 0]
+    assert got == list(range(M))
+
+    # outputs: device 0 only, each microbatch exactly once
+    outs = sched.out_m
+    assert (outs[:, 1:] == -1).all()
+    assert sorted(m for m in outs[:, 0] if m >= 0) == list(range(M))
+
+    # queue-slot lifecycle per device
+    for s in range(S):
+        occupied = np.zeros(trash, bool)
+        for t in range(sched.ticks):
+            cs = sched.cmp_slot[t, s]
+            if cs != trash:
+                assert occupied[cs], f"read of free slot {cs} at t={t}"
+                occupied[cs] = False
+            rs = sched.rcv_slot[t, s]
+            if rs != trash:
+                assert not occupied[rs], f"write to busy slot {rs} at t={t}"
+                occupied[rs] = True
+        assert not occupied.any(), "slots left occupied at drain"
+
+
+@pytest.mark.parametrize("S,V,M", [(4, 2, 8), (2, 4, 8), (4, 4, 16)])
+def test_schedule_beats_gpipe_bubble(S, V, M):
+    """The whole point: makespan (in chunk-tick units) strictly below the
+    GPipe schedule's V*(M+S-1), and within a small constant of the V*M
+    per-device work lower bound."""
+    sched = build_interleaved_schedule(S, V, M)
+    assert sched.ticks < sched.gpipe_chunk_ticks
+    assert sched.ticks >= V * M          # device 0 does V*M chunk computes
+    # drain-first greedy keeps the overhead near the S-1 ring latency
+    assert sched.ticks <= V * M + S * V
+
+
+def test_interleaved_stacking_order():
+    """stack_trunk_params_interleaved[s, v, c] must be block
+    (v*S + s)*Lc + c — logical stages are contiguous block runs assigned
+    round-robin over devices."""
+    model = _uni3d(8)
+    pc = jnp.zeros((1, 64, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    pe = params["params"]["point_encoder"]
+    S, V = 2, 2
+    Lc = 8 // (S * V)
+    stacked = stack_trunk_params_interleaved(pe, 8, S, V)
+    k = stacked["attn"]["q_proj"]["kernel"]
+    assert k.shape[:3] == (S, V, Lc)
+    for s in range(S):
+        for v in range(V):
+            for c in range(Lc):
+                blk = (v * S + s) * Lc + c
+                np.testing.assert_array_equal(
+                    np.asarray(k[s, v, c]),
+                    np.asarray(pe[f"blocks_{blk}"]["attn"]["q_proj"]
+                               ["kernel"]))
+
+
+def test_interleaved_rejects_indivisible_depth():
+    mesh = _mesh(2)
+    model = _uni3d(6)    # 6 blocks over 2 stages x 2 chunks
+    pc = jnp.zeros((1, 64, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    prepare, _ = pp.make_pp_forward_uni3d(model, mesh, interleave=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        prepare(params)
+
+
+# ---------------------------------------------------------------------------
+# forward equality
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_stages,interleave,depth,n_micro", [
+    (2, 2, 8, 2),
+    (2, 2, 8, 4),
+    (4, 2, 8, 4),    # 8 logical stages on 4 devices, 1 block each
+    (2, 4, 8, 4),    # deep interleave
+])
+def test_interleaved_uni3d_matches_plain_forward(n_stages, interleave,
+                                                 depth, n_micro):
+    mesh = _mesh(n_stages)
+    model = _uni3d(depth)
+    rng = np.random.default_rng(41)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    want = np.asarray(jax.jit(model.apply)(params, pc))
+
+    prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=n_micro,
+                                            interleave=interleave)
+    got = np.asarray(fwd(prepare(params), pc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_interleaved_ulip_matches_plain_forward():
+    """Pytree carry (x, pos) through the interleaved ring."""
+    mesh = _mesh(2)
+    model = _ulip(8)
+    rng = np.random.default_rng(43)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    want = np.asarray(jax.jit(model.apply)(params, pc))
+
+    prepare, fwd = pp.make_pp_forward_ulip(model, mesh, n_micro=2,
+                                           interleave=2)
+    got = np.asarray(fwd(prepare(params), pc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("rel_pe", [False, True])
+def test_interleaved_openshape_matches_plain_forward(rel_pe):
+    from uni_adapter_tpu.models.ppta import PPTAPreset, Projected
+
+    mesh = _mesh(2)
+    preset = PPTAPreset(dim=48, depth=4, heads=4, mlp_dim=96, sa_dim=24,
+                        patches=16, prad=0.4, nsamp=8)
+    model = Projected(preset=preset, out_channel=32, rel_pe=rel_pe,
+                      dtype=jnp.float32)
+    rng = np.random.default_rng(47)
+    xyz = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    features = jnp.concatenate([xyz, jnp.ones_like(xyz)], axis=-1)
+    params = model.init(jax.random.PRNGKey(0), xyz, features)
+    want = np.asarray(jax.jit(model.apply)(params, xyz, features))
+
+    prepare, fwd = pp.make_pp_forward_openshape(model, mesh, n_micro=2,
+                                                interleave=2)
+    got = np.asarray(fwd(prepare(params), xyz, features))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_interleaved_dp_composition_matches_plain_forward():
+    """Interleaved PP × DP on a (stage, data) mesh."""
+    mesh = _mesh(8, axes=("stage", "data"))
+    model = _uni3d(8)
+    rng = np.random.default_rng(53)
+    pc = jnp.asarray(rng.standard_normal((8, 64, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    want = np.asarray(jax.jit(model.apply)(params, pc))
+
+    prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=2,
+                                            data_axis="data", interleave=2)
+    got = np.asarray(fwd(prepare(params), pc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_interleaved_tp_composition_matches_plain_forward():
+    """Interleaved PP × TP on a (stage, model) mesh: the (S, V, Lc, ...)
+    stacks carry Megatron shardings shifted by THREE leading axes."""
+    mesh = _mesh(4, axes=("stage", "model"))
+    model = _uni3d(8)
+    rng = np.random.default_rng(59)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    want = np.asarray(jax.jit(model.apply)(params, pc))
+
+    prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=2,
+                                            tp_axis="model", interleave=2)
+    pp_params = prepare(params)
+    qk = pp_params[0]["attn"]["q_proj"]["kernel"]
+    assert "model" in str(qk.sharding.spec)
+    got = np.asarray(fwd(pp_params, pc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# training through the interleaved schedule
+# ---------------------------------------------------------------------------
+
+def test_interleaved_grad_matches_plain_forward():
+    """jax.grad through the interleaved tick scan equals the plain
+    forward's gradients — the scheduled ring transposes correctly."""
+    mesh = _mesh(2)
+    model = _uni3d(4)
+    S, V, Lc = 2, 2, 1
+    rng = np.random.default_rng(61)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    ct = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+
+    want = jax.grad(lambda p: jnp.sum(model.apply(p, pc) * ct))(params)
+    want_pe = want["params"]["point_encoder"]
+
+    prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=2,
+                                            interleave=V)
+    got_stacked, got_rest = jax.grad(
+        lambda pp_p: jnp.sum(fwd(pp_p, pc) * ct))(prepare(params))
+
+    for s in range(S):
+        for v in range(V):
+            for c in range(Lc):
+                blk = (v * S + s) * Lc + c
+                got_b = jax.tree.map(lambda a: np.asarray(a[s, v, c]),
+                                     got_stacked)
+                jax.tree.map(
+                    lambda g, w: np.testing.assert_allclose(
+                        g, np.asarray(w), rtol=1e-4, atol=1e-5),
+                    got_b, want_pe[f"blocks_{blk}"])
+    for key in got_rest:
+        jax.tree.map(
+            lambda g, w: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-5),
+            got_rest[key], want_pe[key])
+
+
+def test_interleaved_train_step_matches_single_device():
+    """One interleaved-PP train step == one single-device train step
+    (SGD, for the same conditioning reasons as the GPipe twin test)."""
+    import optax
+
+    from uni_adapter_tpu import train as tr
+
+    mesh = _mesh(2)
+    model = _uni3d(4)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.sgd(1e-2))
+    rng = np.random.default_rng(67)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    image = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+
+    state0 = tr.init_train_state(model, jax.random.PRNGKey(0), pc, tx)
+    state1, metrics1 = tr.train_step(model, tx, state0, pc, text, image)
+
+    prepare, step = pp.make_pp_train_step_uni3d(model, tx, mesh, n_micro=2,
+                                                interleave=2)
+    pstate0 = pp.init_pp_train_state(model, jax.random.PRNGKey(0), pc, tx,
+                                     prepare)
+    pstate1, pmetrics = step(pstate0, pc, text, image)
+
+    np.testing.assert_allclose(float(pmetrics["loss"]),
+                               float(metrics1["loss"]), rtol=1e-5)
+    upd_pe = state1.params["point_encoder"]
+    got_stacked, _ = pstate1.params
+    for s in range(2):
+        for v in range(2):
+            blk = v * 2 + s
+            got_b = jax.tree.map(lambda a: np.asarray(a[s, v, 0]),
+                                 got_stacked)
+            jax.tree.map(
+                lambda g, w: np.testing.assert_allclose(
+                    g, np.asarray(w), rtol=1e-4, atol=1e-6),
+                got_b, upd_pe[f"blocks_{blk}"])

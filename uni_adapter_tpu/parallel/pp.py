@@ -69,20 +69,22 @@ def _shard(tree, mesh: Mesh, spec: P):
 
 
 def _shard_stacked(stacked, mesh: Mesh, stage_axis: str,
-                   tp_axis: Optional[str]):
-    """Stage-shard the stacked (S, L/S, ...) block params; with `tp_axis`,
+                   tp_axis: Optional[str], lead: int = 2):
+    """Stage-shard the stacked (S, L/S, ...) block params (or the
+    interleaved (S, V, L/(S·V), ...) stacks with lead=3); with `tp_axis`,
     additionally Megatron-shard each block's matrices over it (specs from
-    parallel/tp.py, shifted right by the two stacking axes)."""
+    parallel/tp.py, shifted right by the `lead` stacking axes)."""
     if tp_axis is None:
         return _shard(stacked, mesh, P(stage_axis))
     from uni_adapter_tpu.parallel import tp as _tp
 
-    # per-block TP specs computed on the (L/S, ...)-free view: drop the two
+    # per-block TP specs computed on the block-shaped view: drop the
     # leading stacking axes for spec inference, then prepend them
-    block_view = jax.tree.map(lambda a: a[0, 0], stacked)
+    pad = (None,) * (lead - 1)
+    block_view = jax.tree.map(lambda a: a[(0,) * lead], stacked)
     tp_specs = _tp.tp_param_specs(block_view, axis=tp_axis)
     shardings = jax.tree.map(
-        lambda s: NamedSharding(mesh, P(*((stage_axis, None) + tuple(s)))),
+        lambda s: NamedSharding(mesh, P(*((stage_axis,) + pad + tuple(s)))),
         tp_specs, is_leaf=lambda x: isinstance(x, P))
     return jax.device_put(stacked, shardings)
 
@@ -153,7 +155,7 @@ def _merge_micro(tree):
 def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
                      n_micro: int, block_apply, pre, post,
                      data_axis: Optional[str] = None, jit: bool = True,
-                     tp_axis: Optional[str] = None):
+                     tp_axis: Optional[str] = None, interleave: int = 1):
     """Assemble the jitted PP forward from per-model pre/block/post fns.
 
     pre/post run replicated on every device (they are a negligible weight
@@ -169,10 +171,20 @@ def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
     """
     carry_spec = P(None, data_axis) if data_axis else P()
 
-    def pipe_body(stacked_local, micro_carry):
-        local = jax.tree.map(lambda a: a[0], stacked_local)
-        return _pipeline(block_apply, local, micro_carry, n_stages,
-                         stage_axis)
+    if interleave > 1:
+        from uni_adapter_tpu.parallel.pp_interleave import (
+            build_interleaved_schedule, pipeline_interleaved)
+        sched = build_interleaved_schedule(n_stages, interleave, n_micro)
+
+        def pipe_body(stacked_local, micro_carry):
+            local = jax.tree.map(lambda a: a[0], stacked_local)
+            return pipeline_interleaved(block_apply, local, micro_carry,
+                                        sched, stage_axis)
+    else:
+        def pipe_body(stacked_local, micro_carry):
+            local = jax.tree.map(lambda a: a[0], stacked_local)
+            return _pipeline(block_apply, local, micro_carry, n_stages,
+                             stage_axis)
 
     manual = {stage_axis} | ({data_axis} if data_axis else set())
     pipe = jax.shard_map(
@@ -193,7 +205,8 @@ def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
 def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
                           n_micro: Optional[int] = None,
                           data_axis: Optional[str] = None, jit: bool = True,
-                          tp_axis: Optional[str] = None):
+                          tp_axis: Optional[str] = None,
+                          interleave: int = 1):
     """(prepare_params, forward) for a pipeline-parallel Uni3D.
 
     prepare_params(params) -> pp_params: stacks the EVA block params over
@@ -204,6 +217,10 @@ def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
     Megatron-sharded over that axis, GSPMD all-reduces inside the ring) —
     all three compose on a 3-D (stage, model, data) mesh.  Head count and
     SwiGLU hidden dim must divide by the `tp_axis` size.
+    `interleave=V` switches the GPipe schedule to the interleaved
+    virtual-stage schedule (parallel/pp_interleave.py): each device holds V
+    chunks of depth/(S·V) blocks and the fill/drain bubble shrinks ~V×;
+    depth must divide by S·V.
     """
     from uni_adapter_tpu.models.common import EvaBlock, LN
     from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
@@ -221,9 +238,16 @@ def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
 
     def prepare(params):
         pe = params["params"]["point_encoder"]
-        stacked = stack_trunk_params(pe, model.depth, S)
+        if interleave > 1:
+            from uni_adapter_tpu.parallel.pp_interleave import (
+                stack_trunk_params_interleaved)
+            stacked = stack_trunk_params_interleaved(pe, model.depth, S,
+                                                     interleave)
+        else:
+            stacked = stack_trunk_params(pe, model.depth, S)
         rest = {k: v for k, v in pe.items() if not k.startswith("blocks_")}
-        return (_shard_stacked(stacked, mesh, stage_axis, tp_axis),
+        return (_shard_stacked(stacked, mesh, stage_axis, tp_axis,
+                               lead=3 if interleave > 1 else 2),
                 _shard(rest, mesh, P()))
 
     def pre(rest, pc):
@@ -258,13 +282,13 @@ def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
 
     return prepare, _make_pp_forward(mesh, stage_axis, S, n_micro,
                                      block_apply, pre, post, data_axis, jit,
-                                     tp_axis)
+                                     tp_axis, interleave)
 
 
 def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
                               n_micro: Optional[int] = None,
                               data_axis: Optional[str] = None,
-                              jit: bool = True):
+                              jit: bool = True, interleave: int = 1):
     """(prepare_params, forward) for a pipeline-parallel OpenShape PPTA
     (cache_type='global', the TTA path).
 
@@ -272,7 +296,8 @@ def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
     rel_pe the (B, S+1, S+1, 3) centroid-delta tensor rides the ring as a
     carry extra (each block recomputes its bias from it, reference
     ppta.py:50-59); without rel_pe only the activations rotate and blocks
-    get a dummy delta.
+    get a dummy delta.  `interleave=V` selects the interleaved
+    virtual-stage schedule (see make_pp_forward_uni3d).
     """
     from uni_adapter_tpu.models.common import LN
     from uni_adapter_tpu.models.ppta import (PPTABlockPair, SetAbstraction)
@@ -297,7 +322,13 @@ def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
 
     def prepare(params):
         ppat = params["params"]["ppat"]
-        stacked = stack_trunk_params(ppat, p.depth, S, fmt="layers_{}")
+        if interleave > 1:
+            from uni_adapter_tpu.parallel.pp_interleave import (
+                stack_trunk_params_interleaved)
+            stacked = stack_trunk_params_interleaved(
+                ppat, p.depth, S, interleave, fmt="layers_{}")
+        else:
+            stacked = stack_trunk_params(ppat, p.depth, S, fmt="layers_{}")
         rest = {
             "ppat": {k: v for k, v in ppat.items()
                      if not k.startswith("layers_")},
@@ -335,7 +366,8 @@ def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
             {"params": rest["proj"]}, x[:, 0].astype(jnp.float32))
 
     pipe_fwd = _make_pp_forward(mesh, stage_axis, S, n_micro,
-                                block_apply, pre, post, data_axis, jit)
+                                block_apply, pre, post, data_axis, jit,
+                                interleave=interleave)
 
     def fwd(pp_params, xyz, features):
         return pipe_fwd(pp_params, (xyz, features))
@@ -345,12 +377,14 @@ def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
 
 def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
                          n_micro: Optional[int] = None,
-                         data_axis: Optional[str] = None, jit: bool = True):
+                         data_axis: Optional[str] = None, jit: bool = True,
+                         interleave: int = 1):
     """(prepare_params, forward) for a pipeline-parallel ULIP Point-BERT.
 
     The pipeline carry is (x, pos): Point-BERT re-adds the positional
     embedding at every block (reference point_encoder.py:95-98), so pos
-    rides the ring alongside the activations.
+    rides the ring alongside the activations.  `interleave=V` selects the
+    interleaved virtual-stage schedule (see make_pp_forward_uni3d).
     """
     from uni_adapter_tpu.models.common import LN, ViTBlock
     from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
@@ -368,7 +402,13 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
 
     def prepare(params):
         pe = params["params"]["point_encoder"]
-        stacked = stack_trunk_params(pe, model.depth, S)
+        if interleave > 1:
+            from uni_adapter_tpu.parallel.pp_interleave import (
+                stack_trunk_params_interleaved)
+            stacked = stack_trunk_params_interleaved(pe, model.depth, S,
+                                                     interleave)
+        else:
+            stacked = stack_trunk_params(pe, model.depth, S)
         rest = {
             "pe": {k: v for k, v in pe.items()
                    if not k.startswith("blocks_")},
@@ -410,7 +450,8 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
                           precision=jax.lax.Precision.HIGHEST)
 
     return prepare, _make_pp_forward(mesh, stage_axis, S, n_micro,
-                                     block_apply, pre, post, data_axis, jit)
+                                     block_apply, pre, post, data_axis, jit,
+                                     interleave=interleave)
 
 
 def make_pp_encode_fn(model, mesh: Mesh, kind: str = "uni3d",
@@ -521,15 +562,19 @@ def make_pp_train_step_uni3d(model, tx, mesh: Mesh,
                              stage_axis: str = "stage",
                              n_micro: Optional[int] = None,
                              data_axis: Optional[str] = None,
-                             tp_axis: Optional[str] = None):
+                             tp_axis: Optional[str] = None,
+                             interleave: int = 1):
     """(prepare_params, train_step) for pipeline-parallel contrastive
     pretraining of a Uni3D point encoder (no PP exists upstream —
     SURVEY.md §2.4).  train_step(state, pc, text_embed, image_embed, mask);
     `tp_axis` composes PP × TP training (block grads and moments shard
-    over BOTH stage and model axes)."""
+    over BOTH stage and model axes); `interleave=V` trains through the
+    interleaved virtual-stage schedule (jax.grad transposes the tick scan,
+    so the backward inherits the same ~V× smaller fill/drain bubble)."""
     prepare, fwd = make_pp_forward_uni3d(model, mesh, stage_axis, n_micro,
                                          data_axis, jit=False,
-                                         tp_axis=tp_axis)
+                                         tp_axis=tp_axis,
+                                         interleave=interleave)
     return prepare, _make_pp_train_step(tx, fwd, 1)
 
 
