@@ -29,6 +29,8 @@ both sides), these tests drive the ACTUAL reference implementation:
   * `SimpleTokenizer` CLIP BPE        (/root/reference/utils/tokenizer.py:64-151)
   * `accuracy`/`AverageMeter` and the dataset dispatch
                                       (/root/reference/utils/utils.py:103-167, data/data_utils.py:5-26)
+  * the CLI driver `main()` corruption loop + summary
+                                      (/root/reference/main_test-time.py:25-104)
 
 on feature streams identical to what our engine consumes, and assert
 component-level state parity plus per-step final-logit parity — including
@@ -1323,3 +1325,140 @@ def test_uni3d_pointcloud_encoder_matches_reference(ref):
 
     assert ours.shape == want.shape == (2, 24)
     np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-4)
+
+
+def test_driver_loop_matches_reference_main(ref, tmp_path):
+    """The reference's ACTUAL CLI driver `main()` (main_test-time.py:25-104)
+    vs our main.py, with the per-corruption core stubbed to IDENTICAL fake
+    accuracies on both sides: the corruption visit order, the per-corruption
+    summary dict, and the logged 'Average Top-1' line must agree — this
+    locks the 15-name corruption list, the dict keying, and the mean
+    computation against the reference's own driver code rather than a
+    transcription of it."""
+    import ast
+    import importlib.util
+    import logging as _logging
+
+    import main as our_main
+    from uni_adapter_tpu import engine as our_engine
+    from uni_adapter_tpu.config import CORRUPTIONS
+    from uni_adapter_tpu.data import datasets as our_ds_mod
+
+    acc = {c: float((i * 7) % 23) + 0.25 for i, c in enumerate(CORRUPTIONS)}
+
+    class _Capture(_logging.Handler):
+        def __init__(self):
+            super().__init__(level=_logging.INFO)
+            self.lines = []
+
+        def emit(self, record):
+            self.lines.append(record.getMessage())
+
+    def summary_from(lines):
+        summ = mean = None
+        for ln in lines:
+            if ln.startswith("Summary of Results: "):
+                summ = ast.literal_eval(ln[len("Summary of Results: "):])
+            if ln.startswith("Average Top-1: "):
+                mean = ln[len("Average Top-1: "):].strip()
+        return summ, mean
+
+    # --- the reference's own driver --------------------------------------
+    sys.path.insert(0, REF)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_main_test_time", f"{REF}/main_test-time.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(REF)
+
+    ref_order = []
+
+    class _TinyDS(torch.utils.data.Dataset):
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return (np.zeros((16, 3), np.float32), 0, "airplane",
+                    np.ones((16, 3), np.float32))
+
+    def fake_core(test_loader, validate_dataset_name, model, clip_model,
+                  tokenizer, args, hp):
+        ref_order.append(args.corruption)
+        a = acc[args.corruption]
+        return {"acc1": a, "acc3": a + 1.0, "acc5": a + 2.0}
+
+    mp = pytest.MonkeyPatch()
+    out_ref = tmp_path / "refout"
+    mp.setattr(mod, "parse_args", lambda: SimpleNamespace(
+        name=None, output_dir=str(out_ref), seed=42,
+        dataset_name="modelnet", corruption="all", batch_size=1, workers=0,
+        validate_dataset_name="modelnet40"))
+    mp.setattr(mod, "setup_logging", lambda *a, **k: None)
+    mp.setattr(mod, "init_distributed_device",
+               lambda args: setattr(args, "rank", 0))
+    mp.setattr(mod, "load_vlm_model", lambda args: (None, None))
+    mp.setattr(mod, "SimpleTokenizer", lambda: None)
+    mp.setattr(mod, "load_tta_dataset", lambda args: _TinyDS())
+    mp.setattr(mod, "test_zeroshot_3d_core", fake_core)
+    cap_ref = _Capture()
+    _logging.getLogger().addHandler(cap_ref)
+    _logging.getLogger().setLevel(_logging.INFO)
+    try:
+        mod.main()
+    finally:
+        _logging.getLogger().removeHandler(cap_ref)
+        mp.undo()
+    ref_summary, ref_mean = summary_from(cap_ref.lines)
+
+    # --- our driver on the same fake per-corruption accuracies -----------
+    our_order = []
+
+    class _FakeOurDS:
+        class_names = ["airplane"]
+
+        def as_arrays(self, batch_size, npoints=1024, seed=0):
+            return (np.zeros((1, batch_size, npoints, 3), np.float32),
+                    np.ones((1, batch_size, npoints, 3), np.float32),
+                    np.zeros((1, batch_size), np.int32))
+
+    def fake_load(cfg):
+        return _FakeOurDS()
+
+    def fake_run_stream_scan(cfg, model, params, text, pcs, rgbs, tgts,
+                             seed=0, scan_fn=None):
+        our_order.append(cfg.data.corruption)
+        return None, cfg.data.corruption
+
+    def fake_summarize(outs, n):
+        a = acc[outs]
+        return {"acc1": a, "acc3": a + 1.0, "acc5": a + 2.0}
+
+    mp2 = pytest.MonkeyPatch()
+    mp2.setattr(our_main, "setup_logging", lambda *a, **k: None)
+    mp2.setattr(our_main, "build_model", lambda cfg: (None, None))
+    mp2.setattr(our_main, "get_text_anchors_with_fallback", lambda cfg: None)
+    mp2.setattr(our_ds_mod, "load_tta_dataset", fake_load)
+    mp2.setattr(our_engine, "make_scan_fn",
+                lambda cfg, model: (lambda *a, **k: (None, None)))
+    mp2.setattr(our_engine, "run_stream_scan", fake_run_stream_scan)
+    mp2.setattr(our_engine, "summarize", fake_summarize)
+    cap_ours = _Capture()
+    _logging.getLogger().addHandler(cap_ours)
+    out_ours = tmp_path / "ourout"
+    try:
+        results = our_main.main(["--device", "cpu", "--root", str(tmp_path),
+                                 "--corruption", "all",
+                                 "--output-dir", str(out_ours)])
+    finally:
+        _logging.getLogger().removeHandler(cap_ours)
+        mp2.undo()
+    our_summary, our_mean = summary_from(cap_ours.lines)
+
+    # identical visit order, per-corruption dict, and formatted mean
+    assert ref_order == list(CORRUPTIONS)
+    assert our_order == ref_order
+    assert our_summary == ref_summary == {c: acc[c] for c in CORRUPTIONS}
+    assert results == ref_summary
+    assert our_mean == ref_mean
