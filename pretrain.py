@@ -101,6 +101,11 @@ def main(argv=None):
     parser.add_argument("--pp-stages", type=int, default=None,
                         help="pipeline stage count (default: all devices); "
                              "the model depth must divide by it")
+    parser.add_argument("--pp-interleave", type=int, default=1,
+                        help="virtual chunks per stage (interleaved "
+                             "schedule, parallel/pp_interleave.py): the "
+                             "fill/drain bubble shrinks ~V x; depth must "
+                             "divide by stages x V")
     parser.add_argument("--device", default="default",
                         help="jax platform override (cpu/tpu)")
     args = parser.parse_args(argv)
@@ -203,11 +208,14 @@ def main(argv=None):
                              f"{len(jax.devices())}] (available devices)")
         mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
         prepare, pp_step = ppar.make_pp_train_step_uni3d(
-            model, tx_opt, mesh, n_micro=args.pp_microbatches)
+            model, tx_opt, mesh, n_micro=args.pp_microbatches,
+            interleave=args.pp_interleave)
         state = ppar.init_pp_train_state(
             model, jax.random.PRNGKey(args.seed), example, tx_opt, prepare)
-        logging.info("pipeline parallel: %d stages x %d blocks/stage, "
-                     "%d microbatches", n_stages, args.depth // n_stages,
+        logging.info("pipeline parallel: %d stages x %d chunks/stage x "
+                     "%d blocks/chunk, %d microbatches", n_stages,
+                     args.pp_interleave,
+                     args.depth // (n_stages * args.pp_interleave),
                      args.pp_microbatches or n_stages)
     else:
         state = init_train_state(model, jax.random.PRNGKey(args.seed),
@@ -233,6 +241,7 @@ def main(argv=None):
                   ("warmup_steps", args.warmup_steps)]
         if args.parallel == "pp":
             checks.append(("pp_stages", n_stages))
+            checks.append(("pp_interleave", args.pp_interleave))
         for key, now in checks:
             was = type(now)(blob[key]) if key in blob else now
             if was != now:
@@ -322,6 +331,7 @@ def main(argv=None):
                 "warmup_steps": args.warmup_steps}
         if args.parallel == "pp":
             blob["pp_stages"] = n_stages
+            blob["pp_interleave"] = args.pp_interleave
         if args.ckpt_async:
             import threading
 
