@@ -23,10 +23,13 @@ by `jax.lax.axis_index`, applies its scheduled chunk via lax.switch (static
 per-chunk block stacks — no dynamic parameter gathers), rotates one buffer
 per tick with lax.ppermute, and lands finished microbatches on device 0.
 
-The drain-first priority (highest logical stage wins a device's tick)
-reproduces 1F1B's key property: in-flight work finishes before new
-microbatches enter, so queue occupancy — and therefore activation memory —
-stays O(V) instead of O(m).
+The policy is Megatron-shaped: device 0 FILLS until S·V microbatches are
+in flight (the pipeline depth), then switches to drain-first (highest
+logical stage wins a device's tick) — the 1F1B steady state.  In-flight
+work is capped at S·V regardless of m, so queue occupancy — and therefore
+activation memory — is bounded by the pipeline depth, not the microbatch
+count; measured makespans sit within ~S−1 chunk-ticks of the V·m
+per-device work lower bound (vs GPipe's V·(S−1) bubble).
 
 Scheduling is work-conserving and the tables are validated by invariants in
 tests/test_pp_interleave.py: every (stage, microbatch) computed exactly
@@ -110,7 +113,12 @@ def build_interleaved_schedule(n_stages: int, interleave: int,
         }
         sends: list[tuple | None] = [None] * S
 
-        # compute phase: drain-first pick per device
+        # compute phase: Megatron-shaped policy on device 0 — FILL until
+        # S*V microbatches are in flight (the pipeline depth), then
+        # drain-first (1F1B steady state); other devices always drain
+        # their highest ready stage.  Pure drain-first starves injection
+        # (only ~S in flight) and degenerates to the GPipe bubble.
+        in_flight = next_inject - done
         for s in range(S):
             best = None
             for entry in ready[s]:
@@ -118,10 +126,8 @@ def build_interleaved_schedule(n_stages: int, interleave: int,
                 key = (j, -m)
                 if best is None or key > best[0]:
                     best = (key, entry)
-            if s == 0 and next_inject < M and best is None:
-                # inject only when idle: stage 0 is always the lowest
-                # priority, so an explicit candidate comparison is
-                # equivalent — every queued entry has j >= 1
+            if s == 0 and next_inject < M and (
+                    best is None or in_flight < J):
                 row["inj_m"][0] = next_inject
                 row["cmp_chunk"][0] = 0
                 sends[0] = (0, next_inject)
