@@ -101,8 +101,19 @@ def main(argv=None):
                    else [cfg.data.corruption])
     results = {}
 
+    # optional XLA profiler capture around the whole evaluation
+    # (--profile-dir; the reference's only tracing is paired CUDA events,
+    # Uni_Adapter.py:365-366,577-579)
+    import contextlib
+
+    from uni_adapter_tpu.utils import profiling
+    profile_ctx = (profiling.trace(cfg.run.profile_dir)
+                   if cfg.run.profile_dir else contextlib.nullcontext())
+
     if cfg.run.vmap_corruptions and len(corruptions) > 1:
-        return run_all_vmapped(cfg, model, params, text, corruptions, log_dir)
+        with profile_ctx:
+            return run_all_vmapped(cfg, model, params, text, corruptions,
+                                   log_dir)
 
     # ONE jitted scan across the corruption loop: the step function does not
     # depend on the corruption name, so rebuilding it per corruption would
@@ -112,63 +123,64 @@ def main(argv=None):
     step_fn = (jax.jit(engine.make_step_fn(cfg, model))
                if not cfg.run.use_scan else None)
 
-    for corr in corruptions:
-        cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data, corruption=corr))
-        logging.info("%s Processing corruption: %s %s", "=" * 20, corr, "=" * 20)
-        print(f"{GREEN}Loading data for corruption: {corr}{RESET}")
-        dataset = load_tta_dataset(cfg)
-        pcs, rgbs, targets = dataset.as_arrays(cfg.data.batch_size,
-                                               npoints=cfg.data.npoints,
-                                               seed=cfg.run.seed)
-        # batch-0 visualization, best-effort (reference Uni_Adapter.py:371-377);
-        # rank-0 only — concurrent writers would interleave the same HTML
+    with profile_ctx:
+        for corr in corruptions:
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, corruption=corr))
+            logging.info("%s Processing corruption: %s %s", "=" * 20, corr, "=" * 20)
+            print(f"{GREEN}Loading data for corruption: {corr}{RESET}")
+            dataset = load_tta_dataset(cfg)
+            pcs, rgbs, targets = dataset.as_arrays(cfg.data.batch_size,
+                                                   npoints=cfg.data.npoints,
+                                                   seed=cfg.run.seed)
+            # batch-0 visualization, best-effort (reference Uni_Adapter.py:371-377);
+            # rank-0 only — concurrent writers would interleave the same HTML
+            if pmesh.is_primary():
+                try:
+                    from uni_adapter_tpu.visualize import (
+                        visualize_pointclouds_plotly)
+
+                    viz = {f"Sample_{j}_{dataset.class_names[int(targets[0, j])]}":
+                           pcs[0, j] for j in range(min(2, pcs.shape[1]))}
+                    visualize_pointclouds_plotly(
+                        viz,
+                        save_path=os.path.join(log_dir, f"vis_{corr}_batch_0"),
+                        title=f"{corr} batch 0 input")
+                except Exception as e:
+                    logging.warning("Visualization failed: %s", e)
+            t0 = time.perf_counter()
+            if cfg.run.dist_mode == "sharded":
+                _, summary = pmesh.run_stream_sharded(
+                    cfg, model, params, text, pcs, rgbs, targets,
+                    seed=cfg.run.seed)
+            elif cfg.run.dist_mode == "psum":
+                _, summary = pmesh.run_stream_psum(
+                    cfg, model, params, text, pcs, rgbs, targets,
+                    seed=cfg.run.seed)
+            elif not cfg.run.use_scan:
+                res = engine.run_stream(cfg, model, params, text,
+                                        dataset.iter_batches(cfg.data.batch_size),
+                                        seed=cfg.run.seed,
+                                        print_freq=cfg.run.print_freq,
+                                        step_fn=step_fn)
+                summary = {k: res[k] for k in ("acc1", "acc3", "acc5")}
+            else:
+                state, outs = engine.run_stream_scan(
+                    cfg, model, params, text, jnp.asarray(pcs), jnp.asarray(rgbs),
+                    jnp.asarray(targets), seed=cfg.run.seed, scan_fn=scan_fn)
+                summary = engine.summarize(outs, pcs.shape[0] * pcs.shape[1])
+            dt = time.perf_counter() - t0
+            logging.info("Final Results: Acc@1 %.3f Acc@3 %.3f Acc@5 %.3f",
+                         summary["acc1"], summary["acc3"], summary["acc5"])
+            logging.info("Total time: %.3f ms (%.1f pc/s)",
+                         dt * 1e3, pcs.shape[0] * pcs.shape[1] / dt)
+            results[corr] = float(summary["acc1"])
+
+        logging.info("Summary of Results: %s", results)
+        logging.info("Average Top-1: %.3f", float(np.mean(list(results.values()))))
         if pmesh.is_primary():
-            try:
-                from uni_adapter_tpu.visualize import (
-                    visualize_pointclouds_plotly)
-
-                viz = {f"Sample_{j}_{dataset.class_names[int(targets[0, j])]}":
-                       pcs[0, j] for j in range(min(2, pcs.shape[1]))}
-                visualize_pointclouds_plotly(
-                    viz,
-                    save_path=os.path.join(log_dir, f"vis_{corr}_batch_0"),
-                    title=f"{corr} batch 0 input")
-            except Exception as e:
-                logging.warning("Visualization failed: %s", e)
-        t0 = time.perf_counter()
-        if cfg.run.dist_mode == "sharded":
-            _, summary = pmesh.run_stream_sharded(
-                cfg, model, params, text, pcs, rgbs, targets,
-                seed=cfg.run.seed)
-        elif cfg.run.dist_mode == "psum":
-            _, summary = pmesh.run_stream_psum(
-                cfg, model, params, text, pcs, rgbs, targets,
-                seed=cfg.run.seed)
-        elif not cfg.run.use_scan:
-            res = engine.run_stream(cfg, model, params, text,
-                                    dataset.iter_batches(cfg.data.batch_size),
-                                    seed=cfg.run.seed,
-                                    print_freq=cfg.run.print_freq,
-                                    step_fn=step_fn)
-            summary = {k: res[k] for k in ("acc1", "acc3", "acc5")}
-        else:
-            state, outs = engine.run_stream_scan(
-                cfg, model, params, text, jnp.asarray(pcs), jnp.asarray(rgbs),
-                jnp.asarray(targets), seed=cfg.run.seed, scan_fn=scan_fn)
-            summary = engine.summarize(outs, pcs.shape[0] * pcs.shape[1])
-        dt = time.perf_counter() - t0
-        logging.info("Final Results: Acc@1 %.3f Acc@3 %.3f Acc@5 %.3f",
-                     summary["acc1"], summary["acc3"], summary["acc5"])
-        logging.info("Total time: %.3f ms (%.1f pc/s)",
-                     dt * 1e3, pcs.shape[0] * pcs.shape[1] / dt)
-        results[corr] = float(summary["acc1"])
-
-    logging.info("Summary of Results: %s", results)
-    logging.info("Average Top-1: %.3f", float(np.mean(list(results.values()))))
-    if pmesh.is_primary():
-        with open(os.path.join(log_dir, "results.json"), "w") as f:
-            json.dump(results, f, indent=2)
+            with open(os.path.join(log_dir, "results.json"), "w") as f:
+                json.dump(results, f, indent=2)
     return results
 
 

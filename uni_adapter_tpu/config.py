@@ -227,6 +227,11 @@ class RunConfig:
     #   'psum'       — shard the stream; psum-merged sufficient statistics
     dist_mode: str = "replicated"
     data_axis: str = "data"
+    # XLA profiler capture around the evaluation loop (utils/profiling.trace;
+    # view with tensorboard/xprof).  The reference's only tracing is paired
+    # CUDA events (Uni_Adapter.py:365-366,577-579); this is the real-trace
+    # upgrade.  None disables.
+    profile_dir: Optional[str] = None
 
 
 @dataclass
