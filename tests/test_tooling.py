@@ -585,3 +585,24 @@ def test_attention_extractor_all_backbones(tmp_path):
     # maps back a figure end-to-end for the non-uni3d backbones too
     assert os.path.exists(A.visualize_head_averaged(
         maps_o, save_path=os.path.join(tmp_path, "os_h.png")))
+
+
+def test_profile_dir_flag_and_trace(tmp_path):
+    """--profile-dir parses into RunConfig and utils/profiling.trace
+    captures a tensorboard/xprof-viewable xplane artifact around device
+    work (main.py wraps the evaluation loop in exactly this context)."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from uni_adapter_tpu.config import parse_args
+    from uni_adapter_tpu.utils import profiling
+
+    cfg = parse_args(["--device", "cpu", "--root", str(tmp_path),
+                      "--profile-dir", str(tmp_path / "prof")])
+    assert cfg.run.profile_dir == str(tmp_path / "prof")
+
+    with profiling.trace(str(tmp_path / "prof")):
+        jnp.sum(jnp.arange(128.0)).block_until_ready()
+    assert glob.glob(str(tmp_path / "prof" / "**" / "*.xplane.pb"),
+                     recursive=True)
