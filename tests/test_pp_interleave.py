@@ -133,7 +133,7 @@ def test_schedule_beats_gpipe_bubble(S, V, M):
     sched = build_interleaved_schedule(S, V, M)
     assert sched.ticks < sched.gpipe_chunk_ticks
     assert sched.ticks >= V * M          # device 0 does V*M chunk computes
-    # drain-first greedy keeps the overhead near the S-1 ring latency
+    # fill-then-drain keeps the overhead near the S-1 ring latency
     assert sched.ticks <= V * M + S * V
 
 
@@ -342,3 +342,44 @@ def test_interleaved_train_step_matches_single_device():
                 lambda g, w: np.testing.assert_allclose(
                     g, np.asarray(w), rtol=1e-4, atol=1e-6),
                 got_b, upd_pe[f"blocks_{blk}"])
+
+
+def test_interleaved_engine_step_trajectory_matches():
+    """The full MODE-DOTA adaptation scan with the trunk as an INTERLEAVED
+    pipeline (engine encode_fn injection) reproduces the replicated
+    trajectory — mirrors test_pp.py's GPipe twin."""
+    from uni_adapter_tpu import engine
+    from uni_adapter_tpu.config import (CacheConfig, Config, DotaConfig,
+                                        ModelConfig)
+
+    mesh = _mesh(2)
+    model = _uni3d(4)
+    K, N, T = 5, 64, 4
+    rng = np.random.default_rng(73)
+    pc0 = jnp.asarray(rng.standard_normal((1, N, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc0)
+    text = rng.standard_normal((K, 32)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    text = jnp.asarray(text)
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_mode_dota=True, mode_M=2,
+                                 res_learning=True, residual_steps=2),
+                 cache=CacheConfig(cg_max_iter=10))
+    pcs = jnp.asarray(rng.standard_normal((T, 1, N, 3)), jnp.float32)
+    rgbs = jnp.ones_like(pcs)
+    tgts = jnp.asarray(rng.integers(0, K, (T, 1)), jnp.int32)
+
+    scan_rep = jax.jit(engine.make_scan_fn(cfg, model))
+    state0 = engine.init_state(cfg, text, jax.random.PRNGKey(7))
+    _, outs_rep = scan_rep(params, text, state0, pcs, rgbs, tgts)
+
+    prepare, encode = pp.make_pp_encode_fn(model, mesh, "uni3d",
+                                           interleave=2)
+    scan_pp = jax.jit(engine.make_scan_fn(cfg, model, encode_fn=encode))
+    _, outs_pp = scan_pp(prepare(params), text, state0, pcs, rgbs, tgts)
+
+    np.testing.assert_allclose(np.asarray(outs_pp.final_logits),
+                               np.asarray(outs_rep.final_logits),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(outs_pp.correct),
+                                  np.asarray(outs_rep.correct))

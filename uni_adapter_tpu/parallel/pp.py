@@ -457,7 +457,8 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
 def make_pp_encode_fn(model, mesh: Mesh, kind: str = "uni3d",
                       stage_axis: str = "stage",
                       n_micro: Optional[int] = None,
-                      tp_axis: Optional[str] = None):
+                      tp_axis: Optional[str] = None,
+                      interleave: int = 1):
     """(prepare_params, encode) for a pipeline-parallel TTA encoder.
 
     `encode(pp_params, pc, rgb)` matches engine.make_encode_fn's contract
@@ -479,13 +480,16 @@ def make_pp_encode_fn(model, mesh: Mesh, kind: str = "uni3d",
     if kind == "uni3d":
         prepare, fwd = make_pp_forward_uni3d(model, mesh, stage_axis,
                                              n_micro, jit=False,
-                                             tp_axis=tp_axis)
+                                             tp_axis=tp_axis,
+                                             interleave=interleave)
     elif kind == "ulip":
         prepare, fwd = make_pp_forward_ulip(model, mesh, stage_axis,
-                                            n_micro, jit=False)
+                                            n_micro, jit=False,
+                                            interleave=interleave)
     elif kind == "openshape":
         prepare, fwd = make_pp_forward_openshape(model, mesh, stage_axis,
-                                                 n_micro, jit=False)
+                                                 n_micro, jit=False,
+                                                 interleave=interleave)
     else:
         raise ValueError(kind)
 
