@@ -390,5 +390,9 @@ def _report_main(argv: Optional[Sequence[str]] = None) -> int:
     return 0 if ok else 1
 
 
+# public alias for the console script (pyproject.toml:
+# uni-adapter-convert-report)
+report_main = _report_main
+
 if __name__ == "__main__":
     raise SystemExit(_report_main())

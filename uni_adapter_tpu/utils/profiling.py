@@ -57,12 +57,24 @@ def trace(log_dir: str):
 
 def enable_compile_cache(root_dir: str | None = None) -> None:
     """Persistent XLA compile cache under <root_dir>/.jax_cache (default:
-    the repo root): the first run of a config pays the ~25 s trunk compile
-    once; every later process reuses it.  Shared by main.py and bench.py."""
+    the repo root for an in-tree checkout, else ~/.cache/uni_adapter_tpu
+    for an installed wheel): the first run of a config pays the ~25 s trunk
+    compile once; every later process reuses it.  Shared by the CLIs and
+    bench.py."""
     import os
 
-    root = root_dir or os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
+    root = root_dir
+    if root is None:
+        # package parent == repo root only for an in-tree checkout; an
+        # installed package must not write into site-packages
+        pkg_parent = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        if (os.path.isdir(os.path.join(pkg_parent, ".git"))
+                or os.path.isfile(os.path.join(pkg_parent, "pyproject.toml"))):
+            root = pkg_parent
+        else:
+            root = os.path.join(os.path.expanduser("~"), ".cache",
+                                "uni_adapter_tpu")
     cache_dir = os.path.join(root, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     try:
