@@ -90,5 +90,5 @@ def test_wheel_contains_framework(tmp_path):
     text = z.read(ep).decode()
     for script in ["uni-adapter-tta", "uni-adapter-pretrain",
                    "uni-adapter-extract-attention", "uni-adapter-cross-class",
-                   "uni-adapter-convert-report"]:
+                   "uni-adapter-convert-report", "uni-adapter-build-anchors"]:
         assert script in text, script

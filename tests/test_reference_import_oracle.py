@@ -1339,7 +1339,9 @@ def test_driver_loop_matches_reference_main(ref, tmp_path):
     import importlib.util
     import logging as _logging
 
-    import main as our_main
+    # the repo-root `main` is a re-export shim; patch the implementation
+    # module (main.main resolves globals there, not in the shim)
+    import uni_adapter_tpu.cli.tta as our_main
     from uni_adapter_tpu import engine as our_engine
     from uni_adapter_tpu.config import CORRUPTIONS
     from uni_adapter_tpu.data import datasets as our_ds_mod

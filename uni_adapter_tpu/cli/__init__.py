@@ -3,7 +3,8 @@
 - ``uni-adapter-tta``               — `cli.tta`: the 15-corruption TTA
   evaluation driver (reference `main_test-time.py`)
 - ``uni-adapter-pretrain``          — `cli.pretrain`: streaming contrastive
-  pretraining with DP/TP/PP parallel modes
+  pretraining, data-parallel or pipeline-parallel (``--parallel pp``,
+  optionally interleaved; TP composes via the library, parallel/tp.py)
 - ``uni-adapter-extract-attention`` — `cli.extract_attention`
 - ``uni-adapter-cross-class``       — `cli.cross_class`
 - ``uni-adapter-build-anchors``     — `cli.build_anchors`: regenerate a

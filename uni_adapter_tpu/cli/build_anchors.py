@@ -68,7 +68,9 @@ def main(argv=None):
     from uni_adapter_tpu.models.clip_text import create_text_encoder
     from uni_adapter_tpu.models.loader import init_or_load_params
 
-    key = args.labels_key or labels_key_for(args.dataset_name or "")
+    if not args.labels_key and not args.dataset_name:
+        ap.error("one of --labels-key or --dataset-name is required")
+    key = args.labels_key or labels_key_for(args.dataset_name)
     with open(args.labels_path
               or os.path.join(ASSETS_DIR, "labels.json")) as f:
         classnames = json.load(f)[key]
@@ -91,10 +93,12 @@ def main(argv=None):
     anchors = np.asarray(
         clip_classifier(classnames, templates, encode,
                         batch_size=args.batch_size), np.float32)
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    np.save(args.out, anchors)
+    # np.save appends .npy when absent; report the path that exists
+    out = args.out if args.out.endswith(".npy") else args.out + ".npy"
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    np.save(out, anchors)
 
-    summary = {"out": args.out, "labels_key": key, "K": anchors.shape[0],
+    summary = {"out": out, "labels_key": key, "K": anchors.shape[0],
                "D": anchors.shape[1], "templates": len(templates)}
     if args.compare_to:
         other = np.load(args.compare_to)

@@ -18,10 +18,22 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "npy_loader.cpp")
-_LIB = os.path.join(_DIR, "libnpy_loader.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+
+
+def _lib_path() -> str:
+    """Where to build/load the .so: next to the source in a writable
+    checkout, else a per-user cache dir — an installed wheel's
+    site-packages may be read-only, and machine-built artifacts must not
+    land inside the package (the wheel ships source only)."""
+    if os.access(_DIR, os.W_OK):
+        return os.path.join(_DIR, "libnpy_loader.so")
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "uni_adapter_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libnpy_loader.so")
 
 
 def _ensure_lib() -> Optional[ctypes.CDLL]:
@@ -29,6 +41,7 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
+        _LIB = _lib_path()
         if not os.path.exists(_LIB) or (os.path.getmtime(_SRC)
                                         > os.path.getmtime(_LIB)):
             try:
