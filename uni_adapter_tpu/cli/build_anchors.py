@@ -48,6 +48,12 @@ def main(argv=None):
     ap.add_argument("--out", required=True, help="output .npy path")
     ap.add_argument("--batch-size", type=int, default=256,
                     help="prompts per text-tower forward (K*T total)")
+    ap.add_argument("--tower-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="tower compute dtype; float32 matches the "
+                         "reference's shipped fp32 banks, bfloat16 is "
+                         "~MXU-speed for large K (the bank is fp32 either "
+                         "way — anchors are normalised template means)")
     ap.add_argument("--compare-to", default=None,
                     help="existing bank (.npy): print max abs diff")
     ap.add_argument("--seed", type=int, default=0)
@@ -78,9 +84,8 @@ def main(argv=None):
               or os.path.join(ASSETS_DIR, "templates.json")) as f:
         templates = json.load(f)[args.template_key]
 
-    # fp32 tower: banks are persistent artifacts, keep them full-precision
-    # like the reference's shipped .pt tensors
-    tower = create_text_encoder(args.text_preset, dtype=jnp.float32)
+    tower = create_text_encoder(args.text_preset,
+                                dtype=jnp.dtype(args.tower_dtype))
     params = init_or_load_params(
         tower, (jnp.zeros((1, 77), jnp.int32),), args.clip_checkpoint,
         seed=args.seed)
@@ -88,7 +93,12 @@ def main(argv=None):
         logging.warning("no --clip-checkpoint: random text tower — the "
                         "bank exercises the pipeline but is not a usable "
                         "classifier")
-    encode = jax.jit(lambda toks: tower.apply(params, toks))
+    # params as an ARGUMENT, not a closure constant: closure-captured
+    # arrays bake into the jaxpr as literals, and a GB-scale tower then
+    # pays constant folding + re-upload instead of one device_put
+    params = jax.device_put(params)
+    apply = jax.jit(tower.apply)
+    encode = lambda toks: apply(params, toks)  # noqa: E731
 
     anchors = np.asarray(
         clip_classifier(classnames, templates, encode,

@@ -253,8 +253,11 @@ def get_text_anchors_with_fallback(cfg):
     params = init_or_load_params(
         tower, (jnp.zeros((1, 77), jnp.int32),),
         cfg.model.clip_checkpoint_path, seed=cfg.run.seed)
-    encode = jax.jit(lambda toks: tower.apply(params, toks))
-    return get_text_anchors(cfg, encode_text_fn=encode)
+    # params as an argument, not a closure constant (a GB-scale tower
+    # closure bakes into the jaxpr and pays constant folding/re-upload)
+    params = jax.device_put(params)
+    apply = jax.jit(tower.apply)
+    return get_text_anchors(cfg, encode_text_fn=lambda t: apply(params, t))
 
 
 def cli() -> int:
