@@ -48,7 +48,7 @@ def test_console_entry_points_resolve():
 
     with open(REPO / "pyproject.toml", "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
-    assert len(scripts) == 6
+    assert len(scripts) == 7
     import importlib
 
     for name, target in scripts.items():
@@ -90,5 +90,6 @@ def test_wheel_contains_framework(tmp_path):
     text = z.read(ep).decode()
     for script in ["uni-adapter-tta", "uni-adapter-pretrain",
                    "uni-adapter-extract-attention", "uni-adapter-cross-class",
-                   "uni-adapter-convert-report", "uni-adapter-build-anchors"]:
+                   "uni-adapter-convert-report", "uni-adapter-build-anchors",
+                   "uni-adapter-serve"]:
         assert script in text, script

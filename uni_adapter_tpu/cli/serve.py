@@ -1,0 +1,81 @@
+"""CLI: serve online test-time adaptation over HTTP.
+
+Builds the configured backbone + text anchors (same flags as the
+evaluation driver — config.parse_args) and exposes serve.TTAServer
+through the micro-batching HTTP endpoint (serve_http.HTTPTTAServer):
+
+    uni-adapter-serve --checkpoint-path uni3d_L.npz \
+        --precomputed-text-features large --port 8080
+
+    POST /register?client=ID, POST /submit?client=ID (npz body: pc[,rgb])
+    -> npy logits; GET /healthz.  See serve_http module docstring.
+
+Serving flags ride an env-prefix so the evaluation parser stays the
+single source of truth for model/data flags.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def main(argv=None):
+    # split serve-specific flags from the shared config flags
+    ap = argparse.ArgumentParser(description=__doc__, add_help=False)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--gather-ms", type=float, default=2.0,
+                    help="first-request gather window per tick")
+    ap.add_argument("--sizes", default="1,2,4,8,16",
+                    help="compiled vmapped batch-size ladder")
+    serve_args, rest = ap.parse_known_args(argv)
+
+    from uni_adapter_tpu.config import parse_args
+    from uni_adapter_tpu.utils.logging import setup_logging
+
+    cfg = parse_args(rest)
+    import jax
+
+    if cfg.run.device != "default":
+        jax.config.update("jax_platforms", cfg.run.device)
+    from uni_adapter_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    os.makedirs(cfg.run.output_dir, exist_ok=True)
+    setup_logging(os.path.join(cfg.run.output_dir, "serve.log"))
+
+    from uni_adapter_tpu.cli.tta import (build_model,
+                                         get_text_anchors_with_fallback)
+    from uni_adapter_tpu.serve import TTAServer
+    from uni_adapter_tpu.serve_http import HTTPTTAServer
+
+    model, params = build_model(cfg)
+    if cfg.model.checkpoint_path is None:
+        logging.warning("No checkpoint configured — random weights; "
+                        "served logits are not meaningful.")
+    text = get_text_anchors_with_fallback(cfg)
+    sizes = tuple(int(s) for s in serve_args.sizes.split(","))
+    server = TTAServer(cfg, model, params, text, sizes=sizes,
+                       seed=cfg.run.seed)
+    http_srv = HTTPTTAServer(server, host=serve_args.host,
+                             port=serve_args.port,
+                             gather_ms=serve_args.gather_ms).start()
+    logging.info("serving TTA on %s:%d (sizes %s)", serve_args.host,
+                 http_srv.port, sizes)
+    return http_srv   # caller-controlled lifetime (tests); CLI blocks below
+
+
+def cli() -> int:
+    """Console-script entry: serve until interrupted."""
+    http_srv = main()
+    try:
+        http_srv._thread.join()
+    except KeyboardInterrupt:
+        logging.info("shutting down")
+        http_srv.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(cli())
