@@ -118,7 +118,8 @@ def test_http_concurrent_clients_match_sequential(setup):
 def test_http_protocol_errors_and_reset(setup, tmp_path):
     cfg, model, params, text, streams = setup
     server = TTAServer(cfg, model, params, text, sizes=(1, 2), seed=7)
-    with HTTPTTAServer(server) as http_srv:
+    with HTTPTTAServer(server, snapshot_dir=str(tmp_path / "snaps"),
+                       max_body_bytes=1 << 20) as http_srv:
         port = http_srv.port
         # unknown client: 404 from /submit and /reset
         buf = io.BytesIO()
@@ -130,23 +131,94 @@ def test_http_protocol_errors_and_reset(setup, tmp_path):
         # duplicate register: 409
         assert _post(port, "/register?client=a")[0] == 200
         assert _post(port, "/register?client=a")[0] == 409
-        # unknown path: 404
+        # unknown path: 404; missing required param: 400
         assert _post(port, "/frobnicate")[0] == 404
+        assert _post(port, "/register")[0] == 400
+        assert _post(port, "/snapshot?client=a")[0] == 400
+        # snapshot names are names, not paths (no traversal)
+        assert _post(port, "/snapshot?client=a&name=../esc")[0] == 400
+        assert _post(port, "/snapshot?client=a&name=a/b")[0] == 400
+        # malformed submit payloads: 400, not a 500 or a poisoned tick
+        assert _post(port, "/submit?client=a", b"not an npz")[0] == 400
+        buf2 = io.BytesIO()
+        np.savez(buf2, pc=np.zeros((3, 4), np.float32))   # wrong ndim
+        assert _post(port, "/submit?client=a", buf2.getvalue())[0] == 400
+        # oversized body: 400 before any allocation
+        big = io.BytesIO()
+        np.savez(big, pc=np.zeros((40, 100, 3), np.float32))
+        conn_body = big.getvalue()
+        assert len(conn_body) < (1 << 20)   # sanity: cap tested via header
+        status, body = _post_with_length(port, "/submit?client=a",
+                                         conn_body, str(2 << 20))
+        assert status == 400 and b"limit" in body
 
-        # two steps, snapshot, third step; restore + replay third step must
-        # reproduce its logits exactly (snapshot/restore through the wire)
+        # two steps, snapshot by NAME, third step; restore + replay third
+        # step must reproduce its logits exactly (through the wire)
         _submit(port, "a", streams[0, 0])
         _submit(port, "a", streams[0, 1])
-        snap = str(tmp_path / "client_a")
-        assert _post(port, f"/snapshot?client=a&path={snap}")[0] == 200
+        assert _post(port, "/snapshot?client=a&name=client_a")[0] == 200
         out3 = _submit(port, "a", streams[0, 2])
-        assert _post(port, f"/restore?client=a&path={snap}")[0] == 200
+        assert _post(port, "/restore?client=a&name=client_a")[0] == 200
         out3_replay = _submit(port, "a", streams[0, 2])
         np.testing.assert_array_equal(out3, out3_replay)
 
         # reset gives a FRESH trajectory (step counter back to zero)
         assert _post(port, "/reset?client=a")[0] == 200
         assert int(server.states["a"].step) == 0
+
+
+def _post_with_length(port, path, body, content_length):
+    """POST with an explicit (lying) Content-Length header to exercise the
+    size cap without shipping the bytes."""
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    try:
+        conn.putrequest("POST", path)
+        conn.putheader("Content-Length", content_length)
+        conn.endheaders()
+        # server must reject on the header alone; body intentionally absent
+        r = conn.getresponse()
+        return r.status, r.read()
+    finally:
+        conn.close()
+
+
+def test_http_mixed_shapes_and_bad_client_isolation(setup):
+    """A tick only stacks same-shape requests, and an unregistered client
+    queued alongside valid ones fails alone — co-batched clients still get
+    their logits."""
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, sizes=(1, 2, 4), seed=11)
+    with HTTPTTAServer(server, gather_ms=30.0) as http_srv:
+        port = http_srv.port
+        for cid in ("a", "b"):
+            assert _post(port, f"/register?client={cid}")[0] == 200
+
+        results = {}
+
+        def post(cid, pc, key):
+            buf = io.BytesIO()
+            np.savez(buf, pc=pc)
+            results[key] = _post(port, f"/submit?client={cid}",
+                                 buf.getvalue())
+
+        wide = np.concatenate([streams[1, 0]] * 2, axis=1)  # (1, 2N, 3)
+        threads = [
+            threading.Thread(target=post, args=("a", streams[0, 0], "a")),
+            threading.Thread(target=post, args=("b", wide, "b")),
+            threading.Thread(target=post, args=("ghost", streams[2, 0],
+                                                "ghost")),
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert results["a"][0] == 200
+        assert results["b"][0] == 200      # different N -> its own tick
+        assert results["ghost"][0] == 404  # fails alone, poisons nothing
+        a = np.load(io.BytesIO(results["a"][1]))
+        b = np.load(io.BytesIO(results["b"][1]))
+        assert a.shape == (1, K) and b.shape == (1, K)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
 
 
 def test_serve_cli_starts_and_serves(tmp_path):

@@ -8,10 +8,11 @@ through the micro-batching HTTP endpoint (serve_http.HTTPTTAServer):
         --precomputed-text-features large --port 8080
 
     POST /register?client=ID, POST /submit?client=ID (npz body: pc[,rgb])
-    -> npy logits; GET /healthz.  See serve_http module docstring.
+    -> npy logits; GET /healthz; snapshots by NAME under --snapshot-dir.
+    See the serve_http module docstring for the full protocol.
 
-Serving flags ride an env-prefix so the evaluation parser stays the
-single source of truth for model/data flags.
+Serving flags are split off first so the evaluation parser stays the
+single source of truth for model/data flags; `--help` prints both.
 """
 from __future__ import annotations
 
@@ -22,14 +23,23 @@ import os
 
 def main(argv=None):
     # split serve-specific flags from the shared config flags
-    ap = argparse.ArgumentParser(description=__doc__, add_help=False)
+    ap = argparse.ArgumentParser(
+        prog="uni-adapter-serve",
+        description="Serving flags (all other flags: evaluation parser "
+                    "below)", add_help=False)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--gather-ms", type=float, default=2.0,
                     help="first-request gather window per tick")
     ap.add_argument("--sizes", default="1,2,4,8,16",
                     help="compiled vmapped batch-size ladder")
+    ap.add_argument("--snapshot-dir", default=None,
+                    help="server-owned snapshot directory (default "
+                         "<output-dir>/snapshots); clients reference "
+                         "snapshots by NAME, never by path")
     serve_args, rest = ap.parse_known_args(argv)
+    if "-h" in (rest or []) or "--help" in (rest or []):
+        print(ap.format_help())   # then the shared parser prints and exits
 
     from uni_adapter_tpu.config import parse_args
     from uni_adapter_tpu.utils.logging import setup_logging
@@ -58,9 +68,12 @@ def main(argv=None):
     sizes = tuple(int(s) for s in serve_args.sizes.split(","))
     server = TTAServer(cfg, model, params, text, sizes=sizes,
                        seed=cfg.run.seed)
+    snapshot_dir = (serve_args.snapshot_dir
+                    or os.path.join(cfg.run.output_dir, "snapshots"))
     http_srv = HTTPTTAServer(server, host=serve_args.host,
                              port=serve_args.port,
-                             gather_ms=serve_args.gather_ms).start()
+                             gather_ms=serve_args.gather_ms,
+                             snapshot_dir=snapshot_dir).start()
     logging.info("serving TTA on %s:%d (sizes %s)", serve_args.host,
                  http_srv.port, sizes)
     return http_srv   # caller-controlled lifetime (tests); CLI blocks below
@@ -70,7 +83,7 @@ def cli() -> int:
     """Console-script entry: serve until interrupted."""
     http_srv = main()
     try:
-        http_srv._thread.join()
+        http_srv.wait()
     except KeyboardInterrupt:
         logging.info("shutting down")
         http_srv.close()
