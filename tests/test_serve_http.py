@@ -244,3 +244,30 @@ def test_serve_cli_starts_and_serves(tmp_path):
         assert status == 200 and json.loads(body)["clients"] == 1
     finally:
         http_srv.close()
+
+
+def test_python_client_roundtrip(setup, tmp_path):
+    """TTAClient (uni_adapter_tpu.client): register/submit/snapshot/
+    restore/reset against a live endpoint, error surfaced as ServerError."""
+    from uni_adapter_tpu.client import ServerError, TTAClient
+
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, sizes=(1, 2), seed=3)
+    with HTTPTTAServer(server, snapshot_dir=str(tmp_path)) as http_srv:
+        c = TTAClient("127.0.0.1", http_srv.port, "cli-a")
+        with pytest.raises(ServerError) as ei:
+            c.submit(streams[0, 0])          # not registered yet
+        assert ei.value.status == 404
+        c.register()
+        with pytest.raises(ServerError) as ei:
+            c.register()                     # duplicate
+        assert ei.value.status == 409
+        out1 = c.submit(streams[0, 0])
+        assert out1.shape == (1, K)
+        c.snapshot("s1")
+        out2 = c.submit(streams[0, 1])
+        c.restore("s1")
+        np.testing.assert_array_equal(c.submit(streams[0, 1]), out2)
+        c.reset()
+        assert int(server.states["cli-a"].step) == 0
+        assert c.healthz()["clients"] == 1

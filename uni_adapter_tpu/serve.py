@@ -48,6 +48,11 @@ class TTAServer:
         self.seed = seed
         self._step = engine.make_step_fn(cfg, model, encode_fn=encode_fn)
         self._vstep = jax.jit(jax.vmap(self._step, in_axes=(None, None, 0, 0)))
+        # single-request fast path: the raw (unvmapped) step, no state
+        # stack/slice — tree.map per-leaf slicing costs one dispatch per
+        # leaf per tick, which dominates single-client latency on remote
+        # devices (measured 66 -> ~7 ms/step over the tunneled v5e)
+        self._step1 = jax.jit(self._step)
         self.states: Dict[str, engine.EngineState] = {}
         self._next_client = 0
 
@@ -106,6 +111,17 @@ class TTAServer:
 
     def _run_chunk(self, requests, size: int) -> Dict[str, np.ndarray]:
         """Run ≤size requests as one compiled vmapped step of width size."""
+        if len(requests) == 1 and size == 1:
+            cid, pc, rgb = requests[0]
+            pc = jnp.asarray(np.asarray(pc, np.float32))
+            rgb = (jnp.asarray(np.asarray(rgb, np.float32))
+                   if rgb is not None else jnp.ones_like(pc))
+            targets = jnp.zeros((pc.shape[0],), jnp.int32)   # unused label
+            new_state, outs = self._step1(self.params, self.text,
+                                          self.states[cid],
+                                          (pc, rgb, targets))
+            self.states[cid] = new_state
+            return {cid: np.asarray(outs.final_logits)}
         ids = [r[0] for r in requests]
         pcs = [np.asarray(r[1], np.float32) for r in requests]
         rgbs = [np.asarray(r[2], np.float32) if r[2] is not None
