@@ -213,3 +213,19 @@ def test_reset_unknown_client_descriptive_error(setup):
     srv = TTAServer(cfg, model, params, text, sizes=(1,), seed=7)
     with pytest.raises(ValueError, match="not registered"):
         srv.reset("nobody")
+
+
+def test_warmup_compiles_without_touching_state(setup):
+    """warmup() pre-compiles every ladder size on a throwaway state; a
+    client registered afterwards still gets the exact dedicated-stream
+    trajectory (warmup leaks nothing into client state)."""
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, sizes=(1, 2), seed=42)
+    server.warmup(npoints=N, batch=1)
+    assert not server.states            # no clients created
+    server.register("a")
+    got = [server.submit([("a", streams[0, t], None)])["a"]
+           for t in range(T)]
+    want = _sequential_logits(cfg, model, params, text, streams[0], seed=42)
+    np.testing.assert_allclose(np.stack(got)[:, 0], want[:, 0],
+                               rtol=1e-4, atol=1e-4)

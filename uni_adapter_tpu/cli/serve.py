@@ -37,6 +37,10 @@ def main(argv=None):
                     help="server-owned snapshot directory (default "
                          "<output-dir>/snapshots); clients reference "
                          "snapshots by NAME, never by path")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile the step program for every ladder "
+                         "size at startup (first requests skip the ~25 s "
+                         "trunk compile)")
     serve_args, rest = ap.parse_known_args(argv)
     if "-h" in (rest or []) or "--help" in (rest or []):
         print(ap.format_help())   # then the shared parser prints and exits
@@ -68,6 +72,9 @@ def main(argv=None):
     sizes = tuple(int(s) for s in serve_args.sizes.split(","))
     server = TTAServer(cfg, model, params, text, sizes=sizes,
                        seed=cfg.run.seed)
+    if serve_args.warmup:
+        logging.info("warming up %d step programs ...", len(sizes) + 1)
+        server.warmup(cfg.data.npoints)
     snapshot_dir = (serve_args.snapshot_dir
                     or os.path.join(cfg.run.output_dir, "snapshots"))
     http_srv = HTTPTTAServer(server, host=serve_args.host,

@@ -56,6 +56,30 @@ class TTAServer:
         self.states: Dict[str, engine.EngineState] = {}
         self._next_client = 0
 
+    def warmup(self, npoints: int, batch: int = 1) -> None:
+        """Pre-compile the step programs for every ladder size (plus the
+        single-request fast path) on a throwaway state, so the first real
+        request never pays a trunk compile (~25 s on the tunneled v5e).
+        No client state is touched."""
+        pc = jnp.zeros((batch, npoints, 3), jnp.float32)
+        rgb = jnp.ones_like(pc)
+        targets = jnp.zeros((batch,), jnp.int32)
+        scratch = engine.init_state(self.cfg, self.text,
+                                    jax.random.PRNGKey(0))
+        out, _ = self._step1(self.params, self.text, scratch,
+                             (pc, rgb, targets))
+        jax.block_until_ready(out)
+        for size in self.sizes:
+            stacked = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (size,) + x.shape), scratch)
+            batched = (jnp.broadcast_to(pc, (size,) + pc.shape),
+                       jnp.broadcast_to(rgb, (size,) + rgb.shape),
+                       jnp.broadcast_to(targets, (size,) + targets.shape))
+            out, _ = self._vstep(self.params, self.text, stacked, batched)
+            jax.block_until_ready(jax.tree.leaves(out)[0])
+        logging.info("warmed up step programs for sizes %s (npoints=%d, "
+                     "batch=%d)", list(self.sizes), npoints, batch)
+
     def register(self, client_id: str) -> None:
         """Create a fresh adaptation stream for a client (seeded seed+i —
         the reference's seed+rank convention)."""
