@@ -26,12 +26,14 @@ dead buffers that never reach the output (the GPipe bubble —
 into a zeros buffer on the last stage only, so a final psum over `stage`
 is a pure broadcast of the result.
 
-Maintenance note: each builder's pre/post re-states its model's embedding
-and head path (the non-block portion of the encoder's __call__).  Any edit
-to a model's embedding/head breaks the PP == plain-forward equality that
-tests/test_pp.py asserts on every run, so drift cannot land silently; the
-duplication buys pipelining without threading a block-boundary API through
-the flax modules.
+Maintenance note: the module-level `uni3d_pre/uni3d_post/ulip_pre/ulip_post`
+helpers re-state their model's embedding and head path (the non-block
+portion of the encoder's __call__) — ONE restatement each, shared with the
+sequence-parallel forwards in parallel/sp.py.  Any edit to a model's
+embedding/head breaks the PP/SP == plain-forward equality that
+tests/test_pp.py and tests/test_sp.py assert on every run, so drift cannot
+land silently; the restatement buys pipelining without threading a
+block-boundary API through the flax modules.
 
 The carry through the pipeline is a pytree, not a single array — ULIP's
 Point-BERT re-adds the positional embedding at every block (reference
@@ -202,6 +204,99 @@ def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
     return jax.jit(fwd) if jit else fwd
 
 
+# ---------------------------------------------------------------------------
+# Per-model embedding (pre) and head (post) paths, shared with parallel/sp.py
+# — ONE restatement of each model's non-block portion (see maintenance note
+# in the module docstring; tests/test_pp.py and tests/test_sp.py both assert
+# equality with the plain forward, so drift cannot land silently).
+# ---------------------------------------------------------------------------
+
+def uni3d_pre(model, rest, pc):
+    """Uni3D embedding path: (B, N, 6) cloud -> (B, G+1, width) tokens+pos
+    (reference point_encoder.py:99-210; `rest` = point_encoder params minus
+    the blocks)."""
+    from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
+    from uni_adapter_tpu.ops.geometry import group_points
+
+    xyz, color = pc[:, :, :3], pc[:, :, 3:]
+    _, center, features = group_points(
+        xyz, color, model.num_group, model.group_size,
+        use_pallas_fps=model.use_pallas_fps,
+        approx_knn=model.approx_knn,
+        use_pallas_knn=model.use_pallas_knn,
+        use_pallas_knn_gather=model.use_pallas_knn_gather)
+    tokens = MiniPointNet(model.encoder_dim, 6, dtype=model.dtype).apply(
+        {"params": rest["encoder"]}, features)
+    tokens = nn.Dense(model.trans_dim, dtype=model.dtype).apply(
+        {"params": rest["encoder2trans"]}, tokens)
+    B = tokens.shape[0]
+    pos = PosEmbedMLP(model.trans_dim, dtype=model.dtype).apply(
+        {"params": rest["pos_embed"]}, center)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(rest["cls_token"].astype(model.dtype),
+                          (B, 1, model.trans_dim)), tokens], axis=1)
+    pos = jnp.concatenate(
+        [jnp.broadcast_to(rest["cls_pos"].astype(model.dtype),
+                          (B, 1, model.trans_dim)), pos], axis=1)
+    return x + pos   # pos added once (point_encoder.py:210)
+
+
+def uni3d_post(model, rest, x):
+    """Uni3D head: norm(CLS) -> fc_norm -> trans2embed (point_encoder.py
+    :212-223)."""
+    from uni_adapter_tpu.models.common import LN as _LN
+
+    x = _LN(dtype=model.dtype).apply({"params": rest["norm"]}, x[:, 0, :])
+    x = _LN(dtype=model.dtype).apply({"params": rest["fc_norm"]}, x)
+    x = nn.Dense(model.embed_dim, dtype=model.dtype).apply(
+        {"params": rest["trans2embed"]}, x)
+    return x.astype(jnp.float32)
+
+
+def ulip_pre(model, rest, pts):
+    """ULIP Point-BERT embedding path -> (x, pos) carry; pos is re-added at
+    every block (reference models/ulip/pointbert/point_encoder.py:95-98).
+    `rest` = {"pe": point_encoder minus blocks, "pc_projection": ...}."""
+    from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
+    from uni_adapter_tpu.ops.geometry import group_points
+
+    pe = rest["pe"]
+    neighborhood, center, _ = group_points(
+        pts, None, model.num_group, model.group_size,
+        use_pallas_fps=model.use_pallas_fps,
+        approx_knn=model.approx_knn,
+        use_pallas_knn=model.use_pallas_knn,
+        use_pallas_knn_gather=model.use_pallas_knn_gather)
+    tokens = MiniPointNet(model.encoder_dim, 3, dtype=model.dtype).apply(
+        {"params": pe["encoder"]}, neighborhood)
+    tokens = nn.Dense(model.trans_dim, dtype=model.dtype).apply(
+        {"params": pe["reduce_dim"]}, tokens)
+    B = tokens.shape[0]
+    pos = PosEmbedMLP(model.trans_dim, dtype=model.dtype).apply(
+        {"params": pe["pos_embed"]}, center)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(pe["cls_token"].astype(model.dtype),
+                          (B, 1, model.trans_dim)), tokens], axis=1)
+    pos = jnp.concatenate(
+        [jnp.broadcast_to(pe["cls_pos"].astype(model.dtype),
+                          (B, 1, model.trans_dim)), pos], axis=1)
+    return x, pos
+
+
+def ulip_post(model, rest, carry):
+    """ULIP head: norm, [CLS ‖ max-pool] concat, pc_projection matmul
+    (reference point_encoder.py:100-104 + ULIP.encode_pc)."""
+    from uni_adapter_tpu.models.common import LN as _LN
+
+    x, _ = carry
+    x = _LN(dtype=model.dtype).apply({"params": rest["pe"]["norm"]}, x)
+    concat_f = jnp.concatenate([x[:, 0], jnp.max(x[:, 1:], axis=1)],
+                               axis=-1)
+    return jnp.matmul(concat_f.astype(jnp.float32),
+                      rest["pc_projection"],
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
                           n_micro: Optional[int] = None,
                           data_axis: Optional[str] = None, jit: bool = True,
@@ -222,9 +317,7 @@ def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
     chunks of depth/(S·V) blocks and the fill/drain bubble shrinks ~V×;
     depth must divide by S·V.
     """
-    from uni_adapter_tpu.models.common import EvaBlock, LN
-    from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
-    from uni_adapter_tpu.ops.geometry import group_points
+    from uni_adapter_tpu.models.common import EvaBlock
 
     S = mesh.shape[stage_axis]
     n_micro = n_micro or S
@@ -251,34 +344,10 @@ def make_pp_forward_uni3d(model, mesh: Mesh, stage_axis: str = "stage",
                 _shard(rest, mesh, P()))
 
     def pre(rest, pc):
-        xyz, color = pc[:, :, :3], pc[:, :, 3:]
-        _, center, features = group_points(
-            xyz, color, model.num_group, model.group_size,
-            use_pallas_fps=model.use_pallas_fps,
-            approx_knn=model.approx_knn,
-            use_pallas_knn=model.use_pallas_knn,
-            use_pallas_knn_gather=model.use_pallas_knn_gather)
-        tokens = MiniPointNet(model.encoder_dim, 6, dtype=model.dtype).apply(
-            {"params": rest["encoder"]}, features)
-        tokens = nn.Dense(model.trans_dim, dtype=model.dtype).apply(
-            {"params": rest["encoder2trans"]}, tokens)
-        B = tokens.shape[0]
-        pos = PosEmbedMLP(model.trans_dim, dtype=model.dtype).apply(
-            {"params": rest["pos_embed"]}, center)
-        x = jnp.concatenate(
-            [jnp.broadcast_to(rest["cls_token"].astype(model.dtype),
-                              (B, 1, model.trans_dim)), tokens], axis=1)
-        pos = jnp.concatenate(
-            [jnp.broadcast_to(rest["cls_pos"].astype(model.dtype),
-                              (B, 1, model.trans_dim)), pos], axis=1)
-        return x + pos   # pos added once (point_encoder.py:210)
+        return uni3d_pre(model, rest, pc)
 
     def post(rest, x):
-        x = LN(dtype=model.dtype).apply({"params": rest["norm"]}, x[:, 0, :])
-        x = LN(dtype=model.dtype).apply({"params": rest["fc_norm"]}, x)
-        x = nn.Dense(model.embed_dim, dtype=model.dtype).apply(
-            {"params": rest["trans2embed"]}, x)
-        return x.astype(jnp.float32)
+        return uni3d_post(model, rest, x)
 
     return prepare, _make_pp_forward(mesh, stage_axis, S, n_micro,
                                      block_apply, pre, post, data_axis, jit,
@@ -386,9 +455,7 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
     rides the ring alongside the activations.  `interleave=V` selects the
     interleaved virtual-stage schedule (see make_pp_forward_uni3d).
     """
-    from uni_adapter_tpu.models.common import LN, ViTBlock
-    from uni_adapter_tpu.models.uni3d import MiniPointNet, PosEmbedMLP
-    from uni_adapter_tpu.ops.geometry import group_points
+    from uni_adapter_tpu.models.common import ViTBlock
 
     S = mesh.shape[stage_axis]
     n_micro = n_micro or S
@@ -418,36 +485,10 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
                 _shard(rest, mesh, P()))
 
     def pre(rest, pts):
-        pe = rest["pe"]
-        neighborhood, center, _ = group_points(
-            pts, None, model.num_group, model.group_size,
-            use_pallas_fps=model.use_pallas_fps,
-            approx_knn=model.approx_knn,
-            use_pallas_knn=model.use_pallas_knn,
-            use_pallas_knn_gather=model.use_pallas_knn_gather)
-        tokens = MiniPointNet(model.encoder_dim, 3, dtype=model.dtype).apply(
-            {"params": pe["encoder"]}, neighborhood)
-        tokens = nn.Dense(model.trans_dim, dtype=model.dtype).apply(
-            {"params": pe["reduce_dim"]}, tokens)
-        B = tokens.shape[0]
-        pos = PosEmbedMLP(model.trans_dim, dtype=model.dtype).apply(
-            {"params": pe["pos_embed"]}, center)
-        x = jnp.concatenate(
-            [jnp.broadcast_to(pe["cls_token"].astype(model.dtype),
-                              (B, 1, model.trans_dim)), tokens], axis=1)
-        pos = jnp.concatenate(
-            [jnp.broadcast_to(pe["cls_pos"].astype(model.dtype),
-                              (B, 1, model.trans_dim)), pos], axis=1)
-        return x, pos
+        return ulip_pre(model, rest, pts)
 
     def post(rest, carry):
-        x, _ = carry
-        x = LN(dtype=model.dtype).apply({"params": rest["pe"]["norm"]}, x)
-        concat_f = jnp.concatenate([x[:, 0], jnp.max(x[:, 1:], axis=1)],
-                                   axis=-1)
-        return jnp.matmul(concat_f.astype(jnp.float32),
-                          rest["pc_projection"],
-                          precision=jax.lax.Precision.HIGHEST)
+        return ulip_post(model, rest, carry)
 
     return prepare, _make_pp_forward(mesh, stage_axis, S, n_micro,
                                      block_apply, pre, post, data_axis, jit,
