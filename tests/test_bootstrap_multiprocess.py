@@ -151,6 +151,40 @@ print(f"OK rank={info['rank']} tp-multiprocess", flush=True)
 """
 
 
+_SP_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from uni_adapter_tpu.parallel.bootstrap import init_distributed_device
+
+info = init_distributed_device()
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.parallel import sp
+
+assert jax.device_count() == 4, jax.devices()   # 2 local x 2 processes
+mesh = Mesh(np.asarray(jax.devices()), ("seq",))
+
+# 8 groups + CLS = 9 tokens over 4 devices: the padded/masked ring path
+model = Uni3D(trans_dim=48, embed_dim=32, num_group=8, group_size=8,
+              encoder_dim=16, depth=4, num_heads=4, dtype=jnp.float32)
+rng = np.random.default_rng(0)
+pc = jnp.asarray(rng.standard_normal((4, 64, 6)), jnp.float32)
+params = model.init(jax.random.PRNGKey(0), pc)
+want = np.asarray(jax.jit(model.apply)(params, pc))
+
+prepare, fwd = sp.make_sp_forward_uni3d(model, mesh)
+got = np.asarray(fwd(prepare(params), pc))
+np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+print(f"OK rank={info['rank']} sp-multiprocess", flush=True)
+"""
+
+
 _PSUM_WORKER = r"""
 import os, sys
 import jax
@@ -374,6 +408,22 @@ def test_two_process_psum_tta_stream():
         assert line, out
         accs.append(line[0].rsplit("=", 1)[1])
     assert accs[0] == accs[1], accs   # identical global summary on both ranks
+
+
+@pytest.mark.timeout(600)
+def test_two_process_sp_forward():
+    """The ring attention crosses a PROCESS boundary: 2 processes x 2 local
+    CPU devices form a 4-way seq mesh; the K/V ppermute ring (validity mask
+    included — 9 tokens pad to 12) rides the inter-process transport and
+    the SP forward still equals the plain forward.  The multi-host story
+    for parallel/sp.py (single-host SP is covered by tests/test_sp.py)."""
+    procs, outs = _spawn_pair(
+        _SP_WORKER,
+        xla_flags="--xla_force_host_platform_device_count=2",
+        timeout=550)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"OK rank={rank} sp-multiprocess" in out, out
 
 
 @pytest.mark.timeout(600)
