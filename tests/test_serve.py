@@ -215,6 +215,27 @@ def test_reset_unknown_client_descriptive_error(setup):
         srv.reset("nobody")
 
 
+def test_submit_atomic_on_chunk_failure(setup):
+    """A tick whose LAST chunk fails must leave EVERY client's state
+    untouched — including clients whose chunk already computed — so a
+    retry after the error cannot double-step any adaptation stream."""
+    cfg, model, params, text, streams = setup
+    srv = TTAServer(cfg, model, params, text, sizes=(1, 2), seed=11)
+    for cid in ("a", "b", "c"):
+        srv.register(cid)
+    bad = np.zeros((1, N, 2), np.float32)   # 2-channel pc: trunk raises
+    with pytest.raises(Exception):
+        srv.submit([("a", streams[0, 0], None), ("b", streams[1, 0], None),
+                    ("c", bad, None)])      # chunks: [a, b] then [c]
+    for cid in ("a", "b", "c"):
+        assert int(srv.states[cid].step) == 0, cid
+    # the retried stream reproduces the dedicated sequential trajectory
+    got = [srv.submit([("a", streams[0, t], None)])["a"] for t in range(T)]
+    want = _sequential_logits(cfg, model, params, text, streams[0], seed=11)
+    np.testing.assert_allclose(np.stack(got)[:, 0], want[:, 0],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_warmup_compiles_without_touching_state(setup):
     """warmup() pre-compiles every ladder size on a throwaway state; a
     client registered afterwards still gets the exact dedicated-stream

@@ -135,14 +135,25 @@ def test_http_protocol_errors_and_reset(setup, tmp_path):
         assert _post(port, "/frobnicate")[0] == 404
         assert _post(port, "/register")[0] == 400
         assert _post(port, "/snapshot?client=a")[0] == 400
-        # snapshot names are names, not paths (no traversal)
+        # snapshot names are names, not paths (no traversal) — "." and
+        # ".." match the charset but would target snapshot_dir / its
+        # parent through orbax's force-overwrite save
         assert _post(port, "/snapshot?client=a&name=../esc")[0] == 400
         assert _post(port, "/snapshot?client=a&name=a/b")[0] == 400
+        assert _post(port, "/snapshot?client=a&name=.")[0] == 400
+        assert _post(port, "/snapshot?client=a&name=..")[0] == 400
         # malformed submit payloads: 400, not a 500 or a poisoned tick
         assert _post(port, "/submit?client=a", b"not an npz")[0] == 400
         buf2 = io.BytesIO()
         np.savez(buf2, pc=np.zeros((3, 4), np.float32))   # wrong ndim
         assert _post(port, "/submit?client=a", buf2.getvalue())[0] == 400
+        buf3 = io.BytesIO()                               # wrong last dim
+        np.savez(buf3, pc=np.zeros((1, 4, 2), np.float32))
+        assert _post(port, "/submit?client=a", buf3.getvalue())[0] == 400
+        buf4 = io.BytesIO()                               # rgb shape != pc
+        np.savez(buf4, pc=streams[0, 0],
+                 rgb=np.ones((1, 3, 3), np.float32))
+        assert _post(port, "/submit?client=a", buf4.getvalue())[0] == 400
         # oversized body: 400 before any allocation
         big = io.BytesIO()
         np.savez(big, pc=np.zeros((40, 100, 3), np.float32))
@@ -271,3 +282,10 @@ def test_python_client_roundtrip(setup, tmp_path):
         c.reset()
         assert int(server.states["cli-a"].step) == 0
         assert c.healthz()["clients"] == 1
+
+        # ids/names with reserved URL characters round-trip (the client
+        # percent-encodes; raw interpolation would split on & / space)
+        c2 = TTAClient("127.0.0.1", http_srv.port, "robot 7&x=1")
+        c2.register()
+        assert "robot 7&x=1" in server.states
+        assert c2.submit(streams[1, 0]).shape == (1, K)

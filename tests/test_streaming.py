@@ -285,6 +285,36 @@ def test_pretrain_cli_pp_mode(tmp_path):
                                   "--resume"])
 
 
+def test_pretrain_cli_sp_mode(tmp_path):
+    """--parallel sp trains, checkpoints, and resumes: 4 steps in one go
+    vs 2+2 resumed give identical final params; cross-mode resume under
+    --parallel dp refuses (the sp tree stacks the trunk blocks)."""
+    import jax
+    import pretrain
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    common = ["--device", "cpu", "--batch-size", "8", "--depth", "2",
+              "--trans-dim", "16", "--embed-dim", "16", "--num-group", "4",
+              "--group-size", "4", "--encoder-dim", "8", "--heads", "2",
+              "--warmup-steps", "1", "--log-every", "2", "--prefetch", "0",
+              "--parallel", "sp"]
+    st_a = pretrain.main(common + ["--out", out_a, "--steps", "4",
+                                   "--ckpt-every", "100"])
+    pretrain.main(common + ["--out", out_b, "--steps", "2",
+                            "--ckpt-every", "2"])
+    st_b = pretrain.main(common + ["--out", out_b, "--steps", "4",
+                                   "--ckpt-every", "100", "--resume"])
+    assert int(st_a.step) == int(st_b.step) == 4
+    for x, y in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-6, rtol=1e-5)
+    with pytest.raises(ValueError, match="parallel"):
+        pretrain.main([a for a in common if a not in ("--parallel", "sp")]
+                      + ["--out", out_b, "--steps", "6", "--resume"])
+
+
 class _FlakyCorpus:
     """Delegating corpus whose gather fails on command (transient IO)."""
 

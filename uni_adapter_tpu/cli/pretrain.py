@@ -11,7 +11,9 @@ full TPU-first stack end to end:
     → train.make_dp_train_step (all_gather negatives, pmean grads), or
       `--parallel pp`: parallel/pp.make_pp_train_step_uni3d (GPipe stages
       over the device ring, trunk weights + optimizer moments sharded
-      depth-wise, replicated batch)
+      depth-wise, replicated batch), or
+      `--parallel sp`: parallel/sp.make_sp_train_step_uni3d (trunk tokens
+      sharded over the mesh, exact ring attention, replicated batch)
     → checkpoint.save_state every --ckpt-every steps, including the
       LOADER cursor — `--resume` continues the exact batch schedule.
 
@@ -90,11 +92,16 @@ def main(argv=None):
     parser.add_argument("--group-size", type=int, default=8)
     parser.add_argument("--encoder-dim", type=int, default=32)
     parser.add_argument("--heads", type=int, default=4)
-    parser.add_argument("--parallel", default="dp", choices=["dp", "pp"],
+    parser.add_argument("--parallel", default="dp",
+                        choices=["dp", "pp", "sp"],
                         help="dp: data-parallel over all devices (negatives "
                              "gathered, grads pmean'd).  pp: GPipe pipeline "
                              "stages over all devices (depth must divide by "
-                             "the device count; single-process only)")
+                             "the device count; single-process only).  "
+                             "sp: sequence-parallel — trunk tokens shard "
+                             "over all devices with exact ring attention "
+                             "(parallel/sp.py; the large-N lever — "
+                             "single-process only, batch replicates)")
     parser.add_argument("--pp-microbatches", type=int, default=None,
                         help="GPipe microbatch count (default: one per "
                              "stage); the local batch must divide by it")
@@ -217,6 +224,26 @@ def main(argv=None):
                      args.pp_interleave,
                      args.depth // (n_stages * args.pp_interleave),
                      args.pp_microbatches or n_stages)
+    elif args.parallel == "sp":
+        # tokens shard over ALL devices (exact ring attention); the batch
+        # replicates, so negatives are global by construction.  The SP
+        # param layout — (L, ...)-stacked trunk blocks + rest, all
+        # replicated — does not depend on the mesh size, so an sp
+        # checkpoint resumes on any device count
+        from uni_adapter_tpu.parallel import pp as ppar
+        from uni_adapter_tpu.parallel import sp as spar
+
+        if jax.process_count() > 1:
+            raise ValueError("--parallel sp is single-process (every "
+                             "device needs the full replicated batch); "
+                             "use dp for multi-host runs")
+        mesh = Mesh(np.array(jax.devices()), ("seq",))
+        prepare, sp_step = spar.make_sp_train_step_uni3d(model, tx_opt, mesh)
+        state = ppar.init_pp_train_state(
+            model, jax.random.PRNGKey(args.seed), example, tx_opt, prepare)
+        logging.info("sequence parallel: %d tokens over %d devices "
+                     "(ring attention)", args.num_group + 1,
+                     len(jax.devices()))
     else:
         state = init_train_state(model, jax.random.PRNGKey(args.seed),
                                  example, tx_opt)
@@ -285,9 +312,10 @@ def main(argv=None):
             state = jax.device_put(
                 blob["train"], jax.tree.map(stage_sharding, state))
         else:
-            # dp: leave the leaves uncommitted — the jitted step replicates
-            # them over the mesh (committing to the template's single init
-            # device would conflict with the sharded batch)
+            # dp/sp: leave the leaves uncommitted — the jitted step
+            # replicates them over the mesh (committing to the template's
+            # single init device would conflict with the sharded batch;
+            # sp's (L, ...)-stacked layout is mesh-size-agnostic)
             state = blob["train"]
         # the cursor is DERIVED from the checkpointed step — one atomic
         # artifact, nothing to desynchronize on a crash mid-save
@@ -316,6 +344,8 @@ def main(argv=None):
     if args.parallel == "dp":
         mesh = Mesh(np.array(jax.devices()), ("dp",))
         train_fn = make_dp_train_step(model, tx_opt, mesh)
+    elif args.parallel == "sp":
+        train_fn = sp_step
     else:
         train_fn = pp_step
 

@@ -16,6 +16,7 @@ import http.client
 import io
 import json
 from typing import Optional
+from urllib.parse import quote
 
 import numpy as np
 
@@ -54,12 +55,18 @@ class TTAClient:
         finally:
             conn.close()
 
+    @property
+    def _cid(self) -> str:
+        # reserved characters in a client id (space, &, #, non-ASCII)
+        # would otherwise corrupt the request line / query string
+        return quote(self.client_id, safe="")
+
     # -- protocol --------------------------------------------------------
     def register(self) -> None:
-        self._request("POST", f"/register?client={self.client_id}")
+        self._request("POST", f"/register?client={self._cid}")
 
     def reset(self) -> None:
-        self._request("POST", f"/reset?client={self.client_id}")
+        self._request("POST", f"/reset?client={self._cid}")
 
     def submit(self, pc: np.ndarray,
                rgb: Optional[np.ndarray] = None) -> np.ndarray:
@@ -70,18 +77,19 @@ class TTAClient:
         else:
             np.savez(buf, pc=np.asarray(pc, np.float32),
                      rgb=np.asarray(rgb, np.float32))
-        body = self._request("POST", f"/submit?client={self.client_id}",
+        body = self._request("POST", f"/submit?client={self._cid}",
                              buf.getvalue())
         return np.load(io.BytesIO(body))
 
     def snapshot(self, name: str, blocking: bool = True) -> None:
         blk = "1" if blocking else "0"
-        self._request("POST", f"/snapshot?client={self.client_id}"
-                              f"&name={name}&blocking={blk}")
+        self._request("POST", f"/snapshot?client={self._cid}"
+                              f"&name={quote(name, safe='')}&blocking={blk}")
 
     def restore(self, name: str) -> None:
         self._request("POST",
-                      f"/restore?client={self.client_id}&name={name}")
+                      f"/restore?client={self._cid}"
+                      f"&name={quote(name, safe='')}")
 
     def healthz(self) -> dict:
         return json.loads(self._request("GET", "/healthz"))

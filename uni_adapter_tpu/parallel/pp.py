@@ -91,6 +91,20 @@ def _shard_stacked(stacked, mesh: Mesh, stage_axis: str,
     return jax.device_put(stacked, shardings)
 
 
+def take_micro(tree, i):
+    """Dynamic-index microbatch i out of a (n_micro, ...) pytree — shared
+    by both ring executors (here and parallel/pp_interleave.py)."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+        tree)
+
+
+def ring_perm(n_stages: int):
+    """The stage ring's ppermute pattern (device i -> i+1 mod S) — shared
+    by both ring executors."""
+    return [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+
 def _pipeline(block_apply: Callable, local_blocks, micro_carry,
               n_stages: int, axis: str):
     """GPipe schedule; runs inside shard_map over `axis`.
@@ -108,18 +122,13 @@ def _pipeline(block_apply: Callable, local_blocks, micro_carry,
         carry, _ = jax.lax.scan(blk, carry, local_blocks)
         return carry
 
-    def take(tree, i):
-        return jax.tree.map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            tree)
-
-    buf = jax.tree.map(jnp.zeros_like, take(micro_carry, 0))
+    buf = jax.tree.map(jnp.zeros_like, take_micro(micro_carry, 0))
     outs = jax.tree.map(jnp.zeros_like, micro_carry)
-    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    perm = ring_perm(n_stages)
 
     def tick(state, t):
         buf, outs = state
-        inject = take(micro_carry, jnp.clip(t, 0, n_micro - 1))
+        inject = take_micro(micro_carry, jnp.clip(t, 0, n_micro - 1))
         buf = jax.tree.map(lambda i_, b: jnp.where(idx == 0, i_, b),
                            inject, buf)
         buf = stage_fn(buf)

@@ -225,15 +225,12 @@ def pipeline_interleaved(block_apply, local_blocks, micro_carry,
     micro_carry: replicated pytree with leading (n_micro, Bm, ...) axes.
     Returns the pytree after all S·V logical stages, same leading axes.
     """
+    from uni_adapter_tpu.parallel.pp import ring_perm, take_micro as take
+
     idx = jax.lax.axis_index(axis)
     S, V, Q = sched.n_stages, sched.interleave, sched.queue
     n_micro = jax.tree.leaves(micro_carry)[0].shape[0]
     assert n_micro == sched.n_micro
-
-    def take(tree, i):
-        return jax.tree.map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            tree)
 
     def chunk_fn(v):
         def run(carry):
@@ -249,7 +246,7 @@ def pipeline_interleaved(block_apply, local_blocks, micro_carry,
     qbuf = jax.tree.map(
         lambda a: jnp.zeros((V * Q + 1,) + a.shape, a.dtype), proto)
     outs = jax.tree.map(jnp.zeros_like, micro_carry)
-    perm = [(i, (i + 1) % S) for i in range(S)]
+    perm = ring_perm(S)
 
     xs = tuple(jnp.asarray(tbl) for tbl in (
         sched.cmp_chunk, sched.cmp_slot, sched.inj_m, sched.rcv_slot,

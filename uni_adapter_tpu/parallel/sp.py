@@ -52,8 +52,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from uni_adapter_tpu.parallel.pp import (
-    _make_pp_train_step, stack_trunk_params, ulip_post, ulip_pre,
-    uni3d_post, uni3d_pre)
+    _make_pp_train_step, ring_perm, stack_trunk_params, ulip_post,
+    ulip_pre, uni3d_post, uni3d_pre)
 
 _NEG = -1e30   # finite -inf stand-in: exp(_NEG - m) == 0, no NaN from inf-inf
 
@@ -79,10 +79,10 @@ def ring_attention(q, k, v, scale: float, axis: str,
     m0 = jnp.full((B, H, n_loc, 1), _NEG, jnp.float32)
     l0 = jnp.zeros((B, H, n_loc, 1), jnp.float32)
     o0 = jnp.zeros((B, H, n_loc, hd), jnp.float32)
-    perm = [(i, (i + 1) % S) for i in range(S)]
+    perm = ring_perm(S)
 
-    def hop(carry, _):
-        m, l, o, kb, vb, vmask = carry
+    def fold(acc, kb, vb, vmask):
+        m, l, o = acc
         s = jnp.einsum("bhnd,bhmd->bhnm", qf, kb.astype(jnp.float32),
                        preferred_element_type=jnp.float32) * scale
         s = jnp.where(vmask[None, None, None, :] > 0.5, s, _NEG)
@@ -93,12 +93,21 @@ def ring_attention(q, k, v, scale: float, axis: str,
         o = o * corr + jnp.einsum("bhnm,bhmd->bhnd", p,
                                   vb.astype(jnp.float32),
                                   preferred_element_type=jnp.float32)
+        return m_new, l, o
+
+    def hop(carry, _):
+        acc, kb, vb, vmask = carry
+        acc = fold(acc, kb, vb, vmask)
         kb, vb, vmask = (jax.lax.ppermute(t, axis, perm)
                          for t in (kb, vb, vmask))
-        return (m_new, l, o, kb, vb, vmask), None
+        return (acc, kb, vb, vmask), None
 
-    (m, l, o, _, _, _), _ = jax.lax.scan(
-        hop, (m0, l0, o0, k, v, valid), None, length=S)
+    # S folds need only S-1 rotations: the last arriving shard folds
+    # OUTSIDE the scan, so no hop's K/V/mask permute is computed-and-
+    # discarded (inside a scan XLA cannot DCE the dead collective)
+    (acc, kb, vb, vmask), _ = jax.lax.scan(
+        hop, ((m0, l0, o0), k, v, valid), None, length=S - 1)
+    _, l, o = fold(acc, kb, vb, vmask)
     return (o / jnp.maximum(l, 1e-30)).astype(v.dtype)
 
 

@@ -70,6 +70,10 @@ class TTAServer:
                              (pc, rgb, targets))
         jax.block_until_ready(out)
         for size in self.sizes:
+            if size == 1:
+                continue   # a size-1 chunk always takes the _step1 fast
+                           # path above; the vmapped width-1 program would
+                           # compile ~25 s of dead code
             stacked = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (size,) + x.shape), scratch)
             batched = (jnp.broadcast_to(pc, (size,) + pc.shape),
@@ -109,6 +113,12 @@ class TTAServer:
         Returns:
           {client_id: final_logits (B, K)} — each client's logits are
           identical to what a dedicated sequential stream would produce.
+
+        Atomicity: no client state is written back until EVERY chunk of
+        the tick has computed.  If any chunk raises (device error, bad
+        input that slipped validation), the whole tick leaves all states
+        untouched — a client that retries after an error cannot
+        double-step its adaptation stream.
         """
         if not requests:
             return {}
@@ -123,18 +133,24 @@ class TTAServer:
         # falling back to the smallest size (padded) only for a final
         # remainder the ladder cannot express exactly
         result: Dict[str, np.ndarray] = {}
+        new_states: Dict[str, engine.EngineState] = {}
         i = 0
         while i < len(requests):
             rem = len(requests) - i
             fit = [s for s in self.sizes if s <= rem]
             size = max(fit) if fit else self.sizes[0]
             chunk = requests[i:i + size]
-            result.update(self._run_chunk(chunk, size))
+            states, logits = self._run_chunk(chunk, size)
+            new_states.update(states)
+            result.update(logits)
             i += len(chunk)
+        self.states.update(new_states)   # commit only after all chunks ran
         return result
 
-    def _run_chunk(self, requests, size: int) -> Dict[str, np.ndarray]:
-        """Run ≤size requests as one compiled vmapped step of width size."""
+    def _run_chunk(self, requests, size: int):
+        """Run ≤size requests as one compiled vmapped step of width size.
+        Returns ({client: new_state}, {client: logits}) WITHOUT touching
+        self.states — submit() commits after the whole tick succeeds."""
         if len(requests) == 1 and size == 1:
             cid, pc, rgb = requests[0]
             pc = jnp.asarray(np.asarray(pc, np.float32))
@@ -144,8 +160,7 @@ class TTAServer:
             new_state, outs = self._step1(self.params, self.text,
                                           self.states[cid],
                                           (pc, rgb, targets))
-            self.states[cid] = new_state
-            return {cid: np.asarray(outs.final_logits)}
+            return {cid: new_state}, {cid: np.asarray(outs.final_logits)}
         ids = [r[0] for r in requests]
         pcs = [np.asarray(r[1], np.float32) for r in requests]
         rgbs = [np.asarray(r[2], np.float32) if r[2] is not None
@@ -160,11 +175,11 @@ class TTAServer:
         new_states, outs = self._vstep(self.params, self.text, stacked,
                                        (pcs_b, rgbs_b, targets))
 
-        result = {}
+        states_out, result = {}, {}
         for i, cid in enumerate(ids):
-            self.states[cid] = jax.tree.map(lambda x, i=i: x[i], new_states)
+            states_out[cid] = jax.tree.map(lambda x, i=i: x[i], new_states)
             result[cid] = np.asarray(outs.final_logits[i])
-        return result
+        return states_out, result
 
     def snapshot(self, client_id: str, path: str,
                  blocking: bool = True) -> None:

@@ -232,9 +232,13 @@ def _make_handler(owner: "HTTPTTAServer"):
 
         def _snapshot_path(self, q: Dict[str, str]) -> str:
             name = _param(q, "name")
-            if not _NAME_RE.match(name):
+            # the regex admits "." and ".." — explicit rejection, or a
+            # non-blocking snapshot (orbax force=True) would overwrite
+            # snapshot_dir itself / its parent
+            if not _NAME_RE.match(name) or name in (".", ".."):
                 raise _BadRequest(
-                    "snapshot name must match [A-Za-z0-9._-]{1,128}")
+                    "snapshot name must match [A-Za-z0-9._-]{1,128} and "
+                    "may not be '.' or '..'")
             os.makedirs(owner.snapshot_dir, exist_ok=True)
             return os.path.join(owner.snapshot_dir, name)
 
@@ -279,9 +283,24 @@ def _make_handler(owner: "HTTPTTAServer"):
                         raise _BadRequest(
                             f"body must be an .npz with 'pc' [+ 'rgb']: "
                             f"{e}") from None
-                    if pc.ndim != 3:
+                    if pc.ndim != 3 or pc.shape[-1] != 3:
                         raise _BadRequest(
                             f"pc must be (B, N, 3); got shape {pc.shape}")
+                    # full validation HERE, before the shared tick: a
+                    # malformed rgb must 400 this request alone, never
+                    # fail clients co-batched with it (the tick coalesces
+                    # on pc.shape only)
+                    if rgb is not None and rgb.shape != pc.shape:
+                        raise _BadRequest(
+                            f"rgb shape {rgb.shape} must equal pc shape "
+                            f"{pc.shape}")
+                    try:
+                        pc = np.asarray(pc, np.float32)
+                        rgb = (np.asarray(rgb, np.float32)
+                               if rgb is not None else None)
+                    except (TypeError, ValueError) as e:
+                        raise _BadRequest(
+                            f"pc/rgb must cast to float32: {e}") from None
                     self._npy(owner.batcher.submit(client, pc, rgb))
                 elif path == "/snapshot":
                     blocking = q.get("blocking", "1") != "0"
