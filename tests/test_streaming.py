@@ -47,8 +47,29 @@ def test_corpus_gather_maps_global_indices(corpus):
     assert np.array_equal(_ids(b), idx)
     assert np.array_equal(b["text_embed"][:, 0].astype(int), 10 * idx)
     assert np.array_equal(b["image_embed"][:, 0].astype(int), 100 * idx)
-    assert b["mask"].tolist() == [1.0] * len(idx)
+    # per-row mask: sample 0's image row is all-zero (100·0) — "no render
+    # for this sample", mask 0 per the ShardedCorpus docstring contract
+    assert b["mask"].tolist() == [0.0] + [1.0] * (len(idx) - 1)
     assert len(corpus) == sum(SHARD_SIZES)
+
+
+def test_corpus_rejects_mismatched_shard_shapes(corpus, tmp_path):
+    """Shape validation happens at construction: a broadcastable (n, 1)
+    embedding shard would otherwise silently TILE wrong values into the
+    training data, and a different-N pc shard would crash only when the
+    epoch permutation first touches it."""
+    pc_paths = [str(tmp_path / f"pc_{i}.npy") for i in range(len(SHARD_SIZES))]
+    tx_ok = [str(tmp_path / f"tx_{i}.npy") for i in range(len(SHARD_SIZES))]
+    # (n, 1) embeddings next to (n, D): broadcastable, would silently tile
+    bad_tx = str(tmp_path / "bad_tx.npy")
+    np.save(bad_tx, np.full((SHARD_SIZES[1], 1), 7, np.float32))
+    with pytest.raises(ValueError, match="text shard 1"):
+        ShardedCorpus(pc_paths, [tx_ok[0], bad_tx, tx_ok[2]])
+    # different N: would crash mid-epoch, not at construction
+    bad_pc = str(tmp_path / "bad_pc.npy")
+    np.save(bad_pc, np.zeros((SHARD_SIZES[1], 2 * N, C), np.float32))
+    with pytest.raises(ValueError, match="pc shard 1"):
+        ShardedCorpus([pc_paths[0], bad_pc], tx_ok[:2])
 
 
 def test_epoch_coverage_and_rank_concatenation(corpus):

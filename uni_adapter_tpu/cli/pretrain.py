@@ -216,7 +216,7 @@ def main(argv=None):
         mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
         prepare, pp_step = ppar.make_pp_train_step_uni3d(
             model, tx_opt, mesh, n_micro=args.pp_microbatches,
-            interleave=args.pp_interleave)
+            interleave=args.pp_interleave, donate=True)
         state = ppar.init_pp_train_state(
             model, jax.random.PRNGKey(args.seed), example, tx_opt, prepare)
         logging.info("pipeline parallel: %d stages x %d chunks/stage x "
@@ -238,7 +238,8 @@ def main(argv=None):
                              "device needs the full replicated batch); "
                              "use dp for multi-host runs")
         mesh = Mesh(np.array(jax.devices()), ("seq",))
-        prepare, sp_step = spar.make_sp_train_step_uni3d(model, tx_opt, mesh)
+        prepare, sp_step = spar.make_sp_train_step_uni3d(model, tx_opt, mesh,
+                                                         donate=True)
         state = ppar.init_pp_train_state(
             model, jax.random.PRNGKey(args.seed), example, tx_opt, prepare)
         logging.info("sequence parallel: %d tokens over %d devices "
@@ -259,6 +260,12 @@ def main(argv=None):
         # silently alter the trajectory mid-run
         checks = [("data_seed", args.seed), ("global_batch", args.batch_size),
                   ("depth", args.depth),
+                  # the corpus SIZE shapes the schedule too: the epoch
+                  # permutation is rng.permutation(len(corpus)) and the
+                  # resume cursor derives from steps_per_epoch — shards
+                  # added/removed under the same glob would silently skip
+                  # or repeat samples
+                  ("corpus_size", len(corpus)),
                   # the optimizer recipe shapes the whole trajectory: lr /
                   # decay scale the updates, warmup reshapes the schedule.
                   # --steps is deliberately NOT checked: continuing a run
@@ -270,7 +277,16 @@ def main(argv=None):
             checks.append(("pp_stages", n_stages))
             checks.append(("pp_interleave", args.pp_interleave))
         for key, now in checks:
-            was = type(now)(blob[key]) if key in blob else now
+            if key not in blob:
+                # a missing stamp means unknown provenance — exactly when
+                # the guard matters most (consistent with the wd_mask
+                # refusal below)
+                raise ValueError(
+                    f"the checkpoint carries no {key!r} stamp, so the "
+                    f"resume guard cannot verify it matches {key}={now}; "
+                    "restart training or re-stamp the checkpoint if its "
+                    "recipe is known")
+            was = type(now)(blob[key])
             if was != now:
                 raise ValueError(
                     f"--resume with {key}={now} but the checkpoint was "
@@ -343,20 +359,39 @@ def main(argv=None):
 
     if args.parallel == "dp":
         mesh = Mesh(np.array(jax.devices()), ("dp",))
-        train_fn = make_dp_train_step(model, tx_opt, mesh)
+        # donate=True: the loop rebinds state each step, so donating the
+        # input buffers halves peak params+moments memory at no cost here
+        train_fn = make_dp_train_step(model, tx_opt, mesh, donate=True)
     elif args.parallel == "sp":
         train_fn = sp_step
     else:
         train_fn = pp_step
 
     pending_save = []
+    save_error = []
+    last_saved_step = [start_step - 1]
 
-    def save():
+    def _join_pending():
+        """Join the in-flight async save and PROPAGATE its failure — a
+        dropped write exception would let the run log success and exit 0
+        with a stale checkpoint."""
+        for t in pending_save:
+            t.join()
+        pending_save.clear()
+        if save_error:
+            raise RuntimeError(
+                "async checkpoint write failed") from save_error.pop()
+
+    def save(at_step: int):
         if jax.process_index() != 0:
             return   # replicated state — one writer (shared-filesystem safe)
+        if at_step == last_saved_step[0]:
+            return   # final save already landed on a --ckpt-every boundary
+        last_saved_step[0] = at_step
         blob = {"train": state, "data_seed": args.seed,
                 "global_batch": args.batch_size, "parallel": args.parallel,
                 "depth": args.depth, "wd_mask": "name",
+                "corpus_size": len(corpus),
                 "lr": args.lr, "weight_decay": args.weight_decay,
                 "warmup_steps": args.warmup_steps}
         if args.parallel == "pp":
@@ -367,11 +402,15 @@ def main(argv=None):
 
             # at most one in-flight snapshot: join the previous first so
             # writes land in order and a slow disk backpressures cleanly
-            for t in pending_save:
-                t.join()
-            pending_save.clear()
-            th = threading.Thread(target=checkpoint.save_state,
-                                  args=(ckpt_path, blob), daemon=True)
+            _join_pending()
+
+            def _write(path=ckpt_path, payload=blob):
+                try:
+                    checkpoint.save_state(path, payload)
+                except BaseException as e:   # surfaced at the next join
+                    save_error.append(e)
+
+            th = threading.Thread(target=_write, daemon=True)
             th.start()
             pending_save.append(th)
         else:
@@ -394,10 +433,9 @@ def main(argv=None):
                          float(jnp.exp(state.logit_scale)),
                          args.batch_size * (step + 1 - start_step) / dt)
         if (step + 1) % args.ckpt_every == 0:
-            save()
-    save()
-    for t in pending_save:   # drain the in-flight async snapshot
-        t.join()
+            save(step + 1)
+    save(args.steps)
+    _join_pending()   # drain the in-flight async snapshot, surface failure
     loader.close()
     logging.info("done: %d steps, checkpoint at %s.npz", args.steps,
                  ckpt_path)

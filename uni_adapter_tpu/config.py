@@ -292,7 +292,9 @@ def labels_key_for(dataset_name: str) -> str:
     if "lvis" in name or "objaverse" in name:
         return "objaverse_lvis_openshape"
     raise ValueError(f"cannot infer a labels.json key for dataset "
-                     f"{dataset_name!r}; pass --validate-dataset-name")
+                     f"{dataset_name!r}; set the key explicitly "
+                     f"(--validate-dataset-name on the evaluation CLI, "
+                     f"--labels-key on uni-adapter-build-anchors)")
 
 
 def load_labels(cfg: Config) -> list[str]:

@@ -83,6 +83,24 @@ class ShardedCorpus:
         self.embed_dim: Optional[int] = (
             int((self.text or self.image)[0].shape[1])
             if (self.text or self.image) else None)
+        # per-sample SHAPES must agree across every shard, at construction
+        # — the headers are already open, and a mismatch found here is a
+        # clear error instead of (a) a crash hours in when the permutation
+        # first touches the bad shard, or worse (b) a BROADCASTABLE shard
+        # (e.g. (n, 1) embeddings next to (n, D)) silently tiling wrong
+        # values into the training data
+        for i, r in enumerate(self.pc):
+            if tuple(r.shape[1:]) != self.sample_shape:
+                raise ValueError(
+                    f"pc shard {i}: sample shape {tuple(r.shape[1:])} != "
+                    f"{self.sample_shape} (shard 0)")
+        for group, name in ((self.text, "text"), (self.image, "image")):
+            if group is not None:
+                for i, r in enumerate(group):
+                    if tuple(r.shape[1:]) != (self.embed_dim,):
+                        raise ValueError(
+                            f"{name} shard {i}: embedding shape "
+                            f"{tuple(r.shape[1:])} != ({self.embed_dim},)")
 
     def __len__(self) -> int:
         return int(self._starts[-1])
@@ -109,6 +127,12 @@ class ShardedCorpus:
         if image is None:
             image = np.zeros((n, D), np.float32) if D else None
             mask = np.zeros((n,), np.float32)
+        else:
+            # per-row mask, as the class docstring promises: an all-zero
+            # image row means "no render for this sample" and must not
+            # train the image leg at full weight against a degenerate
+            # embedding (mask convention of losses.uni3d_text_image_loss)
+            mask = (np.abs(image).sum(axis=1) > 0).astype(np.float32)
         out = {"pc": pc, "mask": mask}
         if text is not None:
             out["text_embed"] = text

@@ -46,6 +46,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -574,7 +576,8 @@ def init_pp_train_state(model, rng, example_pc, tx, prepare,
     return TrainState(pp_params, logit_scale, opt_state, jnp.int32(0))
 
 
-def _make_pp_train_step(tx, fwd, n_model_inputs: int):
+def _make_pp_train_step(tx, fwd, n_model_inputs: int,
+                        donate: bool = False):
     """Contrastive train step over an (unjitted) PP forward: the reference's
     training-era loss (models/losses.py:7-69) on the pipelined encoder.
 
@@ -583,7 +586,9 @@ def _make_pp_train_step(tx, fwd, n_model_inputs: int):
     (stacked, rest) pair.  The loss sees the globally assembled embeddings
     (the forward's output is replicated), so with a data axis the
     negatives are global by construction — equal to the single-device step
-    on the same batch (tested in tests/test_pp.py)."""
+    on the same batch (tested in tests/test_pp.py).  `donate=True` donates
+    the input state's buffers (halves peak memory; invalidates the input —
+    see train.make_dp_train_step)."""
     from uni_adapter_tpu.models.losses import uni3d_text_image_loss
     from uni_adapter_tpu.train import _apply_grads
 
@@ -595,7 +600,7 @@ def _make_pp_train_step(tx, fwd, n_model_inputs: int):
                                     axis_name=None)
         return out["loss"], out
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, *args, mask=None):
         model_inputs, (text_embed, image_embed) = \
             args[:n_model_inputs], args[n_model_inputs:n_model_inputs + 2]
@@ -617,7 +622,7 @@ def make_pp_train_step_uni3d(model, tx, mesh: Mesh,
                              n_micro: Optional[int] = None,
                              data_axis: Optional[str] = None,
                              tp_axis: Optional[str] = None,
-                             interleave: int = 1):
+                             interleave: int = 1, donate: bool = False):
     """(prepare_params, train_step) for pipeline-parallel contrastive
     pretraining of a Uni3D point encoder (no PP exists upstream —
     SURVEY.md §2.4).  train_step(state, pc, text_embed, image_embed, mask);
@@ -629,26 +634,28 @@ def make_pp_train_step_uni3d(model, tx, mesh: Mesh,
                                          data_axis, jit=False,
                                          tp_axis=tp_axis,
                                          interleave=interleave)
-    return prepare, _make_pp_train_step(tx, fwd, 1)
+    return prepare, _make_pp_train_step(tx, fwd, 1, donate=donate)
 
 
 def make_pp_train_step_ulip(model, tx, mesh: Mesh,
                             stage_axis: str = "stage",
                             n_micro: Optional[int] = None,
-                            data_axis: Optional[str] = None):
+                            data_axis: Optional[str] = None,
+                            donate: bool = False):
     """PP pretraining for the ULIP Point-BERT encoder:
     train_step(state, pts, text_embed, image_embed, mask), pts (B, N, 3)."""
     prepare, fwd = make_pp_forward_ulip(model, mesh, stage_axis, n_micro,
                                         data_axis, jit=False)
-    return prepare, _make_pp_train_step(tx, fwd, 1)
+    return prepare, _make_pp_train_step(tx, fwd, 1, donate=donate)
 
 
 def make_pp_train_step_openshape(model, tx, mesh: Mesh,
                                  stage_axis: str = "stage",
                                  n_micro: Optional[int] = None,
-                                 data_axis: Optional[str] = None):
+                                 data_axis: Optional[str] = None,
+                                 donate: bool = False):
     """PP pretraining for the OpenShape PPTA encoder:
     train_step(state, xyz, features, text_embed, image_embed, mask)."""
     prepare, fwd = make_pp_forward_openshape(model, mesh, stage_axis,
                                              n_micro, data_axis, jit=False)
-    return prepare, _make_pp_train_step(tx, fwd, 2)
+    return prepare, _make_pp_train_step(tx, fwd, 2, donate=donate)

@@ -320,7 +320,8 @@ def make_sp_encode_fn(model, mesh: Mesh, kind: str = "uni3d",
 
 
 def make_sp_train_step_uni3d(model, tx, mesh: Mesh, seq_axis: str = "seq",
-                             data_axis: Optional[str] = None):
+                             data_axis: Optional[str] = None,
+                             donate: bool = False):
     """(prepare_params, train_step) for sequence-parallel contrastive
     pretraining of a Uni3D point encoder: jax.grad rides straight through
     the ring (ppermute transposes to the reverse rotation), so activations
@@ -330,4 +331,4 @@ def make_sp_train_step_uni3d(model, tx, mesh: Mesh, seq_axis: str = "seq",
     construction (same contract as the PP train steps)."""
     prepare, fwd = make_sp_forward_uni3d(model, mesh, seq_axis, data_axis,
                                          jit=False)
-    return prepare, _make_pp_train_step(tx, fwd, 1)
+    return prepare, _make_pp_train_step(tx, fwd, 1, donate=donate)

@@ -122,12 +122,20 @@ def train_step(model, tx, state: TrainState, pc: jax.Array,
     return _apply_grads(state, tx, grads), metrics
 
 
-def make_dp_train_step(model, tx, mesh, axis_name: str = "dp"):
+def make_dp_train_step(model, tx, mesh, axis_name: str = "dp",
+                       donate: bool = False):
     """Data-parallel train step over `mesh`'s `axis_name` axis.
 
     Batch args are sharded on axis 0; params/state replicated.  Negatives
     gather across shards inside the loss; grads/metrics pmean across shards
     — step-for-step equal to single-device training on the global batch.
+
+    `donate=True` donates the input TrainState's buffers to the step
+    (halves peak memory for params + Adam moments — at EVA02-L scale that
+    decides what fits per chip).  Opt-in because the donated state is
+    invalidated: callers that reuse the input state after stepping (the
+    oracle pattern in tests) must leave it off.  The pretraining CLI
+    enables it.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -147,7 +155,7 @@ def make_dp_train_step(model, tx, mesh, axis_name: str = "dp"):
                   P(axis_name)),
         out_specs=(P(), P()),
         check_vma=False,
-    ))
+    ), donate_argnums=(0,) if donate else ())
 
     def dp_step(state, pc, text_embed, image_embed, mask=None):
         if mask is None:
