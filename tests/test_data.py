@@ -178,6 +178,38 @@ def test_get_text_anchors_precedence(tmp_path):
         anchors.get_text_anchors(cfg2)
 
 
+def test_get_text_anchors_missing_bank_falls_back(tmp_path):
+    """Configured-but-MISSING bank: fall back to the encoder when one is
+    available (the documented configured-AND-present precedence), raise
+    when none is."""
+    missing = os.path.join(tmp_path, "nope.npy")
+    cfg = Config(data=DataConfig(precomputed_text_features=missing))
+    with pytest.raises(FileNotFoundError):
+        anchors.get_text_anchors(cfg)
+
+    def fake_encode(tokens):
+        t = np.asarray(tokens, np.float32)
+        return jnp.asarray(np.stack([t.sum(1), t.max(1)], axis=1))
+
+    w = anchors.get_text_anchors(cfg, encode_text_fn=fake_encode)
+    assert w.shape[1] == 2   # came from the encoder, not the missing file
+
+
+def test_load_precomputed_npz(tmp_path):
+    path = os.path.join(tmp_path, "bank.npz")
+    arr = np.eye(5, 7, dtype=np.float32)
+    np.savez(path, features=arr)
+    w = anchors.load_precomputed(path)
+    np.testing.assert_allclose(np.asarray(w), arr)
+
+
+def test_load_precomputed_unknown_family_raises():
+    with pytest.raises(KeyError):
+        anchors.load_precomputed("large", "omniobject3d")
+    # None still defaults to the modelnet family (bench/demo convention)
+    assert anchors.load_precomputed("large").shape == (40, 1024)
+
+
 def test_anchors_through_real_text_tower():
     """Full on-the-fly anchor path: BPE tokenizer → CLIP text tower →
     template ensemble (tiny tower dims)."""

@@ -106,6 +106,35 @@ def test_html_viewer_single_array_contract(tmp_path):
     assert os.path.exists(p)
 
 
+def test_html_viewer_joint_normalization(tmp_path):
+    """Overlaid clouds must share one center/scale: a small offset cluster
+    has to stay offset (per-cloud normalization would blow it up to fill
+    the unit box at the origin)."""
+    import json as _json
+    import re
+
+    from uni_adapter_tpu.visualize import visualize_pointclouds_plotly
+
+    base = np.random.default_rng(0).standard_normal((200, 3)).astype(np.float32)
+    subset = base[:5] + 0.01     # a few points near one corner of the object
+    p = visualize_pointclouds_plotly({"obj": base, "subset": subset},
+                                     os.path.join(tmp_path, "joint"))
+    m = re.search(r"const CLOUDS = (\[.*?\]);\n", open(p).read(), re.S)
+    clouds = {c["name"]: np.array(c["points"]).reshape(-1, 3)
+              for c in _json.loads(m.group(1))}
+    # the subset's embedded coordinates must match the same rows of the big
+    # cloud (up to the 0.01 offset / rounding), not a re-scaled version
+    assert np.abs(clouds["subset"] - clouds["obj"][:5]).max() < 0.05
+    # and (N,6) xyz‖rgb dict entries are sliced, not silently dropped
+    pc6 = np.concatenate([base, np.ones_like(base)], axis=1)
+    p2 = visualize_pointclouds_plotly({"rgb": pc6},
+                                      os.path.join(tmp_path, "rgb"))
+    assert "rgb" in open(p2).read()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        visualize_pointclouds_plotly({"bad": np.zeros((4, 2))})
+
+
 def test_png_writer(tmp_path):
     from uni_adapter_tpu.visualize import save_pointcloud_png
 
@@ -149,6 +178,14 @@ def test_attention_extractor(tiny_uni3d, tmp_path):
         maps, save_path=os.path.join(tmp_path, "e.png")))
     assert os.path.exists(A.visualize_attention_3d(
         ex, pc, save_path=os.path.join(tmp_path, "a3d.html")))
+    # negative layer indices follow _layer_map's -1 convention everywhere
+    assert os.path.exists(A.visualize_attention_maps(
+        maps, layer_indices=[-1], save_path=os.path.join(tmp_path, "n.png")))
+    assert os.path.exists(A.visualize_layer_attention_on_pointcloud_grid(
+        maps, pc, centers, layer_indices=[-1, 0],
+        save_path=os.path.join(tmp_path, "g.png")))
+    with pytest.raises(ValueError):
+        A.visualize_attention_maps(maps, layer_indices=[7])
 
 
 def test_cross_class_analyzer(tiny_uni3d, tmp_path):
@@ -173,6 +210,10 @@ def test_cross_class_analyzer(tiny_uni3d, tmp_path):
     emb = an.tsne_displacement(clean, corr)
     assert emb.shape == (3, 2, 2)
     an.save_results(str(tmp_path), {"matrices": mats, "confusion": conf})
+    # a class with zero samples must fail loud, not emit a phantom
+    # all-zero centroid (cosine distance exactly 1.0 to everything)
+    with pytest.raises(ValueError, match="no samples"):
+        an.class_centroids(pcs[[0, 1, 3]], labels[[0, 1, 3]])  # c2 absent
     assert os.path.exists(os.path.join(tmp_path, "analysis.json"))
     assert os.path.exists(os.path.join(tmp_path, "matrices_delta.npy"))
     assert os.path.exists(plot_distance_matrices(

@@ -141,6 +141,31 @@ def _save_fig(fig, save_path, plt, dpi: int = 110):
     return save_path
 
 
+def _write_plotly_html(fig, save_path):
+    """Shared plotly-branch writer: same .html suffix + parent-dir creation
+    convention as every matplotlib/canvas fallback path in this module."""
+    if not save_path.lower().endswith(".html"):
+        save_path += ".html"
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+    fig.write_html(save_path)
+    return save_path
+
+
+def _resolve_layers(attention_maps: Dict[str, np.ndarray],
+                    layer_indices) -> List[int]:
+    """Normalise layer indices (negative = from the end, matching
+    _layer_map's -1 convention) and validate against the available maps."""
+    n = len(attention_maps)
+    out = []
+    for i in layer_indices:
+        li = i + n if i < 0 else i
+        if f"layer_{li}" not in attention_maps:
+            raise ValueError(f"Layer {i} attention not found "
+                             f"(have {n} layers).")
+        out.append(li)
+    return out
+
+
 def visualize_attention_maps(attention_maps: Dict[str, np.ndarray],
                              layer_indices: Optional[List[int]] = None,
                              head_indices: Optional[List[int]] = None,
@@ -151,7 +176,8 @@ def visualize_attention_maps(attention_maps: Dict[str, np.ndarray],
     plt = _plt()
     layers = sorted(attention_maps, key=lambda k: int(k.split("_")[1]))
     if layer_indices is not None:
-        layers = [f"layer_{i}" for i in layer_indices]
+        layers = [f"layer_{i}"
+                  for i in _resolve_layers(attention_maps, layer_indices)]
     heads = head_indices or [0]
     fig, axes = plt.subplots(len(layers), len(heads), figsize=figsize,
                              squeeze=False)
@@ -300,9 +326,7 @@ def visualize_attention_on_pointcloud(point_cloud: np.ndarray,
             text=[f"Attention: {x:.3f}" for x in w], hoverinfo="text"))
         fig.update_layout(title=title, scene=dict(aspectmode="data"))
         if save_path:
-            if not save_path.lower().endswith(".html"):
-                save_path += ".html"
-            fig.write_html(save_path)
+            save_path = _write_plotly_html(fig, save_path)
         return save_path
     except ImportError:
         if save_path is None:
@@ -398,9 +422,7 @@ def visualize_attention_heads_on_pointcloud(
                             opacity=0.9), showlegend=False), row=r, col=c)
         fig.update_layout(title=title, height=400 * rows, width=500 * cols)
         if save_path:
-            if not save_path.lower().endswith(".html"):
-                save_path += ".html"
-            fig.write_html(save_path)
+            save_path = _write_plotly_html(fig, save_path)
         return save_path
     except ImportError:
         return _scatter3d_grid_png(
@@ -422,7 +444,7 @@ def visualize_layer_attention_on_pointcloud_grid(
         idx = np.linspace(0, len(available) - 1, n_sel).astype(int)
         layer_indices = [available[i] for i in idx]
     panels = []
-    for li in layer_indices:
+    for li in _resolve_layers(attention_maps, layer_indices):
         attn = attention_maps[f"layer_{li}"][0]          # (H, N, N)
         cls_attn = attn.mean(0)[0, 1:]                   # (G,)
         panels.append((f"Layer {li}", cls_attn))
@@ -455,9 +477,7 @@ def visualize_layer_attention_on_pointcloud_grid(
             title="CLS Attention on Point Cloud (Averaged Over Heads)",
             height=400 * rows, width=450 * cols)
         if save_path:
-            if not save_path.lower().endswith(".html"):
-                save_path += ".html"
-            fig.write_html(save_path)
+            save_path = _write_plotly_html(fig, save_path)
         return save_path
     except ImportError:
         return _scatter3d_grid_png(
@@ -573,7 +593,12 @@ def visualize_attention_3d(extractor: AttentionExtractor,
     viewer with per-cloud intensity buckets."""
     from uni_adapter_tpu.visualize import visualize_pointclouds_plotly
 
-    extractor.extract(point_cloud)
+    if not extractor.attention_maps:
+        # reuse maps already extracted for this cloud (the CLI extracts then
+        # visualizes the same cloud — re-running repeats the full forward
+        # plus the L×(H,N,N) device→host copy); callers passing a DIFFERENT
+        # cloud must call extract() themselves first
+        extractor.extract(point_cloud)
     cls_attn = extractor.get_cls_attention(layer_idx).mean(1)[0]   # (G,)
     centers = extractor.get_group_centers(point_cloud)[0]          # (G, 3)
     q = np.quantile(cls_attn, [0.5, 0.8, 0.95])

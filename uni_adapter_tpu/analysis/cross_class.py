@@ -58,7 +58,15 @@ class CrossClassAttentionAnalyzer:
             for sig, lab in zip(sigs, labels[i:i + batch_size]):
                 sums[int(lab)] += sig
                 counts[int(lab)] += 1
-        return sums / np.maximum(counts, 1)[:, None]
+        if (counts == 0).any():
+            # an all-zero centroid is a phantom class: it sits at cosine
+            # distance exactly 1.0 from everything and silently contaminates
+            # flips / confused pairs / t-SNE — fail loud instead
+            missing = [self.class_names[k] for k in np.where(counts == 0)[0]]
+            raise ValueError(
+                f"class_centroids: no samples for classes {missing}; "
+                f"pass a class_names list restricted to the classes present")
+        return sums / counts[:, None]
 
     def distance_matrices(self, clean_centroids: np.ndarray,
                           corrupted_centroids: np.ndarray) -> Dict:
@@ -371,10 +379,7 @@ def visualize_severity_progression(all_results: Dict[int, Dict],
 def plot_distance_matrices(matrices: Dict, class_names: List[str],
                            save_path: Optional[str] = None):
     """Clean / corrupted / delta heatmap triptych (reference figures)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
+    plt = _plt()
     fig, axes = plt.subplots(1, 3, figsize=(18, 5))
     for ax, key in zip(axes, ["clean", "corrupted", "delta"]):
         im = ax.imshow(matrices[key],
@@ -382,8 +387,4 @@ def plot_distance_matrices(matrices: Dict, class_names: List[str],
         ax.set_title(f"{key} cosine distance")
         fig.colorbar(im, ax=ax, shrink=0.8)
     fig.tight_layout()
-    if save_path:
-        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
-        fig.savefig(save_path, dpi=110)
-    plt.close(fig)
-    return save_path
+    return _save(fig, save_path)

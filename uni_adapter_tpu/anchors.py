@@ -11,6 +11,7 @@ Rebuild of the reference's two anchor paths (Uni_Adapter.py:295-316):
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
@@ -38,14 +39,31 @@ def load_precomputed(path_or_key: str,
     against the shipped assets for `dataset_name`.
     """
     if os.path.exists(path_or_key):
-        return jnp.asarray(np.load(path_or_key).astype(np.float32))
+        loaded = np.load(path_or_key)
+        if isinstance(loaded, np.lib.npyio.NpzFile):
+            # .npz archive: take the sole array (or the conventional first
+            # key) — np.load returns an NpzFile, which has no .astype
+            with loaded:
+                arr = loaded[loaded.files[0]]
+        else:
+            arr = loaded
+        return jnp.asarray(arr.astype(np.float32))
     if path_or_key.endswith((".npy", ".npz")) or os.sep in path_or_key:
         # looks like a path, not a size key — a typo'd path must not fall
         # through to a cryptic size-key KeyError
         raise FileNotFoundError(
             f"precomputed text-feature file not found: {path_or_key}")
     family = next((f for f in ("modelnet", "scanobject", "shapenet")
-                   if dataset_name and f in dataset_name.lower()), "modelnet")
+                   if dataset_name and f in dataset_name.lower()), None)
+    if family is None:
+        if dataset_name is not None:
+            # an unrecognised dataset must not silently get the ModelNet
+            # bank (wrong class set → silently wrong zero-shot accuracy)
+            raise KeyError(
+                f"no shipped anchor-bank family for dataset "
+                f"'{dataset_name}' (known: modelnet/scanobject/shapenet; "
+                f"or pass a .npy path)")
+        family = "modelnet"
     try:
         fname = PRECOMPUTED[(path_or_key, family)]
     except KeyError:
@@ -94,7 +112,17 @@ def get_text_anchors(cfg: Config, encode_text_fn=None,
     else compute on the fly from labels.json + templates.json."""
     pre = cfg.data.precomputed_text_features
     if pre:
-        return load_precomputed(pre, cfg.data.dataset_name)
+        try:
+            return load_precomputed(pre, cfg.data.dataset_name)
+        except FileNotFoundError:
+            # configured-but-missing: the documented precedence is
+            # "precomputed if configured AND PRESENT" — fall through to the
+            # on-the-fly path when a text encoder is available
+            if encode_text_fn is None:
+                raise
+            logging.warning(
+                "precomputed bank '%s' not found; computing anchors on the "
+                "fly", pre)
     if encode_text_fn is None:
         raise ValueError("No precomputed anchors configured and no text "
                          "encoder provided for the on-the-fly path")

@@ -239,7 +239,15 @@ def get_text_anchors_with_fallback(cfg):
     from uni_adapter_tpu.anchors import get_text_anchors
 
     if cfg.data.precomputed_text_features:
-        return get_text_anchors(cfg)
+        try:
+            return get_text_anchors(cfg)
+        except FileNotFoundError:
+            # configured-but-missing bank: fall through to the text tower
+            # (matches the reference's configured-AND-present precedence)
+            logging.warning(
+                "precomputed bank '%s' not found; falling back to the "
+                "on-the-fly text tower",
+                cfg.data.precomputed_text_features)
 
     import jax
     import jax.numpy as jnp

@@ -66,13 +66,23 @@ window.onresize=resize; resize();
 """
 
 
+def _check_cloud(arr: np.ndarray, name: str) -> np.ndarray:
+    # (N,3) xyz, or the repo's xyz‖rgb (N,6) convention (keep xyz); anything
+    # else raises — silently dropping a malformed entry would write an empty
+    # figure with no error
+    if arr.ndim == 2 and arr.shape[1] == 6:
+        return arr[:, :3]
+    if arr.ndim != 2 or arr.shape[1] != 3:
+        raise ValueError(f"Point cloud {name} must be (N, 3) or (N, 6); "
+                         f"got {arr.shape}.")
+    return arr
+
+
 def _normalize_clouds(pointclouds) -> Dict[str, np.ndarray]:
     if isinstance(pointclouds, np.ndarray):
-        if pointclouds.ndim != 2 or pointclouds.shape[1] != 3:
-            raise ValueError("Point cloud must be (N, 3).")
-        return {"Point Cloud": pointclouds}
-    return {k: np.asarray(v) for k, v in pointclouds.items()
-            if np.asarray(v).ndim == 2 and np.asarray(v).shape[1] == 3}
+        return {"Point Cloud": _check_cloud(pointclouds, "")}
+    return {k: _check_cloud(np.asarray(v), f"'{k}'")
+            for k, v in pointclouds.items()}
 
 
 def visualize_pointclouds_plotly(pointclouds: Union[dict, np.ndarray],
@@ -104,13 +114,21 @@ def visualize_pointclouds_plotly(pointclouds: Union[dict, np.ndarray],
     except ImportError:
         pass
 
-    # self-contained fallback: embed data + tiny canvas renderer
+    # self-contained fallback: embed data + tiny canvas renderer.
+    # Normalise JOINTLY (shared center/scale) so overlaid clouds — e.g. a
+    # full object plus its top-attention centers — stay spatially aligned,
+    # matching both plotly's shared axes and the colored-layer writer below.
+    if clouds:
+        all_pts = np.concatenate(list(clouds.values()), 0)
+        center = all_pts.mean(0, keepdims=True)
+        scale = np.abs(all_pts - center).max() + 1e-9
+    else:
+        center, scale = 0.0, 1.0
     data = []
     for name, pts in clouds.items():
-        pts = pts - pts.mean(0, keepdims=True)
-        scale = np.abs(pts).max() + 1e-9
         data.append({"name": name,
-                     "points": (pts / scale).reshape(-1).round(4).tolist()})
+                     "points": ((pts - center) / scale)
+                     .reshape(-1).round(4).tolist()})
     legend = "<br/>".join(
         f'<span class="sw" style="background:{_COLORS[i % len(_COLORS)]}"></span>{d["name"]}'
         for i, d in enumerate(data))
