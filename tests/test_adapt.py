@@ -69,14 +69,17 @@ def test_dota_update_predict(rng, clipw):
 
 
 def test_dota_prior(rng, clipw):
-    st = dota.init(1e-4, 1e-4, D, K, clipw, prior_pre_steps=10)
+    st = dota.init(1e-4, 1e-4, D, K, clipw)
     x = rng.standard_normal((B, D)).astype(np.float32)
     y = _soft_labels(rng)
     st = dota.fit(st, jnp.array(x), jnp.array(y))
     st = dota.update(st, 1e-4)
     base = np.asarray(dota.predict(st, jnp.array(x)))
     with_prior = np.asarray(dota.predict(st, jnp.array(x), prior_pre_steps=10))
-    prior = (y.sum(0, keepdims=True) + 10 / K) / (10 + 1)
+    # prior_step counts SAMPLES consumed (B per fit), so the cumulative
+    # soft-label mass (B per fit) and the denominator grow together — the
+    # prior stays a true average at any batch size (see dota.fit)
+    prior = (y.sum(0, keepdims=True) + 10 / K) / (10 + B)
     # scores are O(1e3) with σ=1e-4, so the fp32 difference carries ~1e-2
     # absolute rounding noise
     np.testing.assert_allclose(
@@ -256,6 +259,30 @@ def test_cache_insert_then_merge(rng, clipw):
     # merged prototype stays unit-norm
     norms = np.linalg.norm(np.asarray(st2.feats[2]), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_cache_merge_zero_confidence_stays_finite(rng, clipw):
+    """conf = exp(-150·normalized-entropy) underflows to exact fp32 zero for
+    near-uniform shots; a merge where BOTH the stored and incoming
+    confidences underflowed was 0/0 → a NaN prototype that poisoned every
+    later cache logit.  The merge must fall back to the count-weighted mean
+    and keep the whole pipeline finite."""
+    st = cache_mod.init(K, shot_capacity=1, feat_dim=D)
+    ent = jnp.float32(1.0)                        # conf = exp(-150) == 0.0
+    assert float(jnp.exp(-150.0 * ent)) == 0.0
+    prob = jnp.full((1, K), 1.0 / K, jnp.float32)
+    f0, f1 = _feat(rng), _feat(rng)
+    st, ins = cache_mod.update_cache(st, jnp.int32(2), f0, ent, prob, clipw)
+    st, merged = cache_mod.update_cache(st, jnp.int32(2), f1, ent, prob, clipw)
+    assert bool(ins) and not bool(merged)
+    proto = np.asarray(st.feats[2, 0])
+    assert np.all(np.isfinite(proto))
+    # count-weighted fallback mean, re-normalised
+    want = np.asarray((f0[0] + f1[0]) / 2.0)
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(proto, want, atol=1e-5)
+    out = np.asarray(cache_mod.compute_cache_logits(_feat(rng), st, 0.3, 0.11))
+    assert np.all(np.isfinite(out))
 
 
 def test_cache_merge_respects_logit_scale(rng, clipw):

@@ -114,6 +114,29 @@ def test_dota_state_counts(setup):
                                                                    rel=1e-4)
 
 
+def test_cache_path_rejects_axis_name(setup):
+    """The cache's insert-or-merge update has no collective form: a psum
+    step fn would silently produce divergent per-device caches.  The
+    precondition lives in make_step_fn itself, not only in the psum mesh
+    wrapper."""
+    model, *_ = setup
+    with pytest.raises(ValueError, match="additive"):
+        engine.make_step_fn(cfg_for("cache"), model, axis_name="dp")
+
+
+def test_cache_path_rejects_batch_gt1(setup):
+    """B>1 on the cache path would adapt on sample 0 only while scoring all
+    B (the reference's protocol is strictly batch-1) — trace-time error."""
+    model, params, text, pcs, rgbs, targets = setup
+    step = engine.make_step_fn(cfg_for("cache"), model)
+    state = engine.init_state(cfg_for("cache"), text, jax.random.PRNGKey(0))
+    b2 = (jnp.array(np.concatenate([pcs[0], pcs[1]])),
+          jnp.array(np.concatenate([rgbs[0], rgbs[1]])),
+          jnp.array(np.concatenate([targets[0], targets[1]])))
+    with pytest.raises(ValueError, match="batch_size=1"):
+        step(params, text, state, b2)
+
+
 def test_cache_fills(setup):
     model, params, text, pcs, rgbs, targets = setup
     cfg = cfg_for("cache")

@@ -499,8 +499,7 @@ def test_dota_prior_path_parity(ref):
     const = torch.full((D, K), 0.001)
     theirs = ref.dota.DOTA({"epsilon": EPS, "sigma": SIGMA}, D, K, const,
                            prior_pre_steps=100)
-    ours = our_dota.init(EPS, SIGMA, D, K, jnp.full((D, K), 0.001),
-                         prior_pre_steps=100)
+    ours = our_dota.init(EPS, SIGMA, D, K, jnp.full((D, K), 0.001))
     for t in range(6):
         theirs.fit(torch.tensor(feats[t]), torch.tensor(probs[t]))
         theirs.update()

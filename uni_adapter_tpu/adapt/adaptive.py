@@ -34,6 +34,10 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+# single home of the sigma >= 0.1 → 1/D auto-correction (the variants must
+# resolve the same effective sigma for the same config)
+from uni_adapter_tpu.adapt.mode_dota import resolve_sigma_init  # noqa: F401
+
 _HIGH = jax.lax.Precision.HIGHEST
 _FLOOR = 1e-8
 _PAD_VAR = 1e10   # huge variance on masked slots → -inf log-likelihood
@@ -48,10 +52,6 @@ class AdaptiveState(NamedTuple):
     class_counts: jax.Array  # (K,)
     t: jax.Array             # () int32
     fit_calls: jax.Array     # () int32
-
-
-def resolve_sigma_init(sigma_cfg: float, input_dim: int) -> float:
-    return 1.0 / input_dim if sigma_cfg >= 0.1 else sigma_cfg
 
 
 def init(epsilon: float, sigma: float, input_dim: int, num_classes: int,

@@ -100,9 +100,20 @@ def update_cache(state: CacheState, pred: jax.Array, pc_features: jax.Array,
         feat_c = s.feats[pred, m]
         conf_c = s.conf[pred, m]
         count_c = s.counts[pred, m]
-        # confidence-count-weighted running mean (Uni_Adapter.py:104-105)
-        new_feat = (conf_c * count_c * feat_c + confidence * feat) / (
-            count_c * conf_c + confidence)
+        # confidence-count-weighted running mean (Uni_Adapter.py:104-105).
+        # conf = exp(-β·entropy) underflows to exact fp32 zero past
+        # normalized entropy ~0.69 (β=150); when the matched prototype's
+        # stored conf AND the incoming confidence have both underflowed the
+        # reference's formula is 0/0 → a NaN prototype that poisons every
+        # later cache logit.  Fall back to the count-weighted mean in that
+        # regime (same guard family as _prototype_graph_logits below);
+        # any denom > 0 keeps the reference's exact weighting.
+        denom = count_c * conf_c + confidence
+        weighted = (conf_c * count_c * feat_c + confidence * feat) / \
+            jnp.where(denom > 0.0, denom, 1.0)
+        new_feat = jnp.where(
+            denom > 0.0, weighted,
+            (count_c * feat_c + feat) / (count_c + 1.0))
         new_feat = new_feat / (jnp.linalg.norm(new_feat) + 1e-12)
         logits = logit_scale * jnp.matmul(new_feat[None], clip_weights,
                                           precision=_HIGH)       # (1, K)

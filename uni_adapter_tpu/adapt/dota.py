@@ -12,7 +12,8 @@ state both unnecessary and less accurate.
 
 The sufficient statistics of `fit` (weighted sums and counts) are additive,
 so cross-device `psum` of (Σy, Σyᵀx, Δ) gives exact multi-chip streaming
-updates (SURVEY.md §5.8) — see parallel/collective.py.
+updates (SURVEY.md §5.8) — see `fit(axis_name=...)` below and
+parallel/mesh.run_stream_psum.
 """
 from __future__ import annotations
 
@@ -34,8 +35,7 @@ class DOTAState(NamedTuple):
 
 
 def init(epsilon: float, sigma: float, input_dim: int, num_classes: int,
-         clip_weights: jax.Array, prior_pre_steps: Optional[int] = None
-         ) -> DOTAState:
+         clip_weights: jax.Array) -> DOTAState:
     """Initialise DOTA state.
 
     Mirrors dota.py:20-37: mu from clip_weights.T, counts 1, per-class
@@ -73,6 +73,7 @@ def fit(state: DOTAState, x: jax.Array, y: jax.Array,
     y = y.astype(jnp.float32)
     sum_w = jnp.sum(y, axis=0)                                   # (K,)
     weighted_x = jnp.matmul(y.T, x, precision=_HIGH)             # (K, D)
+    n_fit = jnp.asarray(x.shape[0], jnp.int32)                   # ()
 
     delta = None
     if streaming_update_sigma:
@@ -82,7 +83,8 @@ def fit(state: DOTAState, x: jax.Array, y: jax.Array,
                            precision=_HIGH)                      # (K, D, D)
 
     if axis_name is not None:
-        sum_w, weighted_x = jax.lax.psum((sum_w, weighted_x), axis_name)
+        sum_w, weighted_x, n_fit = jax.lax.psum(
+            (sum_w, weighted_x, n_fit), axis_name)
         if delta is not None:
             delta = jax.lax.psum(delta, axis_name)
 
@@ -95,10 +97,17 @@ def fit(state: DOTAState, x: jax.Array, y: jax.Array,
         denom = (state.c + sum_w)[:, None, None]
         sigma = (state.c[:, None, None] * sigma + delta) / denom
 
+    # The reference increments prior_step by 1 per fit CALL and adds y with
+    # a (1,K)+(B,K) broadcast (dota.py:45-46) — coherent only at the
+    # protocol's B=1.  We sum y over the batch (see predict's note), so the
+    # step counter tracks the SAMPLES consumed (psum-merged above): at B=1
+    # both accountings are identical, and at B>1 / multi-device the prior
+    # stays a true average instead of drowning the uniform pseudo-counts
+    # B× (prior mass grows by B per fit, the reference's denominator by 1).
     cum = state.cum_soft_labels + sum_w[None, :]
     return state._replace(mu=new_mu, c=new_c, sigma=sigma,
                           cum_soft_labels=cum,
-                          prior_step=state.prior_step + 1)
+                          prior_step=state.prior_step + n_fit)
 
 
 def update(state: DOTAState, epsilon: float) -> DOTAState:

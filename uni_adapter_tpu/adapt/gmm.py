@@ -22,6 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from uni_adapter_tpu.adapt.mode_dota import resolve_sigma_init
+
 _HIGH = jax.lax.Precision.HIGHEST
 _FLOOR = 1e-8
 
@@ -51,7 +53,7 @@ def init(epsilon: float, sigma: float, input_dim: int, num_classes: int,
     """
     del epsilon
     K, M, D = num_classes, num_modes, input_dim
-    sigma_init = 1.0 / D if sigma >= 0.1 else sigma
+    sigma_init = resolve_sigma_init(sigma, D)
     cw = jnp.asarray(clip_weights, jnp.float32)
     if cw.shape == (D, K):
         base = cw.T

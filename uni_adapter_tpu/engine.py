@@ -116,8 +116,7 @@ def init_state(cfg: Config, text_features_initial: jax.Array,
         # The reference initialises DOTA's mu from a constant 0.001 matrix
         # rather than the text anchors (Uni_Adapter.py:329-330) — reproduced.
         const = jnp.full((D, K), 0.001, jnp.float32)
-        ms: Any = dota.init(dc.epsilon, dc.sigma, D, K, const,
-                            prior_pre_steps=dc.prior_pre_steps)
+        ms: Any = dota.init(dc.epsilon, dc.sigma, D, K, const)
     elif dc.use_mode_dota:
         ms = mode_dota.init(dc.epsilon, dc.sigma, D, K,
                             text_features_initial.T, num_modes=dc.mode_M)
@@ -155,6 +154,19 @@ def make_step_fn(cfg: Config, model,
     encode = encode_fn if encode_fn is not None else \
         make_encode_fn(cfg, model)
     dc, cc = cfg.dota, cfg.cache
+    is_cache_path = not (dc.use_dota or dc.use_mode_dota or dc.use_gmm_dota
+                         or dc.use_adaptive_dota)
+    if axis_name is not None and is_cache_path:
+        # the DOTA-family fits psum-merge their additive sufficient
+        # statistics, but the prototype cache's insert-or-merge update is
+        # order-dependent and has no collective form — a psum step would
+        # silently produce divergent per-device caches (same precondition
+        # parallel/mesh.run_stream_psum enforces; use dist_mode='sharded')
+        raise ValueError(
+            "axis_name requires an adaptation method with additive "
+            "sufficient statistics (DOTA family); the prototype cache "
+            "cannot be psum-merged — run it sharded (independent "
+            "per-device state) instead")
     use_res = dc.use_mode_dota and dc.res_learning
     res_opt = residual.make_optimizer(dc.residual_lr) if use_res else None
 
@@ -298,6 +310,15 @@ def make_step_fn(cfg: Config, model,
                 fix_normalization=dc.fix_fusion_normalization)
 
         else:
+            if pc.shape[0] != 1:
+                # the cache protocol is strictly batch-1 (the reference's
+                # get_logits_wrapper coerces pred to a Python int,
+                # Uni_Adapter.py:72): with B>1 only sample 0 would enter
+                # the cache while all B are scored against it — reject at
+                # trace time rather than silently degrade
+                raise ValueError(
+                    f"the prototype-cache path requires batch_size=1 "
+                    f"(got {pc.shape[0]}); see adapt/cache.py docstring")
             prop_ent = normalized_entropy(ent, K)[0]
             ms, _ = cache_mod.update_cache(
                 state.method_state, pred, feat[:1], prop_ent, prob_map[:1],

@@ -3,7 +3,9 @@
 Rebuild of the reference's utils/utils.py:103-167 (AverageMeter,
 ProgressMeter, accuracy) with a jit-friendly top-k correctness kernel; the
 distributed synchronisation that `scaled_all_reduce` provided
-(utils/utils.py:71-84) is a `psum` in parallel/collective.py.
+(utils/utils.py:71-84) is a `psum` inside the jitted programs of
+parallel/mesh.py (summary counters) and the adapt modules'
+`fit(axis_name=...)`.
 """
 from __future__ import annotations
 
