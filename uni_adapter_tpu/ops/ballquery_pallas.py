@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from uni_adapter_tpu.ops.knn_pallas import sqdist_plane
+
 _HIGH = jax.lax.Precision.HIGHEST
 
 
@@ -39,13 +41,7 @@ def _ballquery_kernel(nsample: int, n_real: int, r2: float,
     x = x_ref[0]
     S, N = q_ref.shape[1], x_ref.shape[2]
 
-    cross = jax.lax.dot_general(
-        q, x, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_HIGH, preferred_element_type=jnp.float32)   # (S, N)
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)
-    x2 = jnp.sum(x * x, axis=0, keepdims=True)
-    d = q2 + x2 - 2.0 * cross
-    lane = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
+    d, lane = sqdist_plane(q, x)
     # strict `>` exclusion matches the twin's `sqd > r²` masking; padded
     # lanes are never in-ball
     in_ball = jnp.logical_and(d <= r2, lane < n_real)

@@ -38,6 +38,28 @@ from jax.experimental.pallas import tpu as pltpu
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def sqdist_plane(q, x):
+    """(S, N) squared-distance plane |q − x|² plus the (S, N) lane iota.
+
+    The single home of the numerics-sensitive expansion shared by the kNN,
+    fused-gather, and ball-query kernels (ops/ballquery_pallas.py imports
+    it): cross term on the MXU at HIGHEST precision with fp32 accumulate;
+    the zero-padded channel rows/cols contribute exact zeros to every term.
+
+    Args:
+      q: (S, 8) query xyz, channels zero-padded 3→8.
+      x: (8, N) points transposed, channel rows zero-padded.
+    """
+    cross = jax.lax.dot_general(
+        q, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_HIGH, preferred_element_type=jnp.float32)   # (S, N)
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)                 # (S, 1)
+    x2 = jnp.sum(x * x, axis=0, keepdims=True)                 # (1, N)
+    d = q2 + x2 - 2.0 * cross
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    return d, lane
+
+
 def _knn_kernel(k: int, n_real: int, q_ref, x_ref, out_ref):
     # q_ref: (1, S, 8) query xyz (channels zero-padded 3→8)
     # x_ref: (1, 8, N) points, transposed (channel rows zero-padded)
@@ -49,15 +71,8 @@ def _knn_kernel(k: int, n_real: int, q_ref, x_ref, out_ref):
     x = x_ref[0]                                     # (8, N)
     S, N = q_ref.shape[1], x_ref.shape[2]
 
-    # |q − x|² expansion, all in VMEM.  The zero-padded channel rows/cols
-    # contribute exact zeros to every term.
-    cross = jax.lax.dot_general(
-        q, x, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_HIGH, preferred_element_type=jnp.float32)   # (S, N)
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)                 # (S, 1)
-    x2 = jnp.sum(x * x, axis=0, keepdims=True)                 # (1, N)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
-    d = q2 + x2 - 2.0 * cross
+    # |q − x|² expansion, all in VMEM
+    d, lane = sqdist_plane(q, x)
     # padded lanes (n_real ≤ lane < N) must never win a min
     d_i = jnp.where(lane < n_real, d, jnp.inf)
 
@@ -89,13 +104,7 @@ def _knn_gather_kernel(k: int, n_real: int, q_ref, x_ref, v_ref,
     v = v_ref[0]                                     # (N, 8) gather values
     S, N = q_ref.shape[1], x_ref.shape[2]
 
-    cross = jax.lax.dot_general(
-        q, x, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_HIGH, preferred_element_type=jnp.float32)   # (S, N)
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)
-    x2 = jnp.sum(x * x, axis=0, keepdims=True)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
-    d = q2 + x2 - 2.0 * cross
+    d, lane = sqdist_plane(q, x)
     d_i = jnp.where(lane < n_real, d, jnp.inf)
 
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (S, k), 1)

@@ -52,6 +52,11 @@ def shard_stream(pcs: np.ndarray, rgbs: np.ndarray, targets: np.ndarray,
     """Split a (T, B, ...) stream into (n_shards, T//n_shards, B, ...)
     contiguous per-device shards, truncating the remainder."""
     T = (pcs.shape[0] // n_shards) * n_shards
+    if T == 0:
+        raise ValueError(
+            f"stream of {pcs.shape[0]} steps is shorter than the "
+            f"{n_shards}-device mesh — sharding would truncate to zero "
+            f"steps (NaN accuracies); run unsharded or shrink the mesh")
     def r(a):
         return np.asarray(a)[:T].reshape(n_shards, T // n_shards,
                                          *a.shape[1:])
@@ -78,8 +83,11 @@ def run_stream_sharded(cfg: Config, model, params, text_features_initial,
         state, outs = scan_fn(params, text, state, pc_shard[0], rgb_shard[0],
                               tgt_shard[0])
         correct = jax.lax.psum(jnp.sum(outs.correct, axis=0), axis)
+        # correct is psum-replicated — emit it with a replicated out_spec
+        # (P()); a P(axis)-sharded copy could not be fetched on a
+        # multi-host mesh (non-addressable devices)
         return (jax.tree.map(lambda x: x[None], state),
-                correct[None], outs.final_logits[None])
+                correct, outs.final_logits[None])
 
     # distinct PRNG per shard (matches the reference's seed+rank offset,
     # main_test-time.py:18-23)
@@ -94,11 +102,11 @@ def run_stream_sharded(cfg: Config, model, params, text_features_initial,
     shard_fn = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+        out_specs=(P(axis), P(), P(axis)), check_vma=False))
     states, correct, logits = shard_fn(params, text_features_initial,
                                        jnp.asarray(pcs_s), jnp.asarray(rgbs_s),
                                        jnp.asarray(targets_s), rngs)
-    correct = np.asarray(correct)[0]  # psum ⇒ identical on every shard
+    correct = np.asarray(correct)  # psum ⇒ replicated, host-fetchable
     n_samples = T * pcs.shape[1]
     summary = {"acc1": 100.0 * correct[0] / n_samples,
                "acc3": 100.0 * correct[1] / n_samples,
@@ -140,12 +148,16 @@ def run_streams_sharded(cfg: Config, model, params, text_features_initial,
         st, outs = scan_fn(params, text, states, tf(pcs_c), tf(rgbs_c),
                            tf(tgts_c))
         correct = jnp.sum(outs.correct, axis=0)          # (C/n, 3)
+        # gather the tiny (C/n, 3) counters so they come back replicated
+        # (host-fetchable on a multi-host mesh); device order == stream
+        # order, so the reshape recovers the (C, 3) layout exactly
+        correct = jax.lax.all_gather(correct, axis).reshape(-1, 3)
         return st, correct
 
     body_fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)), check_vma=False))
+        out_specs=(P(axis), P()), check_vma=False))
     states_f, correct = body_fn(params, text_features_initial, states,
                                 jnp.asarray(pcs), jnp.asarray(rgbs),
                                 jnp.asarray(targets))
@@ -181,6 +193,11 @@ def run_stream_psum(cfg: Config, model, params, text_features_initial,
     axis = mesh.axis_names[0]
     n = mesh.devices.size
     T = (pcs.shape[0] // n) * n
+    if T == 0:
+        raise ValueError(
+            f"stream of {pcs.shape[0]} steps is shorter than the "
+            f"{n}-device mesh — psum regrouping would truncate to zero "
+            f"steps (NaN accuracies); run unsharded or shrink the mesh")
     B = pcs.shape[1]
 
     def regroup(a):

@@ -54,14 +54,20 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def stack_trunk_flat(trunk_params: dict, depth: int, fmt: str = "blocks_{}"):
+    """Stack per-block param trees `fmt.format(i)` into flat (depth, ...)
+    leaves (the layer-scanned layout parallel/sp.py consumes directly)."""
+    blocks = [trunk_params[fmt.format(i)] for i in range(depth)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
 def stack_trunk_params(trunk_params: dict, depth: int, n_stages: int,
                        fmt: str = "blocks_{}"):
     """Stack per-block param trees `fmt.format(i)` into leaves of shape
     (n_stages, depth // n_stages, ...)."""
     if depth % n_stages:
         raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
-    blocks = [trunk_params[fmt.format(i)] for i in range(depth)]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    stacked = stack_trunk_flat(trunk_params, depth, fmt)
     return jax.tree.map(
         lambda a: a.reshape(n_stages, depth // n_stages, *a.shape[1:]),
         stacked)

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from uni_adapter_tpu.parallel.pp import (
-    _make_pp_train_step, ring_perm, stack_trunk_params, ulip_post,
+    _make_pp_train_step, ring_perm, stack_trunk_flat, ulip_post,
     ulip_pre, uni3d_post, uni3d_pre)
 
 _NEG = -1e30   # finite -inf stand-in: exp(_NEG - m) == 0, no NaN from inf-inf
@@ -233,8 +233,7 @@ def _make_sp_forward(model, mesh: Mesh, seq_axis: str, block_body, pre,
 
 def _prepare(params_trunk_key, mesh, depth, params, fmt="blocks_{}"):
     trunk = params["params"][params_trunk_key]
-    stacked = stack_trunk_params(trunk, depth, 1, fmt=fmt)
-    stacked = jax.tree.map(lambda a: a[0], stacked)   # (L, ...) flat stack
+    stacked = stack_trunk_flat(trunk, depth, fmt=fmt)  # (L, ...) flat stack
     rep = NamedSharding(mesh, P())
     put = lambda t: jax.device_put(t, jax.tree.map(lambda _: rep, t))
     return put(stacked), trunk

@@ -54,11 +54,13 @@ def _spec_for(path_names, leaf, axis: str):
     in_mlp = "mlp" in names or "ff" in names
 
     # column-sharded producers: out-features split over the model axis
+    # (llama naming: w1 = gate and w3 = up are producers; w2 = down is the
+    # row-sharded consumer)
     col = parent in ("q_proj", "k_proj", "v_proj", "qkv", "fc1", "fc1_g",
-                     "fc1_x", "w1", "w2", "w12", "gate")
+                     "fc1_x", "w1", "w3", "w12", "gate")
     # row-sharded consumers: in-features split, output all-reduced
     row = (in_attn and parent in ("proj", "out", "out_proj")) or \
-          (in_mlp and parent in ("fc2", "w3", "down"))
+          (in_mlp and parent in ("fc2", "w2", "down"))
 
     if is_kernel and (in_attn or in_mlp):
         if col and leaf.ndim == 2:
