@@ -55,6 +55,15 @@ def test_random_config_stays_finite(case):
     text /= np.linalg.norm(text, axis=1, keepdims=True)
     targets = rng.integers(0, K, (T, B)).astype(np.int32)
 
+    if case["method"] == "cache" and B > 1:
+        # the cache protocol is strictly batch-1; the engine rejects B>1 at
+        # trace time rather than silently adapting on sample 0 only
+        with pytest.raises(ValueError, match="batch_size=1"):
+            engine.run_stream_scan(
+                cfg, model, params, jnp.asarray(text), jnp.asarray(pcs),
+                jnp.asarray(np.ones_like(pcs)), jnp.asarray(targets))
+        return
+
     state, outs = engine.run_stream_scan(
         cfg, model, params, jnp.asarray(text), jnp.asarray(pcs),
         jnp.asarray(np.ones_like(pcs)), jnp.asarray(targets))
