@@ -64,6 +64,25 @@ def test_iter_batches_order(tmp_path):
         np.testing.assert_array_equal(pc[0], np.asarray(d.data[i]))
 
 
+def test_iter_batches_ragged_resampling():
+    """Ragged object-array data stacks into batch_size>1 batches once
+    npoints is given (same resample-with-replacement convention as
+    as_arrays); without npoints ragged batching cannot stack."""
+    rng = np.random.default_rng(0)
+    ragged = np.empty(4, object)
+    for i, n in enumerate((40, 50, 32, 50)):
+        ragged[i] = rng.standard_normal((n, 3)).astype(np.float32)
+    d = ds.TTADataset(ragged, np.zeros(4, np.int64), ["thing"])
+    batches = list(d.iter_batches(batch_size=2, npoints=32))
+    assert len(batches) == 2
+    for pc, rgb, lab in batches:
+        assert pc.shape == (2, 32, 3) and rgb.shape == (2, 32, 3)
+    # the 32-point cloud passes through unresampled, in dataset order
+    np.testing.assert_array_equal(batches[1][0][0], np.asarray(ragged[2]))
+    with pytest.raises(ValueError):
+        list(d.iter_batches(batch_size=2))
+
+
 def test_as_arrays_resampling():
     d = ds.make_synthetic("modelnet", n_samples=6, npoints=50)
     pcs, rgbs, labs = d.as_arrays(batch_size=1, npoints=32)

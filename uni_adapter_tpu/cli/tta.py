@@ -160,7 +160,10 @@ def main(argv=None):
                     seed=cfg.run.seed)
             elif not cfg.run.use_scan:
                 res = engine.run_stream(cfg, model, params, text,
-                                        dataset.iter_batches(cfg.data.batch_size),
+                                        dataset.iter_batches(
+                                            cfg.data.batch_size,
+                                            npoints=cfg.data.npoints,
+                                            seed=cfg.run.seed),
                                         seed=cfg.run.seed,
                                         print_freq=cfg.run.print_freq,
                                         step_fn=step_fn)

@@ -115,14 +115,28 @@ class TTADataset:
         rgb = np.ones_like(pc, dtype=np.float32)
         return pc, label, self.class_names[label], rgb
 
-    def iter_batches(self, batch_size: int = 1) -> Iterator[tuple]:
+    def iter_batches(self, batch_size: int = 1,
+                     npoints: Optional[int] = None,
+                     seed: int = 42) -> Iterator[tuple]:
         """Yield (pc (B,N,3), rgb (B,N,3), label (B,)) numpy batches in
         dataset order (shuffle=False — online TTA is order-dependent,
-        main_test-time.py:81)."""
+        main_test-time.py:81).
+
+        With `npoints` set, clouds whose point count differs are resampled
+        with replacement (same convention as as_arrays / the reference,
+        tta_datasets.py:228-230).  Pass it for ragged object-array data:
+        without it, batch_size>1 cannot stack ragged clouds, and even at
+        batch_size=1 every distinct point count costs a jit recompile."""
+        rng = np.random.default_rng(seed)
         for s in range(0, len(self), batch_size):
             items = [self[i] for i in range(s, min(s + batch_size, len(self)))]
-            yield (np.stack([it[0] for it in items]),
-                   np.stack([it[3] for it in items]),
+            pcs = [it[0] for it in items]
+            if npoints is not None:
+                pcs = [pc if pc.shape[0] == npoints else
+                       pc[rng.choice(pc.shape[0], npoints, replace=True)]
+                       for pc in pcs]
+            yield (np.stack(pcs),
+                   np.stack([np.ones_like(pc) for pc in pcs]),
                    np.array([it[1] for it in items], np.int32))
 
     def as_arrays(self, batch_size: int = 1,

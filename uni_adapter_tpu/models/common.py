@@ -125,6 +125,27 @@ def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def _attn_probs(q, k, scale, mask=None, bias=None):
+    """The softmax map _attend applies, recomputed for extraction
+    (return_attn): mirrors _attend's logit storage exactly — bf16 compute
+    rounds the stored qk logits before the fp32 softmax — so the extracted
+    maps match the attention actually applied, up to _attend's final cast
+    of the probabilities to the value dtype.  (In use_pallas mode the
+    kernel computes its logits at fp32, i.e. like fp32 compute here.)"""
+    if q.dtype == jnp.bfloat16:
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+    else:
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32)
+    s = s.astype(jnp.float32)
+    if bias is not None:
+        s = s + bias
+    s = s * scale
+    if mask is not None:
+        s = s + mask
+    return jax.nn.softmax(s, axis=-1)
+
+
 class ViTAttention(nn.Module):
     """Fused-qkv multi-head attention (Point-BERT / PPTA / CLIP-text style)."""
     dim: int
@@ -151,16 +172,7 @@ class ViTAttention(nn.Module):
         if self.project_out:
             out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         if return_attn:
-            # mirror _attend exactly: (qk + bias)·scale + mask, so the
-            # extracted maps match the attention actually applied
-            s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                           preferred_element_type=jnp.float32)
-            if attn_bias is not None:
-                s = s + attn_bias
-            s = s * scale
-            if mask is not None:
-                s = s + mask
-            return out, jax.nn.softmax(s, axis=-1)
+            return out, _attn_probs(q, k, scale, mask, attn_bias)
         return out
 
 
@@ -196,10 +208,7 @@ class EvaAttention(nn.Module):
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, self.dim)
         out = dense(self.dim, dtype=self.dtype, name="proj")(out)
         if return_attn:
-            attn = jax.nn.softmax(
-                jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                           preferred_element_type=jnp.float32) * scale, axis=-1)
-            return out, attn
+            return out, _attn_probs(q, k, scale)
         return out
 
 

@@ -31,15 +31,6 @@ from uni_adapter_tpu.ops.geometry import group_points, knn_point
 _HIGH = jax.lax.Precision.HIGHEST
 
 
-class GroupNormLayer(nn.Module):
-    groups: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
-
-
 def graph_feature(coor: jax.Array, x: jax.Array, k: int = 4) -> jax.Array:
     """Center-relative kNN graph features (dvae.py:53-73 get_graph_feature).
 
@@ -73,14 +64,16 @@ class DGCNN(nn.Module):
             g = graph_feature(coor, f)                      # (B, G, k, 2C)
             g = nn.Dense(ch, use_bias=False, dtype=self.dtype,
                          name=f"layer{i + 1}")(g)
-            g = GroupNormLayer(4, dtype=self.dtype,
-                               name=f"gn{i + 1}")(g)
+            # inline GroupNorm keeps the param path flat (gn1/scale), the
+            # contiguous-suffix form loader._suffix_match can overlay
+            g = nn.GroupNorm(num_groups=4, dtype=self.dtype,
+                             name=f"gn{i + 1}")(g)
             f = jnp.max(act(g), axis=2)                     # (B, G, ch)
             feats.append(f)                                 # 256+512+512+1024
         f = jnp.concatenate(feats, axis=-1)                 # (B, G, 2304)
         f = nn.Dense(self.output_channel, use_bias=False, dtype=self.dtype,
                      name="layer5")(f)
-        f = GroupNormLayer(4, dtype=self.dtype, name="gn5")(f)
+        f = nn.GroupNorm(num_groups=4, dtype=self.dtype, name="gn5")(f)
         return act(f)
 
 

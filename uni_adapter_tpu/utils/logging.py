@@ -24,9 +24,11 @@ def setup_logging(log_file: Optional[str] = None,
         fmt = f"%(asctime)s | host{jax.process_index()} | %(levelname)s | %(message)s"
     formatter = logging.Formatter(fmt, datefmt="%Y-%m-%d,%H:%M:%S")
 
-    # replace stale handlers on repeated setup (per-corruption runs)
+    # replace stale handlers on repeated setup (per-corruption runs);
+    # close them too or every setup leaks an open log-file descriptor
     for h in list(logger.handlers):
         logger.removeHandler(h)
+        h.close()
 
     if jax.process_index() == 0:
         sh = logging.StreamHandler(sys.stdout)

@@ -86,11 +86,11 @@ class DeviceTimer:
         self._sync_leaf = sync_leaf
 
     def timed(self, fn, *args, **kwargs):
+        from uni_adapter_tpu.utils.profiling import fetch_sync
+
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        leaf = (self._sync_leaf(out) if self._sync_leaf
-                else jax.tree.leaves(out)[0])
-        np.asarray(jax.device_get(leaf))
+        fetch_sync(out, self._sync_leaf)
         self.times_ms.append((time.perf_counter() - t0) * 1e3)
         return out
 

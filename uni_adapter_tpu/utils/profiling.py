@@ -22,6 +22,19 @@ import jax
 import numpy as np
 
 
+def fetch_sync(out, sync_leaf=None) -> None:
+    """Device→host fetch of a small output leaf — the only true execution
+    barrier on tunneled devices (see module docstring).  The single home of
+    the barrier idiom, shared with utils.metrics.DeviceTimer.
+
+    Args:
+      sync_leaf: callable mapping the output pytree to a SMALL array to
+        fetch (default: its first leaf).
+    """
+    leaf = sync_leaf(out) if sync_leaf else jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf))
+
+
 def fetch_synced_time(fn: Callable, *args, sync_leaf=None, repeats: int = 1,
                       **kwargs):
     """Run fn and time it with a fetch-based sync.
@@ -33,15 +46,12 @@ def fetch_synced_time(fn: Callable, *args, sync_leaf=None, repeats: int = 1,
       (last_output, seconds_per_call)
     """
     out = fn(*args, **kwargs)           # warm (compile) — not timed
-    leaf = (sync_leaf(out) if sync_leaf
-            else jax.tree.leaves(out)[0])
-    np.asarray(leaf)
+    fetch_sync(out, sync_leaf)
 
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = fn(*args, **kwargs)
-    leaf = (sync_leaf(out) if sync_leaf else jax.tree.leaves(out)[0])
-    np.asarray(leaf)
+    fetch_sync(out, sync_leaf)
     return out, (time.perf_counter() - t0) / repeats
 
 
