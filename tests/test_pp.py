@@ -517,3 +517,59 @@ def test_pp_rejects_indivisible_batch():
     prepare, fwd = pp.make_pp_forward_uni3d(model, mesh, n_micro=2)
     with pytest.raises(ValueError, match="not divisible"):
         fwd(prepare(params), pc)
+
+
+# ---------------------------------------------------------------------------
+# ring payload: per-microbatch constants must not rotate
+# ---------------------------------------------------------------------------
+
+def _count_ppermutes(jaxpr):
+    """Recursively count ppermute eqns in a (Closed)Jaxpr."""
+    jaxpr = getattr(jaxpr, "jaxpr", jaxpr)
+    n = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "ppermute":
+            n += 1
+        for v in eqn.params.values():
+            for sub in (v if isinstance(v, (tuple, list)) else (v,)):
+                if hasattr(sub, "eqns") or hasattr(sub, "jaxpr"):
+                    n += _count_ppermutes(sub)
+    return n
+
+
+@pytest.mark.parametrize("interleave", [1, 2])
+def test_ulip_ring_rotates_activations_only(interleave):
+    """ULIP's pos embedding is a per-microbatch constant: stages re-take it
+    locally from the replicated store (extras path), so the traced program
+    must contain exactly ONE ppermute — the activation rotation — not two.
+    Rotating (x, pos) would double the ring payload for no information."""
+    mesh = _mesh(2)
+    model = _ulip(4)
+    rng = np.random.default_rng(3)
+    pc = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc)
+    prepare, fwd = pp.make_pp_forward_ulip(model, mesh, n_micro=2,
+                                           jit=False, interleave=interleave)
+    jaxpr = jax.make_jaxpr(fwd)(prepare(params), pc)
+    assert _count_ppermutes(jaxpr) == 1
+
+
+@pytest.mark.parametrize("rel_pe", [False, True])
+def test_openshape_ring_rotates_activations_only(rel_pe):
+    """With rel_pe, the (B, S+1, S+1, 3) centroid-delta tensor dwarfs the
+    activations at scale — it must be re-taken locally, never ppermuted."""
+    from uni_adapter_tpu.models.ppta import PPTAPreset, Projected
+
+    mesh = _mesh(2)
+    preset = PPTAPreset(dim=48, depth=4, heads=4, mlp_dim=96, sa_dim=24,
+                        patches=16, prad=0.4, nsamp=8)
+    model = Projected(preset=preset, out_channel=32, rel_pe=rel_pe,
+                      dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    xyz = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    features = jnp.concatenate([xyz, jnp.ones_like(xyz)], axis=-1)
+    params = model.init(jax.random.PRNGKey(0), xyz, features)
+    prepare, fwd = pp.make_pp_forward_openshape(model, mesh, n_micro=2,
+                                                jit=False)
+    jaxpr = jax.make_jaxpr(fwd)(prepare(params), xyz, features)
+    assert _count_ppermutes(jaxpr) == 1

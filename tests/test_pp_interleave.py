@@ -81,6 +81,16 @@ def test_schedule_invariants(S, V, M):
                 occupied[rs] = True
         assert not occupied.any(), "slots left occupied at drain"
 
+    # cmp_m (drives the local extras re-take): active exactly on busy
+    # ticks, and each device computes every (chunk, microbatch) pair once
+    for s in range(S):
+        active = (sched.inj_m[:, s] >= 0) | (sched.cmp_slot[:, s] != trash)
+        np.testing.assert_array_equal(sched.cmp_m[:, s] >= 0, active)
+        pairs = sorted(
+            (int(sched.cmp_chunk[t, s]), int(sched.cmp_m[t, s]))
+            for t in range(sched.ticks) if sched.cmp_m[t, s] >= 0)
+        assert pairs == sorted((v, m) for v in range(V) for m in range(M))
+
 
 def test_schedule_property_sweep():
     """Randomized sweep over (S, V, M) including the S=1 / V=1 / M=1 edges:

@@ -35,12 +35,16 @@ tests/test_pp.py and tests/test_sp.py assert on every run, so drift cannot
 land silently; the restatement buys pipelining without threading a
 block-boundary API through the flax modules.
 
-The carry through the pipeline is a pytree, not a single array — ULIP's
-Point-BERT re-adds the positional embedding at every block (reference
-models/ulip/pointbert/point_encoder.py:95-98), so its carry is (x, pos);
-PPTA with rel_pe carries the centroid-delta tensor every block recomputes
-its attention bias from (reference models/openshape/ppta.py:50-59).
-Builders cover all three backbones.
+Some blocks consume per-microbatch CONSTANTS besides the activations —
+ULIP's Point-BERT re-adds the positional embedding at every block
+(reference models/ulip/pointbert/point_encoder.py:95-98); PPTA with
+rel_pe recomputes every block's attention bias from the centroid-delta
+tensor (reference models/openshape/ppta.py:50-59).  Those constants do
+NOT ride the ring: the microbatch store is replicated into the shard_map
+anyway, and the in-flight microbatch index is derivable (m = t − idx for
+GPipe; a schedule table for the interleaved executor), so each stage
+re-takes its extras locally (`micro_extras`) — only the activations
+ppermute.  Builders cover all three backbones.
 """
 from __future__ import annotations
 
@@ -114,19 +118,29 @@ def ring_perm(n_stages: int):
 
 
 def _pipeline(block_apply: Callable, local_blocks, micro_carry,
-              n_stages: int, axis: str):
+              n_stages: int, axis: str, micro_extras=None):
     """GPipe schedule; runs inside shard_map over `axis`.
 
     local_blocks: this stage's (L/S, ...) stacked block params.
     micro_carry: replicated pytree with leading (n_micro, Bm, ...) axes.
+    micro_extras: optional replicated pytree of per-microbatch CONSTANTS
+    (same leading axes) that every block consumes but never transforms —
+    ULIP's positional embedding, PPTA's rel-pe centroid deltas.  These do
+    NOT ride the ring: at tick t, device s holds the microbatch injected
+    at tick t−s, so it re-takes extras[t−s] locally from the replicated
+    store instead of receiving them via ppermute (micro_carry is already
+    replicated into the shard_map, so this is free).  With extras,
+    block_apply is called as block_apply(p, carry, extras).
     Returns the pytree after all L blocks, same leading axes.
     """
     idx = jax.lax.axis_index(axis)
     n_micro = jax.tree.leaves(micro_carry)[0].shape[0]
 
-    def stage_fn(carry):
+    def stage_fn(carry, extras):
         def blk(c, p):
-            return block_apply(p, c), None
+            if micro_extras is None:
+                return block_apply(p, c), None
+            return block_apply(p, c, extras), None
         carry, _ = jax.lax.scan(blk, carry, local_blocks)
         return carry
 
@@ -139,7 +153,14 @@ def _pipeline(block_apply: Callable, local_blocks, micro_carry,
         inject = take_micro(micro_carry, jnp.clip(t, 0, n_micro - 1))
         buf = jax.tree.map(lambda i_, b: jnp.where(idx == 0, i_, b),
                            inject, buf)
-        buf = stage_fn(buf)
+        extras = None
+        if micro_extras is not None:
+            # the microbatch in flight here is m = t − idx (out-of-window
+            # ticks compute on dead buffers that never reach the output,
+            # so the clip is harmless)
+            extras = take_micro(micro_extras,
+                                jnp.clip(t - idx, 0, n_micro - 1))
+        buf = stage_fn(buf, extras)
         m = t - (n_stages - 1)
         write = (idx == n_stages - 1) & (m >= 0) & (m < n_micro)
         mc = jnp.clip(m, 0, n_micro - 1)
@@ -174,7 +195,8 @@ def _merge_micro(tree):
 def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
                      n_micro: int, block_apply, pre, post,
                      data_axis: Optional[str] = None, jit: bool = True,
-                     tp_axis: Optional[str] = None, interleave: int = 1):
+                     tp_axis: Optional[str] = None, interleave: int = 1,
+                     has_extras: bool = False):
     """Assemble the jitted PP forward from per-model pre/block/post fns.
 
     pre/post run replicated on every device (they are a negligible weight
@@ -187,6 +209,15 @@ def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
     axis stays automatic — each stage's block matrices carry their
     Megatron shardings (parallel/tp.py specs) and GSPMD inserts the
     per-block all-reduces over `tp_axis` inside the pipeline body.
+
+    With `has_extras`, `pre` returns (carry, extras) and `block_apply` is
+    called as block_apply(p, carry, extras): the extras pytree holds
+    per-microbatch constants every block reads but never transforms
+    (ULIP's pos embedding, PPTA's rel-pe deltas).  They are NOT rotated
+    through the ring — the executors re-take them locally from the
+    replicated store by the in-flight microbatch index, which halves
+    ULIP's ring payload and removes PPTA's (B, S+1, S+1, 3) delta
+    rotation entirely.  `post` receives the rotating carry only.
     """
     carry_spec = P(None, data_axis) if data_axis else P()
 
@@ -195,27 +226,35 @@ def _make_pp_forward(mesh: Mesh, stage_axis: str, n_stages: int,
             build_interleaved_schedule, pipeline_interleaved)
         sched = build_interleaved_schedule(n_stages, interleave, n_micro)
 
-        def pipe_body(stacked_local, micro_carry):
+        def pipe_body(stacked_local, micro_carry, micro_extras=None):
             local = jax.tree.map(lambda a: a[0], stacked_local)
             return pipeline_interleaved(block_apply, local, micro_carry,
-                                        sched, stage_axis)
+                                        sched, stage_axis,
+                                        micro_extras=micro_extras)
     else:
-        def pipe_body(stacked_local, micro_carry):
+        def pipe_body(stacked_local, micro_carry, micro_extras=None):
             local = jax.tree.map(lambda a: a[0], stacked_local)
             return _pipeline(block_apply, local, micro_carry, n_stages,
-                             stage_axis)
+                             stage_axis, micro_extras=micro_extras)
 
     manual = {stage_axis} | ({data_axis} if data_axis else set())
+    in_specs = (P(stage_axis), carry_spec) + (
+        (carry_spec,) if has_extras else ())
     pipe = jax.shard_map(
         pipe_body, mesh=mesh,
-        in_specs=(P(stage_axis), carry_spec), out_specs=carry_spec,
+        in_specs=in_specs, out_specs=carry_spec,
         check_vma=False,
         **({"axis_names": manual} if tp_axis else {}))
 
     def fwd(pp_params, pc):
         stacked, rest = pp_params
-        carry = pre(rest, pc)
-        carry = _merge_micro(pipe(stacked, _split_micro(carry, n_micro)))
+        if has_extras:
+            carry, extras = pre(rest, pc)
+            carry = _merge_micro(pipe(stacked, _split_micro(carry, n_micro),
+                                      _split_micro(extras, n_micro)))
+        else:
+            carry = pre(rest, pc)
+            carry = _merge_micro(pipe(stacked, _split_micro(carry, n_micro)))
         return post(rest, carry)
 
     return jax.jit(fwd) if jit else fwd
@@ -379,11 +418,14 @@ def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
     (cache_type='global', the TTA path).
 
     forward(pp_params, xyz, features) -> (B, out_channel) fp32.  With
-    rel_pe the (B, S+1, S+1, 3) centroid-delta tensor rides the ring as a
-    carry extra (each block recomputes its bias from it, reference
-    ppta.py:50-59); without rel_pe only the activations rotate and blocks
-    get a dummy delta.  `interleave=V` selects the interleaved
-    virtual-stage schedule (see make_pp_forward_uni3d).
+    rel_pe each block recomputes its attention bias from the (B, S+1,
+    S+1, 3) centroid-delta tensor (reference ppta.py:50-59); the delta is
+    a per-microbatch constant, so it does NOT rotate through the ring —
+    stages re-take it locally from the replicated store (extras path of
+    _make_pp_forward), saving the ~3 MB/tick delta ppermute at 512
+    patches.  Without rel_pe only the activations rotate and blocks get a
+    dummy delta.  `interleave=V` selects the interleaved virtual-stage
+    schedule (see make_pp_forward_uni3d).
     """
     from uni_adapter_tpu.models.common import LN
     from uni_adapter_tpu.models.ppta import (PPTABlockPair, SetAbstraction)
@@ -398,13 +440,13 @@ def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
                           use_pallas_attention=model.use_pallas_attention,
                           dtype=model.dtype)
 
-    def block_apply(pp, carry):
-        if model.rel_pe:
-            x, delta = carry
-            return block.apply({"params": pp}, x, delta), delta
-        x = carry
-        dummy = jnp.zeros((x.shape[0], 1, 1, 3), jnp.float32)
-        return block.apply({"params": pp}, x, dummy)
+    if model.rel_pe:
+        def block_apply(pp, x, delta):
+            return block.apply({"params": pp}, x, delta)
+    else:
+        def block_apply(pp, x):
+            dummy = jnp.zeros((x.shape[0], 1, 1, 3), jnp.float32)
+            return block.apply({"params": pp}, x, dummy)
 
     def prepare(params):
         ppat = params["params"]["ppat"]
@@ -446,14 +488,14 @@ def make_pp_forward_openshape(model, mesh: Mesh, stage_axis: str = "stage",
         delta = centroids[:, :, None, :] - centroids[:, None, :, :]
         return x, delta
 
-    def post(rest, carry):
-        x = carry[0] if model.rel_pe else carry
+    def post(rest, x):
         return nn.Dense(model.out_channel, dtype=jnp.float32).apply(
             {"params": rest["proj"]}, x[:, 0].astype(jnp.float32))
 
     pipe_fwd = _make_pp_forward(mesh, stage_axis, S, n_micro,
                                 block_apply, pre, post, data_axis, jit,
-                                interleave=interleave)
+                                interleave=interleave,
+                                has_extras=model.rel_pe)
 
     def fwd(pp_params, xyz, features):
         return pipe_fwd(pp_params, (xyz, features))
@@ -467,10 +509,13 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
                          interleave: int = 1):
     """(prepare_params, forward) for a pipeline-parallel ULIP Point-BERT.
 
-    The pipeline carry is (x, pos): Point-BERT re-adds the positional
-    embedding at every block (reference point_encoder.py:95-98), so pos
-    rides the ring alongside the activations.  `interleave=V` selects the
-    interleaved virtual-stage schedule (see make_pp_forward_uni3d).
+    Point-BERT re-adds the positional embedding at every block (reference
+    point_encoder.py:95-98).  pos is a per-microbatch CONSTANT, so it does
+    not ride the ring: only the activations rotate, and each stage
+    re-takes its in-flight microbatch's pos locally from the replicated
+    store (extras path of _make_pp_forward) — half the ring payload of
+    rotating (x, pos).  `interleave=V` selects the interleaved
+    virtual-stage schedule (see make_pp_forward_uni3d).
     """
     from uni_adapter_tpu.models.common import ViTBlock
 
@@ -480,9 +525,8 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
                      use_pallas_attention=model.use_pallas_attention,
                      dtype=model.dtype)
 
-    def block_apply(p, carry):
-        x, pos = carry
-        return block.apply({"params": p}, x + pos), pos
+    def block_apply(p, x, pos):
+        return block.apply({"params": p}, x + pos)
 
     def prepare(params):
         pe = params["params"]["point_encoder"]
@@ -502,14 +546,14 @@ def make_pp_forward_ulip(model, mesh: Mesh, stage_axis: str = "stage",
                 _shard(rest, mesh, P()))
 
     def pre(rest, pts):
-        return ulip_pre(model, rest, pts)
+        return ulip_pre(model, rest, pts)   # (x, pos) == (carry, extras)
 
-    def post(rest, carry):
-        return ulip_post(model, rest, carry)
+    def post(rest, x):
+        return ulip_post(model, rest, (x, None))
 
     return prepare, _make_pp_forward(mesh, stage_axis, S, n_micro,
                                      block_apply, pre, post, data_axis, jit,
-                                     interleave=interleave)
+                                     interleave=interleave, has_extras=True)
 
 
 def make_pp_encode_fn(model, mesh: Mesh, kind: str = "uni3d",

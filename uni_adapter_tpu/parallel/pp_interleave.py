@@ -62,6 +62,7 @@ class InterleavedSchedule:
     queue: int                 # Q: queue slots per (device, chunk)
     cmp_chunk: np.ndarray      # local chunk index computed (0 when idle)
     cmp_slot: np.ndarray       # flat input slot (trash when inject/idle)
+    cmp_m: np.ndarray          # microbatch computed this tick (-1 idle)
     inj_m: np.ndarray          # microbatch injected at stage 0 (-1 none)
     rcv_slot: np.ndarray       # flat slot for this tick's arrival (trash ok)
     out_m: np.ndarray          # output slot for this tick's arrival (-1)
@@ -107,6 +108,7 @@ def build_interleaved_schedule(n_stages: int, interleave: int,
         row = {
             "cmp_chunk": np.zeros(S, np.int32),
             "cmp_slot": [-1] * S,          # (v, q) tuples where active
+            "cmp_m": np.full(S, -1, np.int32),
             "inj_m": np.full(S, -1, np.int32),
             "rcv_slot": [-1] * S,          # (v, q) tuples where active
             "out_m": np.full(S, -1, np.int32),
@@ -130,6 +132,7 @@ def build_interleaved_schedule(n_stages: int, interleave: int,
                     best is None or in_flight < J):
                 row["inj_m"][0] = next_inject
                 row["cmp_chunk"][0] = 0
+                row["cmp_m"][0] = next_inject
                 sends[0] = (0, next_inject)
                 next_inject += 1
                 continue
@@ -140,6 +143,7 @@ def build_interleaved_schedule(n_stages: int, interleave: int,
             pools[s][v][q] = False          # slot consumed at body start
             row["cmp_chunk"][s] = j // S
             row["cmp_slot"][s] = (v, q)     # flattened after Q is known
+            row["cmp_m"][s] = m
             sends[s] = (j, m)
 
         # arrival phase: buffers land at end of tick t, consumable at t+1
@@ -191,6 +195,7 @@ def build_interleaved_schedule(n_stages: int, interleave: int,
         n_stages=S, interleave=V, n_micro=M, ticks=t, queue=Q,
         cmp_chunk=np.stack([r["cmp_chunk"] for r in rows]),
         cmp_slot=cmp_slot,
+        cmp_m=np.stack([r["cmp_m"] for r in rows]),
         inj_m=np.stack([r["inj_m"] for r in rows]),
         rcv_slot=rcv_slot,
         out_m=np.stack([r["out_m"] for r in rows]),
@@ -218,11 +223,17 @@ def stack_trunk_params_interleaved(trunk_params: dict, depth: int,
 
 
 def pipeline_interleaved(block_apply, local_blocks, micro_carry,
-                         sched: InterleavedSchedule, axis: str):
+                         sched: InterleavedSchedule, axis: str,
+                         micro_extras=None):
     """Interleaved ring executor; runs inside shard_map over `axis`.
 
     local_blocks: this device's (V, Lc, ...) stacked chunk params.
     micro_carry: replicated pytree with leading (n_micro, Bm, ...) axes.
+    micro_extras: optional replicated pytree of per-microbatch constants
+    (same leading axes) every block consumes but never transforms; they
+    do NOT rotate through the ring — the `cmp_m` schedule table says
+    which microbatch a device computes each tick, so it re-takes the
+    extras locally (with extras, block_apply(p, carry, extras)).
     Returns the pytree after all S·V logical stages, same leading axes.
     """
     from uni_adapter_tpu.parallel.pp import ring_perm, take_micro as take
@@ -233,9 +244,11 @@ def pipeline_interleaved(block_apply, local_blocks, micro_carry,
     assert n_micro == sched.n_micro
 
     def chunk_fn(v):
-        def run(carry):
+        def run(carry, extras):
             def blk(c, p):
-                return block_apply(p, c), None
+                if micro_extras is None:
+                    return block_apply(p, c), None
+                return block_apply(p, c, extras), None
             params_v = jax.tree.map(lambda a: a[v], local_blocks)
             carry, _ = jax.lax.scan(blk, carry, params_v)
             return carry
@@ -249,12 +262,12 @@ def pipeline_interleaved(block_apply, local_blocks, micro_carry,
     perm = ring_perm(S)
 
     xs = tuple(jnp.asarray(tbl) for tbl in (
-        sched.cmp_chunk, sched.cmp_slot, sched.inj_m, sched.rcv_slot,
-        sched.out_m))
+        sched.cmp_chunk, sched.cmp_slot, sched.cmp_m, sched.inj_m,
+        sched.rcv_slot, sched.out_m))
 
     def tick(state, row):
         qbuf, outs = state
-        cmp_chunk_r, cmp_slot_r, inj_m_r, rcv_slot_r, out_m_r = row
+        cmp_chunk_r, cmp_slot_r, cmp_m_r, inj_m_r, rcv_slot_r, out_m_r = row
         cc = cmp_chunk_r[idx]
         cs = cmp_slot_r[idx]
         im = inj_m_r[idx]
@@ -264,7 +277,13 @@ def pipeline_interleaved(block_apply, local_blocks, micro_carry,
         qin = take(qbuf, cs)
         inj = take(micro_carry, jnp.clip(im, 0, n_micro - 1))
         x = jax.tree.map(lambda a, b: jnp.where(im >= 0, a, b), inj, qin)
-        y = jax.lax.switch(cc, branches, x)
+        extras = None
+        if micro_extras is not None:
+            # idle ticks (cmp_m == -1) compute chunk 0 on a dead buffer
+            # that only ever lands in the trash slot — the clip is harmless
+            extras = take(micro_extras,
+                          jnp.clip(cmp_m_r[idx], 0, n_micro - 1))
+        y = jax.lax.switch(cc, branches, x, extras)
         arr = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), y)
 
         qbuf = jax.tree.map(
