@@ -477,6 +477,47 @@ def test_pp_engine_step_trajectory_matches():
                                   np.asarray(outs_rep.correct))
 
 
+def test_pp_engine_step_trajectory_matches_ulip():
+    """ULIP twin of the engine-trajectory test: the pipelined trunk's
+    extras path (pos re-taken locally per microbatch instead of riding the
+    ring) must reproduce the replicated MODE-DOTA trajectory inside the
+    full adaptation scan, noise-aug double fit included."""
+    from uni_adapter_tpu import engine
+    from uni_adapter_tpu.config import (CacheConfig, Config, DotaConfig,
+                                        ModelConfig)
+
+    mesh = _mesh(2)
+    model = _ulip(4)
+    K, N, T = 5, 64, 4
+    rng = np.random.default_rng(31)
+    pc0 = jnp.asarray(rng.standard_normal((1, N, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), pc0)
+    text = rng.standard_normal((K, 32)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    text = jnp.asarray(text)
+    cfg = Config(model=ModelConfig(vlm3d="ulip", compute_dtype="float32"),
+                 dota=DotaConfig(use_mode_dota=True, mode_M=2,
+                                 res_learning=True, residual_steps=2),
+                 cache=CacheConfig(cg_max_iter=10))
+    pcs = jnp.asarray(rng.standard_normal((T, 1, N, 3)), jnp.float32)
+    rgbs = jnp.ones_like(pcs)
+    tgts = jnp.asarray(rng.integers(0, K, (T, 1)), jnp.int32)
+
+    scan_rep = jax.jit(engine.make_scan_fn(cfg, model))
+    state0 = engine.init_state(cfg, text, jax.random.PRNGKey(7))
+    _, outs_rep = scan_rep(params, text, state0, pcs, rgbs, tgts)
+
+    prepare, encode = pp.make_pp_encode_fn(model, mesh, "ulip")
+    scan_pp = jax.jit(engine.make_scan_fn(cfg, model, encode_fn=encode))
+    _, outs_pp = scan_pp(prepare(params), text, state0, pcs, rgbs, tgts)
+
+    np.testing.assert_allclose(np.asarray(outs_pp.final_logits),
+                               np.asarray(outs_rep.final_logits),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(outs_pp.correct),
+                                  np.asarray(outs_rep.correct))
+
+
 def test_decay_mask_stacking_invariant():
     """train.decay_mask must mark the SAME leaves (kernels yes;
     biases/norm gains/cls tokens no) whether the block params are plain
