@@ -206,7 +206,8 @@ def test_interleaved_uni3d_matches_plain_forward(n_stages, interleave,
 
 
 def test_interleaved_ulip_matches_plain_forward():
-    """Pytree carry (x, pos) through the interleaved ring."""
+    """The extras path through the interleaved ring: pos is re-taken
+    locally per tick from the cmp_m table, never rotated."""
     mesh = _mesh(2)
     model = _ulip(8)
     rng = np.random.default_rng(43)
@@ -393,3 +394,74 @@ def test_interleaved_engine_step_trajectory_matches():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(outs_pp.correct),
                                   np.asarray(outs_rep.correct))
+
+
+# ---------------------------------------------------------------------------
+# toy-executor equality sweep (configs no model test compiles)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("S,V,M,Lc", [
+    (1, 1, 1, 1),    # degenerate: strictly sequential
+    (2, 2, 3, 1),    # M not a multiple of S
+    (2, 4, 8, 1),    # deep interleave
+    (4, 2, 5, 2),    # multi-block chunks, M < S*V
+    (8, 1, 4, 1),    # V=1 (pure ring) on the full mesh
+])
+def test_toy_executor_equality_with_extras(S, V, M, Lc):
+    """Both ring executors on a toy affine block with per-microbatch
+    extras (y = x @ W_l + e_m) must equal plain sequential application.
+    The toy block makes the sweep cheap, so it covers schedule shapes
+    (M % S != 0, M < pipeline depth, V=1) the flax-model tests don't."""
+    from jax.sharding import PartitionSpec as P
+    from uni_adapter_tpu.parallel.pp import _pipeline
+    from uni_adapter_tpu.parallel.pp_interleave import pipeline_interleaved
+
+    mesh = _mesh(S)
+    d, Bm = 8, 2
+    depth = S * V * Lc
+    rng = np.random.default_rng(10_000 * S + 100 * V + 10 * M + Lc)
+    W = (np.eye(d)[None] + 0.05 * rng.standard_normal((depth, d, d))
+         ).astype(np.float32)
+    xs = rng.standard_normal((M, Bm, d)).astype(np.float32)
+    ex = rng.standard_normal((M, Bm, d)).astype(np.float32)
+
+    # ground truth: logical blocks 0..depth-1 in order, per microbatch
+    want = np.empty_like(xs)
+    for m in range(M):
+        h = jnp.asarray(xs[m])
+        for l in range(depth):
+            h = h @ jnp.asarray(W[l]) + jnp.asarray(ex[m])
+        want[m] = np.asarray(h)
+
+    def block_fn(p, c, e):
+        return c @ p + e
+
+    # interleaved executor: stacked [s, v, c] = block (v*S + s)*Lc + c
+    sched = build_interleaved_schedule(S, V, M)
+    stacked_il = jnp.asarray(
+        W.reshape(V, S, Lc, d, d).swapaxes(0, 1))
+
+    def body_il(local, mc, me):
+        return pipeline_interleaved(block_fn, local[0], mc, sched, "stage",
+                                    micro_extras=me)
+
+    got_il = jax.shard_map(
+        body_il, mesh=mesh, in_specs=(P("stage"), P(), P()),
+        out_specs=P(), check_vma=False)(
+        stacked_il, jnp.asarray(xs), jnp.asarray(ex))
+    np.testing.assert_allclose(np.asarray(got_il), want,
+                               rtol=1e-5, atol=1e-5)
+
+    # GPipe executor: stacked [s, c] = block s*(depth/S) + c
+    stacked_g = jnp.asarray(W.reshape(S, depth // S, d, d))
+
+    def body_g(local, mc, me):
+        return _pipeline(block_fn, local[0], mc, S, "stage",
+                         micro_extras=me)
+
+    got_g = jax.shard_map(
+        body_g, mesh=mesh, in_specs=(P("stage"), P(), P()),
+        out_specs=P(), check_vma=False)(
+        stacked_g, jnp.asarray(xs), jnp.asarray(ex))
+    np.testing.assert_allclose(np.asarray(got_g), want,
+                               rtol=1e-5, atol=1e-5)
