@@ -1442,7 +1442,7 @@ def test_driver_loop_matches_reference_main(ref, tmp_path):
     mp2.setattr(our_main, "get_text_anchors_with_fallback", lambda cfg: None)
     mp2.setattr(our_ds_mod, "load_tta_dataset", fake_load)
     mp2.setattr(our_engine, "make_scan_fn",
-                lambda cfg, model: (lambda *a, **k: (None, None)))
+                lambda cfg, model, **kw: (lambda *a, **k: (None, None)))
     mp2.setattr(our_engine, "run_stream_scan", fake_run_stream_scan)
     mp2.setattr(our_engine, "summarize", fake_summarize)
     cap_ours = _Capture()

@@ -10,7 +10,11 @@ corruption, log Top-1/3/5 + the mean.  Differences by design:
   * model weights load from a converted checkpoint when provided
     (models/loader.py), otherwise the run is zero-shot-random (useful for
     throughput work, meaningless for accuracy — a warning is logged);
-  * distributed modes per RunConfig.dist_mode (parallel/mesh.py).
+  * distributed modes per RunConfig.dist_mode (parallel/mesh.py);
+  * --trunk-parallel {tp,pp,sp} shards the ENCODER over the devices
+    (tensor / pipeline / ring-attention sequence parallelism — capacity
+    and large-N levers for trunks beyond one chip) while the adaptation
+    loop stays replicated.
 
 Example:
     python main.py --root /data/modelnet40_c --dataset-name modelnet \
@@ -62,6 +66,56 @@ def build_model(cfg):
     return model, params
 
 
+def _prepare_trunk_parallel(cfg, model, params):
+    """Shard the encoder trunk per cfg.run.trunk_parallel: build the mesh,
+    re-shard the params onto it, and return (prepared_params, encode_fn)
+    for engine.make_step_fn/make_scan_fn.  The adaptation loop itself stays
+    replicated — only the trunk forward changes."""
+    import jax
+    from jax.sharding import Mesh
+
+    kind = cfg.model.vlm3d
+    devices = np.asarray(jax.devices())
+    mode = cfg.run.trunk_parallel
+    if mode == "pp":
+        from uni_adapter_tpu.parallel.pp import make_pp_encode_fn
+
+        S = cfg.run.trunk_stages or len(devices)
+        if not 1 <= S <= len(devices):
+            raise ValueError(f"--trunk-stages {S} must be in "
+                             f"[1, {len(devices)}]")
+        mesh = Mesh(devices[:S], ("stage",))
+        prepare, encode = make_pp_encode_fn(
+            model, mesh, kind, interleave=cfg.run.pp_interleave)
+        logging.info("trunk parallelism: pipeline, %d stages x %d "
+                     "chunks/stage", S, cfg.run.pp_interleave)
+    elif mode == "tp":
+        from uni_adapter_tpu.parallel.tp import make_tp_encode_fn
+
+        mesh = Mesh(devices, ("model",))
+        prepare, encode = make_tp_encode_fn(model, mesh, kind)
+        logging.info("trunk parallelism: tensor (Megatron), %d-way",
+                     len(devices))
+    elif mode == "sp":
+        from uni_adapter_tpu.parallel.sp import make_sp_encode_fn
+
+        mesh = Mesh(devices, ("seq",))
+        prepare, encode = make_sp_encode_fn(model, mesh, kind)
+        logging.info("trunk parallelism: sequence (ring attention), "
+                     "%d-way", len(devices))
+    else:
+        raise ValueError(mode)
+    try:
+        return prepare(params), encode
+    except ValueError as e:
+        raise ValueError(
+            f"--trunk-parallel {mode}: the model's shapes don't divide "
+            f"over the {mesh.devices.size}-device mesh ({e}).  Pick "
+            "dimensions divisible by the device count — MLP hidden size "
+            "and head count for tp, trunk depth (x --pp-interleave) for "
+            "pp.") from e
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -96,6 +150,14 @@ def main(argv=None):
         logging.warning("No checkpoint configured — random weights; "
                         "accuracy numbers are not meaningful.")
 
+    # optional trunk (model) parallelism: shard the encoder forward over
+    # the devices while the adaptation loop stays replicated (the trunk
+    # holds the model's mass — TP/PP/SP are capacity and large-N levers;
+    # config.py validates the dist_mode/vmap interplay at parse time)
+    encode_fn = None
+    if cfg.run.trunk_parallel != "none":
+        params, encode_fn = _prepare_trunk_parallel(cfg, model, params)
+
     text = get_text_anchors_with_fallback(cfg)
 
     corruptions = (list(CORRUPTIONS) if cfg.data.corruption == "all"
@@ -119,9 +181,9 @@ def main(argv=None):
     # ONE jitted scan across the corruption loop: the step function does not
     # depend on the corruption name, so rebuilding it per corruption would
     # just recompile the same program 15 times (~25 s each on the trunk).
-    scan_fn = (jax.jit(engine.make_scan_fn(cfg, model))
+    scan_fn = (jax.jit(engine.make_scan_fn(cfg, model, encode_fn=encode_fn))
                if cfg.run.use_scan else None)
-    step_fn = (jax.jit(engine.make_step_fn(cfg, model))
+    step_fn = (jax.jit(engine.make_step_fn(cfg, model, encode_fn=encode_fn))
                if not cfg.run.use_scan else None)
 
     with profile_ctx:

@@ -227,6 +227,25 @@ class RunConfig:
     #   'psum'       — shard the stream; psum-merged sufficient statistics
     dist_mode: str = "replicated"
     data_axis: str = "data"
+    # Trunk (model) parallelism for the encoder forward, independent of
+    # dist_mode's stream sharding (requires dist_mode='replicated' and
+    # no --vmap-corruptions):
+    #   'none' — plain replicated forward
+    #   'tp'   — Megatron tensor parallelism over all devices
+    #            (parallel/tp.py; any backbone)
+    #   'pp'   — GPipe pipeline stages over `trunk_stages` devices
+    #            (parallel/pp.py; any backbone; a capacity feature for
+    #            trunks larger than one chip's HBM — TTA steps are batch-1,
+    #            so there is no microbatching to overlap)
+    #   'sp'   — sequence parallelism with exact ring attention
+    #            (parallel/sp.py; uni3d|ulip — the large-N lever)
+    trunk_parallel: str = "none"
+    # PP: number of pipeline stages (default: all visible devices); the
+    # trunk depth must divide by trunk_stages × pp_interleave.
+    trunk_stages: Optional[int] = None
+    # PP: virtual chunks per stage (interleaved 1F1B-style schedule,
+    # parallel/pp_interleave.py).
+    pp_interleave: int = 1
     # XLA profiler capture around the evaluation loop (utils/profiling.trace;
     # view with tensorboard/xprof).  The reference's only tracing is paired
     # CUDA events (Uni_Adapter.py:365-366,577-579); this is the real-trace
@@ -376,6 +395,19 @@ def parse_args(argv=None) -> Config:
         # silently fall through to the replicated path
         raise ValueError(f"--dist-mode {cfg.run.dist_mode!r}: expected "
                          "replicated, sharded, or psum")
+    if cfg.run.trunk_parallel not in ("none", "tp", "pp", "sp"):
+        raise ValueError(f"--trunk-parallel {cfg.run.trunk_parallel!r}: "
+                         "expected none, tp, pp, or sp")
+    if cfg.run.trunk_parallel != "none":
+        if cfg.run.dist_mode != "replicated":
+            raise ValueError(
+                "--trunk-parallel shards the trunk over ALL devices; it "
+                "cannot compose with --dist-mode stream sharding from the "
+                "CLI (use the library API for 2-D meshes)")
+        if cfg.run.vmap_corruptions:
+            raise ValueError("--trunk-parallel does not compose with "
+                             "--vmap-corruptions (vmap over the trunk's "
+                             "shard_map); run corruptions sequentially")
     cfg = cfg.resolve()
     # explicit cache flags beat the table
     return dataclasses.replace(

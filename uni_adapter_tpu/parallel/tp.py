@@ -106,23 +106,45 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
 
 
 def make_tp_forward(model, mesh: Mesh, axis: str = "model",
-                    data_axis: Optional[str] = None):
+                    data_axis: Optional[str] = None, jit: bool = True):
     """Jitted `forward(params, *inputs)` whose params are TP-sharded.
 
     Pass params through `shard_params_tp` first (jit commits to argument
     shardings); inputs are replicated unless `data_axis` names a mesh axis
     to shard the leading batch dimension over.  Outputs are fully
     replicated so downstream (logits, adaptation state) is
-    sharding-agnostic.
+    sharding-agnostic.  `jit=False` returns the raw traced body for
+    composition under an outer jit (the sharding constraints still steer
+    GSPMD there).
     """
     rep = NamedSharding(mesh, P())
     in_batch = (NamedSharding(mesh, P(data_axis)) if data_axis else rep)
 
-    @jax.jit
     def fwd(params, *inputs):
         inputs = tuple(jax.lax.with_sharding_constraint(x, in_batch)
                        for x in inputs)
         out = model.apply(params, *inputs)
         return jax.lax.with_sharding_constraint(out, rep)
 
-    return fwd
+    return jax.jit(fwd) if jit else fwd
+
+
+def make_tp_encode_fn(model, mesh: Mesh, kind: str = "uni3d",
+                      axis: str = "model"):
+    """(prepare_params, encode) for a tensor-parallel TTA encoder.
+
+    `encode(tp_params, pc, rgb)` matches engine.make_encode_fn's contract
+    (input conventions of the reference's get_logits_wrapper,
+    Uni_Adapter.py:53-67, L2-normalised output) so it drops into
+    engine.make_step_fn/make_scan_fn via `encode_fn=` — only the trunk
+    forward changes.  Spec inference is structural (tp_param_specs walks
+    the param tree), so all three backbones work.
+    """
+    from uni_adapter_tpu.engine import encode_with
+
+    fwd = make_tp_forward(model, mesh, axis, jit=False)
+
+    def prepare(params):
+        return shard_params_tp(params, mesh, axis)
+
+    return prepare, encode_with(kind, fwd)
