@@ -257,6 +257,30 @@ def test_serve_cli_starts_and_serves(tmp_path):
         http_srv.close()
 
 
+def test_serve_cli_trunk_parallel_pp(tmp_path):
+    """uni-adapter-serve --trunk-parallel pp: the pipelined trunk serves
+    over the wire (same flag semantics as the evaluation CLI)."""
+    from uni_adapter_tpu.cli import serve as serve_cli
+
+    http_srv = serve_cli.main([
+        "--port", "0", "--gather-ms", "0", "--sizes", "1,2",
+        "--trunk-parallel", "pp", "--trunk-stages", "2",
+        "--device", "cpu", "--npoints", "64", "--eva-depth", "2",
+        "--pc-feat-dim", "64", "--num-group", "8", "--group-size", "8",
+        "--pc-encoder-dim", "32", "--eva-heads", "4",
+        "--compute-dtype", "float32", "--precomputed-text-features", "large",
+        "--output-dir", str(tmp_path)])
+    try:
+        port = http_srv.port
+        assert _post(port, "/register?client=x")[0] == 200
+        rng = np.random.default_rng(0)
+        out = _submit(port, "x", rng.standard_normal((1, 64, 3))
+                      .astype(np.float32))
+        assert out.shape == (1, 40) and np.isfinite(out).all()
+    finally:
+        http_srv.close()
+
+
 def test_python_client_roundtrip(setup, tmp_path):
     """TTAClient (uni_adapter_tpu.client): register/submit/snapshot/
     restore/reset against a live endpoint, error surfaced as ServerError."""

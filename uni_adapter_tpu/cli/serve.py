@@ -68,10 +68,20 @@ def main(argv=None):
     if cfg.model.checkpoint_path is None:
         logging.warning("No checkpoint configured — random weights; "
                         "served logits are not meaningful.")
+
+    # --trunk-parallel {tp,pp,sp}: shard the encoder over the devices
+    # (same flags and semantics as the evaluation CLI); the client-vmapped
+    # tick composes with the trunk's shard_map (tests/test_serve.py)
+    encode_fn = None
+    if cfg.run.trunk_parallel != "none":
+        from uni_adapter_tpu.cli.tta import _prepare_trunk_parallel
+
+        params, encode_fn = _prepare_trunk_parallel(cfg, model, params)
+
     text = get_text_anchors_with_fallback(cfg)
     sizes = tuple(int(s) for s in serve_args.sizes.split(","))
     server = TTAServer(cfg, model, params, text, sizes=sizes,
-                       seed=cfg.run.seed)
+                       seed=cfg.run.seed, encode_fn=encode_fn)
     if serve_args.warmup:
         logging.info("warming up %d step programs ...", len(sizes) + 1)
         server.warmup(cfg.data.npoints)
