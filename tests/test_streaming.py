@@ -383,3 +383,34 @@ def test_transient_gather_failure_is_retryable_prefetch(corpus):
     assert b0["step"] == 0
     assert np.array_equal(b0["pc"], next(ref)["pc"])
     ld.close()
+
+
+def test_pretrain_cli_pp_tp_mode(tmp_path):
+    """--parallel pp --pp-tp-size 2 trains on a (stage, model) mesh and
+    tracks the stage-only run's trajectory.  Tolerance is absolute at the
+    Adam-step scale (lr 1e-3): GSPMD's reordered model-axis all-reduces
+    perturb near-zero gradients enough to flip a normalized Adam update's
+    sign on near-zero params, so exact equality is not contractual — but
+    a layout bug (dropped blocks, wrong shard) diverges at 1e-1 scale."""
+    import jax
+    import pretrain
+
+    common = ["--device", "cpu", "--batch-size", "8", "--depth", "2",
+              "--trans-dim", "16", "--embed-dim", "16", "--num-group", "4",
+              "--group-size", "4", "--encoder-dim", "8", "--heads", "2",
+              "--warmup-steps", "1", "--log-every", "2", "--prefetch", "0",
+              "--parallel", "pp", "--pp-stages", "2",
+              "--pp-microbatches", "2", "--steps", "4",
+              "--ckpt-every", "100"]
+    st_pp = pretrain.main(common + ["--out", str(tmp_path / "pp")])
+    st_tp = pretrain.main(common + ["--pp-tp-size", "2",
+                                    "--out", str(tmp_path / "pptp")])
+    assert int(st_pp.step) == int(st_tp.step) == 4
+    for x, y in zip(jax.tree_util.tree_leaves(st_pp.params),
+                    jax.tree_util.tree_leaves(st_tp.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=5e-3, rtol=1e-3)
+    # indivisible tp size refuses up front
+    with pytest.raises(ValueError, match="pp-tp-size"):
+        pretrain.main(common + ["--pp-tp-size", "3",
+                                "--out", str(tmp_path / "bad")])

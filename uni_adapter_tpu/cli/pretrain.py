@@ -11,7 +11,9 @@ full TPU-first stack end to end:
     → train.make_dp_train_step (all_gather negatives, pmean grads), or
       `--parallel pp`: parallel/pp.make_pp_train_step_uni3d (GPipe stages
       over the device ring, trunk weights + optimizer moments sharded
-      depth-wise, replicated batch), or
+      depth-wise, replicated batch; `--pp-tp-size K` composes PP x TP on
+      a 2-D (stage, model) mesh — block matrices Megatron-shard over the
+      model axis too), or
       `--parallel sp`: parallel/sp.make_sp_train_step_uni3d (trunk tokens
       sharded over the mesh, exact ring attention, replicated batch)
     → checkpoint.save_state every --ckpt-every steps, including the
@@ -113,6 +115,11 @@ def main(argv=None):
                              "schedule, parallel/pp_interleave.py): the "
                              "fill/drain bubble shrinks ~V x; depth must "
                              "divide by stages x V")
+    parser.add_argument("--pp-tp-size", type=int, default=1,
+                        help="compose PP x TP: Megatron-shard each "
+                             "stage's block matrices over this many "
+                             "devices (2-D (stage, model) mesh); heads "
+                             "and the SwiGLU hidden dim must divide by it")
     parser.add_argument("--device", default="default",
                         help="jax platform override (cpu/tpu)")
     args = parser.parse_args(argv)
@@ -208,22 +215,34 @@ def main(argv=None):
             raise ValueError("--parallel pp is single-process (each stage "
                              "needs the full replicated batch); use dp for "
                              "multi-host runs")
+        tp = args.pp_tp_size
+        avail = len(jax.devices())
+        if tp < 1 or avail % tp:
+            raise ValueError(f"--pp-tp-size {tp} must divide the device "
+                             f"count ({avail})")
         n_stages = (args.pp_stages if args.pp_stages is not None
-                    else len(jax.devices()))
-        if not 1 <= n_stages <= len(jax.devices()):
-            raise ValueError(f"--pp-stages {n_stages} must be in [1, "
-                             f"{len(jax.devices())}] (available devices)")
-        mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+                    else avail // tp)
+        if not 1 <= n_stages * tp <= avail:
+            raise ValueError(f"--pp-stages {n_stages} x --pp-tp-size {tp} "
+                             f"needs {n_stages * tp} devices, have {avail}")
+        if tp > 1:
+            mesh = Mesh(np.array(jax.devices()[:n_stages * tp]).reshape(
+                n_stages, tp), ("stage", "model"))
+            tp_axis = "model"
+        else:
+            mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+            tp_axis = None
         prepare, pp_step = ppar.make_pp_train_step_uni3d(
             model, tx_opt, mesh, n_micro=args.pp_microbatches,
-            interleave=args.pp_interleave, donate=True)
+            tp_axis=tp_axis, interleave=args.pp_interleave, donate=True)
         state = ppar.init_pp_train_state(
             model, jax.random.PRNGKey(args.seed), example, tx_opt, prepare)
         logging.info("pipeline parallel: %d stages x %d chunks/stage x "
-                     "%d blocks/chunk, %d microbatches", n_stages,
+                     "%d blocks/chunk, %d microbatches%s", n_stages,
                      args.pp_interleave,
                      args.depth // (n_stages * args.pp_interleave),
-                     args.pp_microbatches or n_stages)
+                     args.pp_microbatches or n_stages,
+                     f", x {tp}-way tensor" if tp > 1 else "")
     elif args.parallel == "sp":
         # tokens shard over ALL devices (exact ring attention); the batch
         # replicates, so negatives are global by construction.  The SP
@@ -276,6 +295,15 @@ def main(argv=None):
         if args.parallel == "pp":
             checks.append(("pp_stages", n_stages))
             checks.append(("pp_interleave", args.pp_interleave))
+            # tp resizing is layout-safe (the stacked tree is identical;
+            # only the shardings change) but unstamped provenance is not —
+            # default 1 for pre-tp checkpoints
+            if int(blob.get("pp_tp_size", 1)) != args.pp_tp_size:
+                logging.info("resuming a pp checkpoint trained at "
+                             "pp_tp_size=%d with --pp-tp-size %d (layout "
+                             "identical; re-sharding onto the new mesh)",
+                             int(blob.get("pp_tp_size", 1)),
+                             args.pp_tp_size)
         for key, now in checks:
             if key not in blob:
                 # a missing stamp means unknown provenance — exactly when
@@ -397,6 +425,7 @@ def main(argv=None):
         if args.parallel == "pp":
             blob["pp_stages"] = n_stages
             blob["pp_interleave"] = args.pp_interleave
+            blob["pp_tp_size"] = args.pp_tp_size
         if args.ckpt_async:
             import threading
 
