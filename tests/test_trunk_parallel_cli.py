@@ -96,3 +96,13 @@ def test_trunk_parallel_flag_validation():
         parse_args(["--trunk-parallel", "pp", "--dist-mode", "psum"])
     with pytest.raises(ValueError, match="vmap-corruptions"):
         parse_args(["--trunk-parallel", "tp", "--vmap-corruptions", "true"])
+
+
+def test_pp_trunk_host_iterator_matches(data_root, tmp_path):
+    """--scan false (host-iterator path, one jitted step per batch) with a
+    pipelined trunk == the replicated host-iterator run."""
+    base = _run(data_root, tmp_path / "base3", ["--use-scan", "false"])
+    got = _run(data_root, tmp_path / "pph",
+               ["--use-scan", "false", "--trunk-parallel", "pp",
+                "--trunk-stages", "2"])
+    assert got == base
