@@ -58,11 +58,23 @@ def test_pp_trunk_matches_replicated_run(data_root, tmp_path):
 
 
 def test_pp_interleave_trunk_matches_replicated_run(data_root, tmp_path):
-    base = _run(data_root, tmp_path / "base2", [])
+    """interleave=2 picks the 1F1B interleaved executor (pp_interleave.py)
+    — depth 4 divides stages(2) x chunks(2), and the schedule applies the
+    same floats in the same order, so accuracies must still be EQUAL."""
+    depth = ["--eva-depth", "4"]
+    base = _run(data_root, tmp_path / "base2", depth)
     got = _run(data_root, tmp_path / "ppi",
-               ["--trunk-parallel", "pp", "--trunk-stages", "2",
-                "--pp-interleave", "1"])
+               depth + ["--trunk-parallel", "pp", "--trunk-stages", "2",
+                        "--pp-interleave", "2"])
     assert got == base
+
+
+def test_pp_trunk_stages_zero_is_rejected(data_root, tmp_path):
+    """--trunk-stages 0 must hit the range guard, not silently fall back
+    to an all-device pipeline (falsy-zero)."""
+    with pytest.raises(ValueError, match="--trunk-stages 0 must be in"):
+        _run(data_root, tmp_path / "pp0",
+             ["--trunk-parallel", "pp", "--trunk-stages", "0"])
 
 
 @pytest.mark.parametrize("mode,extra", [

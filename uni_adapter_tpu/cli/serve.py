@@ -74,9 +74,9 @@ def main(argv=None):
     # tick composes with the trunk's shard_map (tests/test_serve.py)
     encode_fn = None
     if cfg.run.trunk_parallel != "none":
-        from uni_adapter_tpu.cli.tta import _prepare_trunk_parallel
+        from uni_adapter_tpu.parallel.trunk import prepare_trunk_parallel
 
-        params, encode_fn = _prepare_trunk_parallel(cfg, model, params)
+        params, encode_fn = prepare_trunk_parallel(cfg, model, params)
 
     text = get_text_anchors_with_fallback(cfg)
     sizes = tuple(int(s) for s in serve_args.sizes.split(","))

@@ -66,56 +66,6 @@ def build_model(cfg):
     return model, params
 
 
-def _prepare_trunk_parallel(cfg, model, params):
-    """Shard the encoder trunk per cfg.run.trunk_parallel: build the mesh,
-    re-shard the params onto it, and return (prepared_params, encode_fn)
-    for engine.make_step_fn/make_scan_fn.  The adaptation loop itself stays
-    replicated — only the trunk forward changes."""
-    import jax
-    from jax.sharding import Mesh
-
-    kind = cfg.model.vlm3d
-    devices = np.asarray(jax.devices())
-    mode = cfg.run.trunk_parallel
-    if mode == "pp":
-        from uni_adapter_tpu.parallel.pp import make_pp_encode_fn
-
-        S = cfg.run.trunk_stages or len(devices)
-        if not 1 <= S <= len(devices):
-            raise ValueError(f"--trunk-stages {S} must be in "
-                             f"[1, {len(devices)}]")
-        mesh = Mesh(devices[:S], ("stage",))
-        prepare, encode = make_pp_encode_fn(
-            model, mesh, kind, interleave=cfg.run.pp_interleave)
-        logging.info("trunk parallelism: pipeline, %d stages x %d "
-                     "chunks/stage", S, cfg.run.pp_interleave)
-    elif mode == "tp":
-        from uni_adapter_tpu.parallel.tp import make_tp_encode_fn
-
-        mesh = Mesh(devices, ("model",))
-        prepare, encode = make_tp_encode_fn(model, mesh, kind)
-        logging.info("trunk parallelism: tensor (Megatron), %d-way",
-                     len(devices))
-    elif mode == "sp":
-        from uni_adapter_tpu.parallel.sp import make_sp_encode_fn
-
-        mesh = Mesh(devices, ("seq",))
-        prepare, encode = make_sp_encode_fn(model, mesh, kind)
-        logging.info("trunk parallelism: sequence (ring attention), "
-                     "%d-way", len(devices))
-    else:
-        raise ValueError(mode)
-    try:
-        return prepare(params), encode
-    except ValueError as e:
-        raise ValueError(
-            f"--trunk-parallel {mode}: the model's shapes don't divide "
-            f"over the {mesh.devices.size}-device mesh ({e}).  Pick "
-            "dimensions divisible by the device count — MLP hidden size "
-            "and head count for tp, trunk depth (x --pp-interleave) for "
-            "pp.") from e
-
-
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -156,7 +106,9 @@ def main(argv=None):
     # config.py validates the dist_mode/vmap interplay at parse time)
     encode_fn = None
     if cfg.run.trunk_parallel != "none":
-        params, encode_fn = _prepare_trunk_parallel(cfg, model, params)
+        from uni_adapter_tpu.parallel.trunk import prepare_trunk_parallel
+
+        params, encode_fn = prepare_trunk_parallel(cfg, model, params)
 
     text = get_text_anchors_with_fallback(cfg)
 
