@@ -14,7 +14,10 @@ corruption, log Top-1/3/5 + the mean.  Differences by design:
   * --trunk-parallel {tp,pp,sp} shards the ENCODER over the devices
     (tensor / pipeline / ring-attention sequence parallelism — capacity
     and large-N levers for trunks beyond one chip) while the adaptation
-    loop stays replicated.
+    loop stays replicated;
+  * --continual carries ONE adaptation trajectory through the whole
+    corruption sequence (continual-TTA protocol) instead of the
+    reference's per-corruption reset.
 
 Example:
     python main.py --root /data/modelnet40_c --dataset-name modelnet \
@@ -138,6 +141,12 @@ def main(argv=None):
     step_fn = (jax.jit(engine.make_step_fn(cfg, model, encode_fn=encode_fn))
                if not cfg.run.use_scan else None)
 
+    # continual TTA (--continual): one adaptation trajectory through the
+    # whole corruption sequence — the carry below survives the loop instead
+    # of re-initialising per corruption (the reference always resets,
+    # Uni_Adapter.py:323-361)
+    carry_state = None
+
     with profile_ctx:
         for corr in corruptions:
             cfg = dataclasses.replace(
@@ -180,13 +189,19 @@ def main(argv=None):
                                             seed=cfg.run.seed),
                                         seed=cfg.run.seed,
                                         print_freq=cfg.run.print_freq,
-                                        step_fn=step_fn)
+                                        step_fn=step_fn,
+                                        initial_state=carry_state)
                 summary = {k: res[k] for k in ("acc1", "acc3", "acc5")}
+                if cfg.run.continual:
+                    carry_state = res["state"]
             else:
                 state, outs = engine.run_stream_scan(
                     cfg, model, params, text, jnp.asarray(pcs), jnp.asarray(rgbs),
-                    jnp.asarray(targets), seed=cfg.run.seed, scan_fn=scan_fn)
+                    jnp.asarray(targets), seed=cfg.run.seed, scan_fn=scan_fn,
+                    initial_state=carry_state)
                 summary = engine.summarize(outs, pcs.shape[0] * pcs.shape[1])
+                if cfg.run.continual:
+                    carry_state = state
             dt = time.perf_counter() - t0
             logging.info("Final Results: Acc@1 %.3f Acc@3 %.3f Acc@5 %.3f",
                          summary["acc1"], summary["acc3"], summary["acc5"])

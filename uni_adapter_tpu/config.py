@@ -221,6 +221,13 @@ class RunConfig:
     # sequential loop, encoder batched C-wide.  Requires equal stream
     # lengths (true for the -C benchmarks).
     vmap_corruptions: bool = False
+    # Continual TTA: carry the adaptation state across the corruption
+    # sequence instead of re-initialising per corruption (the standard
+    # continual test-time-adaptation protocol, e.g. CoTTA).  The reference
+    # always resets per corruption (state init inside test_zeroshot_3d_core,
+    # Uni_Adapter.py:323-361) — off by default for parity.  Per-corruption
+    # accuracies are still reported individually.
+    continual: bool = False
     # Distributed-eval mode over a jax Mesh (SURVEY.md §5.8):
     #   'replicated' — single stream, exact reference trajectory
     #   'sharded'    — shard the stream; per-shard independent adaptation state
@@ -408,6 +415,17 @@ def parse_args(argv=None) -> Config:
             raise ValueError("--trunk-parallel does not compose with "
                              "--vmap-corruptions (vmap over the trunk's "
                              "shard_map); run corruptions sequentially")
+    if cfg.run.continual:
+        if cfg.run.vmap_corruptions:
+            raise ValueError(
+                "--continual carries one adaptation trajectory through the "
+                "corruption SEQUENCE; --vmap-corruptions runs the streams "
+                "in parallel — the two are mutually exclusive")
+        if cfg.run.dist_mode != "replicated":
+            raise ValueError(
+                "--continual requires --dist-mode replicated from the CLI "
+                "(sharded/psum modes re-build their mesh state per stream; "
+                "chain them via the library API if needed)")
     cfg = cfg.resolve()
     # explicit cache flags beat the table
     return dataclasses.replace(

@@ -357,7 +357,8 @@ def make_scan_fn(cfg: Config, model,
 def run_stream_scan(cfg: Config, model, params,
                     text_features_initial: jax.Array,
                     pcs: jax.Array, rgbs: jax.Array, targets: jax.Array,
-                    seed: int = 42, scan_fn: Optional[Callable] = None):
+                    seed: int = 42, scan_fn: Optional[Callable] = None,
+                    initial_state: Optional[EngineState] = None):
     """Run the entire stream as one on-device lax.scan.
 
     The corrupted test sets are small (ModelNet40-C ≈ 30 MB), so the whole
@@ -372,12 +373,17 @@ def run_stream_scan(cfg: Config, model, params,
         15-corruption loop in main.py) — rebuilding it per call creates a
         fresh Python callable, which defeats jit's compile cache and costs
         a full ~25 s recompile per corruption.
+      initial_state: resume the adaptation trajectory from this carry
+        instead of a fresh init (continual TTA: chain streams without a
+        reset — the reference always re-inits per corruption,
+        Uni_Adapter.py:323-361).
     Returns:
       (final EngineState, StepOutput with leading T axis)
     """
     if scan_fn is None:
         scan_fn = jax.jit(make_scan_fn(cfg, model))
-    state = init_state(cfg, text_features_initial, jax.random.PRNGKey(seed))
+    state = (initial_state if initial_state is not None else
+             init_state(cfg, text_features_initial, jax.random.PRNGKey(seed)))
     return scan_fn(params, text_features_initial, state, pcs, rgbs, targets)
 
 
@@ -451,7 +457,8 @@ def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
                batches, seed: int = 42, print_freq: Optional[int] = None,
                checkpoint_every: Optional[int] = None,
                checkpoint_path: Optional[str] = None,
-               step_fn: Optional[Callable] = None):
+               step_fn: Optional[Callable] = None,
+               initial_state: Optional[EngineState] = None):
     """Host-iterator variant: identical numerics, one jitted step per batch.
 
     Elastic recovery (a capability the reference lacks — SURVEY.md §5.3/5.4):
@@ -462,6 +469,10 @@ def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
 
     Args:
       batches: iterable of (pc, rgb, target) numpy/JAX arrays.
+      initial_state: resume the adaptation trajectory from this carry
+        instead of a fresh init (continual TTA — see run_stream_scan).
+        A checkpoint restore, which recovers THIS run exactly, still
+        takes precedence over it.
     Returns:
       dict with acc1/acc3/acc5 (percent) and per-step timings.
     """
@@ -471,7 +482,8 @@ def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
     # reuse a caller-provided jitted step across corruptions (see
     # run_stream_scan's scan_fn note)
     step = step_fn if step_fn is not None else jax.jit(make_step_fn(cfg, model))
-    state = init_state(cfg, text_features_initial, jax.random.PRNGKey(seed))
+    state = (initial_state if initial_state is not None else
+             init_state(cfg, text_features_initial, jax.random.PRNGKey(seed)))
     totals = np.zeros(3)
     n = 0
     start_step = 0
