@@ -1134,9 +1134,12 @@ def test_datasets_match_reference(ref, tmp_path):
         data = rng.standard_normal((n, 32, 3)).astype(np.float32)
         labels = rng.integers(0, 15, (n,)).astype(np.int64)
         fname = ("data_original.npy" if corruption == "clean"
+                 else f"{corruption}.npy" if "mixed_corruptions" in corruption
                  else f"data_{corruption}_5.npy")
+        lname = ("mixed_corruptions_labels.npy"
+                 if "mixed_corruptions" in corruption else "label.npy")
         np.save(root / fname, data)
-        np.save(root / "label.npy", labels.reshape(label_shape))
+        np.save(root / lname, labels.reshape(label_shape))
         return data, labels
 
     cases = [
@@ -1151,6 +1154,9 @@ def test_datasets_match_reference(ref, tmp_path):
          (-1,), "clean", False),              # data_original.npy path
         (ref.tta_datasets.ModelNet40C, our_ds.modelnet40_c,
          (-1,), "uniform", True),             # debug 5-sample slice
+        (ref.tta_datasets.ModelNet40C, our_ds.modelnet40_c,
+         (-1,), "mixed_corruptions_test", False),  # {corr}.npy +
+        # mixed_corruptions_labels.npy special case (tta_datasets.py:23-26)
     ]
     for i, (ref_cls, our_fn, lshape, corruption, debug) in enumerate(cases):
         root = tmp_path / f"case{i}"
