@@ -1,0 +1,192 @@
+"""Class-sharded (expert-parallel) MODE-DOTA on the virtual 8-CPU mesh.
+
+The EP trajectory must reproduce the single-device replicated run: the EM
+update is class-local so the state is BITWISE the replicated state when
+residual learning is off (parallel/ep.py module docstring); with the
+residual loop on, the only reorder is the gradient reduce_scatter, so the
+trajectory matches to tolerance over short streams.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uni_adapter_tpu import engine
+from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
+from uni_adapter_tpu.models.uni3d import Uni3D
+from uni_adapter_tpu.parallel import ep
+
+D, N, T = 32, 48, 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide virtual devices"
+    model = Uni3D(trans_dim=48, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=24, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    pc0 = jnp.array(rng.standard_normal((1, N, 6)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc0)
+    return model, params, rng
+
+
+def _text(rng, K):
+    text = rng.standard_normal((K, D)).astype(np.float32)
+    return text / np.linalg.norm(text, axis=1, keepdims=True)
+
+
+def _stream(rng, K, B=1):
+    pcs = rng.standard_normal((T, B, N, 3)).astype(np.float32)
+    return pcs, np.ones_like(pcs), rng.integers(0, K, (T, B)).astype(np.int32)
+
+
+def _cfg(res=False, **kw):
+    dc = DotaConfig(use_dota=False, use_mode_dota=True, mode_M=2,
+                    res_learning=res, residual_steps=2, **kw)
+    return Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
+                  cache=CacheConfig())
+
+
+def _replicated(cfg, model, params, text, pcs, rgbs, targets, seed=42):
+    state, outs = engine.run_stream_scan(
+        cfg, model, params, jnp.asarray(text), jnp.asarray(pcs),
+        jnp.asarray(rgbs), jnp.asarray(targets), seed=seed)
+    return state, outs
+
+
+@pytest.mark.parametrize("K", [16, 10])  # divisible and padded (10 → 16)
+def test_ep_state_matches_replicated(setup, K):
+    model, params, rng = setup
+    rng = np.random.default_rng(1)
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=2)
+    cfg = _cfg(res=False)
+
+    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
+                                        targets)
+    mesh = ep.make_classes_mesh(8)
+    got_state, summary = ep.run_stream_ep(cfg, model, params, text, pcs,
+                                          rgbs, targets, mesh=mesh)
+    assert summary["padded_classes"] == (16 - K if K == 10 else 0)
+
+    # class-local EM on identical prob_map slices ⇒ state matches to
+    # float roundoff (EP is a different compiled program, so XLA fusion
+    # reassociates elementwise chains at the ulp level)
+    for name in ("mu", "var", "pi", "c", "class_counts"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got_state.method_state, name)),
+            np.asarray(getattr(want_state.method_state, name)),
+            rtol=1e-5, atol=1e-7, err_msg=name)
+    assert int(got_state.method_state.t) == int(want_state.method_state.t)
+    assert int(got_state.step) == T
+
+    # emitted logits differ only through the fusion weight's psum reorder
+    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
+    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / (T * 2))
+    assert summary["acc3"] == pytest.approx(100.0 * want_c[1] / (T * 2))
+
+
+def test_ep_residual_learning_matches_replicated(setup):
+    """Trajectory-level: the residual loop's exp(exp(·)) objective amplifies
+    ulp-level gradient reorders chaotically on random weights (same effect
+    BASELINE.md documents for the Pallas attention kernel), so the stream
+    comparison is a sanity envelope; the tight numerical contract is the
+    one-step gradient parity test below."""
+    model, params, rng = setup
+    rng = np.random.default_rng(2)
+    K = 12  # pads to 16 over 8 shards: exercises zero-grad pad rows
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=1)
+    cfg = _cfg(res=True)
+
+    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
+                                        targets)
+    got_state, summary = ep.run_stream_ep(cfg, model, params, text, pcs,
+                                          rgbs, targets,
+                                          mesh=ep.make_classes_mesh(8))
+
+    np.testing.assert_allclose(np.asarray(got_state.res_state.residuals),
+                               np.asarray(want_state.res_state.residuals),
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got_state.method_state.mu),
+                               np.asarray(want_state.method_state.mu),
+                               rtol=1e-3, atol=1e-4)
+    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
+    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
+
+
+def test_ep_residual_one_step_gradient_parity(setup):
+    """One Adam step of optimize_residuals_sharded == optimize_residuals on
+    the full state (the per-device likelihood blocks are column slices of
+    the replicated matmuls; only the input-VJP's reduce_scatter reorders),
+    and pad-class residual rows receive exactly zero update."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from uni_adapter_tpu.adapt import mode_dota, residual
+
+    K, M, n = 12, 2, 8
+    k_pad = 16
+    rng = np.random.default_rng(5)
+    text = _text(rng, K)
+    st = mode_dota.init(1e-3, 0.05, D, K, jnp.asarray(text.T), num_modes=M)
+    st = st._replace(
+        mu=st.mu + 0.01 * rng.standard_normal(st.mu.shape).astype(np.float32),
+        c=jnp.asarray(rng.uniform(0.5, 2.0, st.c.shape).astype(np.float32)))
+    res0 = 0.001 * rng.standard_normal((K, D)).astype(np.float32)
+    opt = residual.make_optimizer(1e-3)
+
+    rs = residual.ResidualState(jnp.asarray(res0), opt.init(jnp.asarray(res0)))
+    want = np.asarray(residual.optimize_residuals(
+        rs, jnp.asarray(text), st, opt, 1e-3, num_steps=1).residuals)
+
+    def pad_k(a, fill=0.0):
+        pad = np.full((k_pad - K,) + a.shape[1:], fill, np.float32)
+        return np.concatenate([np.asarray(a), pad], axis=0)
+
+    text_p = pad_k(text)
+    text_p[K:, 0] = 1.0
+    operands = (text_p, pad_k(st.mu), pad_k(st.var, 0.05),
+                pad_k(st.pi, 1.0 / M), pad_k(st.c, 1.0 / M),
+                pad_k(st.class_counts), pad_k(res0))
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("classes",))
+
+    def body(text_l, mu, var, pi, c, cc, res_l):
+        stl = mode_dota.ModeDotaState(mu, var, pi, c, cc,
+                                      jnp.zeros((), jnp.int32))
+        rsl = residual.ResidualState(res_l, opt.init(res_l))
+        return residual.optimize_residuals_sharded(
+            rsl, text_l, stl, opt, 1e-3, "classes", K, num_steps=1).residuals
+
+    f = jax.jit(jax.shard_map(body, mesh=mesh,
+                              in_specs=(P("classes"),) * 7,
+                              out_specs=P("classes"), check_vma=False))
+    got = np.asarray(f(*map(jnp.asarray, operands)))
+    np.testing.assert_allclose(got[:K], want, atol=1e-5)
+    np.testing.assert_array_equal(got[K:], operands[-1][K:])  # pads frozen
+
+
+def test_ep_pad_rows_stay_frozen(setup):
+    model, params, rng = setup
+    rng = np.random.default_rng(3)
+    K = 10  # K_pad = 16: last device holds 2 pad classes
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=1)
+    cfg = _cfg(res=True)
+
+    mesh = ep.make_classes_mesh(8)
+    state, _ = ep.run_stream_ep(cfg, model, params, text, pcs, rgbs,
+                                targets, mesh=mesh)
+    # returned state is already sliced to K — shapes prove the unpad
+    assert np.asarray(state.method_state.mu).shape[0] == K
+    assert np.asarray(state.res_state.residuals).shape == (K, D)
+    # class_counts for real classes accumulated 2T fits of prob mass ≈ 2T
+    assert np.asarray(state.method_state.class_counts).sum() == \
+        pytest.approx(2 * T, rel=1e-5)
+
+
+def test_ep_requires_mode_dota(setup):
+    model, params, rng = setup
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_dota=True, use_mode_dota=False),
+                 cache=CacheConfig())
+    with pytest.raises(ValueError, match="MODE-DOTA only"):
+        ep.make_ep_step_fn(cfg, model, "classes", 8, 8)

@@ -138,12 +138,11 @@ def _log_marginal_fn(terms: FrozenMixtureTerms,
     return lm_fn
 
 
-def _alignment_loss_from_terms(class_embeddings: jax.Array,
-                               terms: FrozenMixtureTerms,
-                               precision: jax.lax.Precision) -> jax.Array:
-    x = class_embeddings.astype(jnp.float32)
-    X = jnp.concatenate([x * x, x], axis=1)               # (B, 2D)
-    lm = _log_marginal_fn(terms, precision)(X)            # (B, K)
+def _loss_tail(lm: jax.Array) -> jax.Array:
+    """The (B, K) → scalar tail of the alignment loss: sharpen the diagonal
+    of exp(exp(L / max(L))) (Uni_Adapter.py:236-266).  Split out so the
+    class-sharded path (parallel/ep.py) reuses the identical elementwise
+    chain on its gathered likelihood matrix."""
     lm_normalized = lm / jnp.max(lm)
     e = jnp.exp(jnp.exp(lm_normalized))
     B, K = e.shape
@@ -151,6 +150,15 @@ def _alignment_loss_from_terms(class_embeddings: jax.Array,
                  ).astype(e.dtype)
     diag = (e * diag_mask).sum(axis=1)
     return -(diag / e.sum(axis=1)).mean() - (diag / e.sum(axis=0)).mean()
+
+
+def _alignment_loss_from_terms(class_embeddings: jax.Array,
+                               terms: FrozenMixtureTerms,
+                               precision: jax.lax.Precision) -> jax.Array:
+    x = class_embeddings.astype(jnp.float32)
+    X = jnp.concatenate([x * x, x], axis=1)               # (B, 2D)
+    lm = _log_marginal_fn(terms, precision)(X)            # (B, K)
+    return _loss_tail(lm)
 
 
 def alignment_loss(class_embeddings: jax.Array, state: mode_dota.ModeDotaState,
@@ -212,6 +220,59 @@ def optimize_residuals(res_state: ResidualState,
         for i in range(num_steps):
             res_state = body(i, res_state)
         return res_state
+    return jax.lax.fori_loop(0, num_steps, body, res_state)
+
+
+def optimize_residuals_sharded(res_state: ResidualState,
+                               text_init_local: jax.Array,
+                               mixture_local: "mode_dota.ModeDotaState",
+                               optimizer: optax.GradientTransformation,
+                               epsilon: float, axis_name: str,
+                               num_classes: int, num_steps: int = 10,
+                               precision: jax.lax.Precision =
+                               jax.lax.Precision.HIGHEST) -> ResidualState:
+    """Class-sharded residual optimisation (for parallel/ep.py).
+
+    Every K-leading operand — residuals, text anchors, the frozen mixture
+    terms — holds this device's contiguous block of classes; the device
+    axis `axis_name` covers all blocks (padded to K_pad = n·K_local, the
+    pad tail carrying zero gradients by construction).
+
+    Numerics vs `optimize_residuals` on the full state: the per-step
+    likelihood matmuls are column blocks of the replicated matmuls (each
+    output element an independent dot product), the gathered (K, K)
+    matrix feeds the SAME `_loss_tail`, and the only genuine reorder is
+    the input-VJP's cross-device reduce_scatter (the replicated path
+    contracts all K columns in one dot) — float-roundoff in practice
+    (tests/test_ep.py one-step parity: ≤2e-6 per Adam step).
+    What divides by n_devices is exactly the loop's dominant cost: the M
+    (K, 2D)·(2D, K) contractions and their VJPs (module docstring;
+    BASELINE.md LVIS profile).
+    """
+    terms = frozen_mixture_terms(mixture_local, epsilon)
+    lm_fn = _log_marginal_fn(terms, precision)
+
+    def loss_fn(residuals_local):
+        text = text_init_local + residuals_local
+        text = text / (jnp.linalg.norm(text, axis=1, keepdims=True) + 1e-12)
+        x = jax.lax.all_gather(text.astype(jnp.float32), axis_name,
+                               axis=0, tiled=True)        # (K_pad, D)
+        x = x[:num_classes]
+        X = jnp.concatenate([x * x, x], axis=1)           # (K, 2D)
+        lm_local = lm_fn(X)                               # (K, K_local)
+        lm = jax.lax.all_gather(lm_local, axis_name, axis=1,
+                                tiled=True)[:, :num_classes]
+        return _loss_tail(lm)
+
+    grad_fn = jax.grad(loss_fn)
+
+    def body(_, rs: ResidualState) -> ResidualState:
+        grads = grad_fn(rs.residuals)
+        updates, opt_state = optimizer.update(grads, rs.opt_state,
+                                              rs.residuals)
+        return ResidualState(optax.apply_updates(rs.residuals, updates),
+                             opt_state)
+
     return jax.lax.fori_loop(0, num_steps, body, res_state)
 
 
