@@ -183,6 +183,49 @@ def test_ep_pad_rows_stay_frozen(setup):
         pytest.approx(2 * T, rel=1e-5)
 
 
+def test_ep_cli(tmp_path):
+    """--dist-mode ep through the evaluation CLI: K=40 modelnet classes
+    shard 5-per-device over the virtual 8-device mesh; accuracies match
+    the replicated run (res learning off keeps the comparison out of the
+    chaotic-amplification regime — see the trajectory test above)."""
+    import json
+    import uni_adapter_tpu.cli.tta as tta_cli
+
+    root = tmp_path / "data"
+    root.mkdir()
+    rng = np.random.default_rng(7)
+    np.save(root / "data_uniform_5.npy",
+            rng.standard_normal((8, 128, 3)).astype(np.float32))
+    np.save(root / "label.npy", rng.integers(0, 40, (8,)).astype(np.int64))
+    common = ["--device", "cpu", "--corruption", "uniform", "--npoints",
+              "64", "--eva-depth", "1", "--pc-feat-dim", "64",
+              "--num-group", "16", "--group-size", "8", "--pc-encoder-dim",
+              "32", "--eva-heads", "4", "--compute-dtype", "float32",
+              "--precomputed-text-features", "large", "--root", str(root),
+              "--dota-res-learning", "false"]
+    base = tta_cli.main(common + ["--output-dir", str(tmp_path / "base")])
+    got = tta_cli.main(common + ["--output-dir", str(tmp_path / "ep"),
+                                 "--dist-mode", "ep"])
+    assert got == base
+    out_dirs = list((tmp_path / "ep").iterdir())
+    assert any((d / "results.json").exists() for d in out_dirs)
+
+    # res learning on: completes end-to-end through the CLI
+    res = tta_cli.main(common[:-2] + ["--output-dir", str(tmp_path / "ep2"),
+                                      "--dist-mode", "ep"])
+    assert set(res) == {"uniform"}
+
+
+def test_ep_cli_validation():
+    from uni_adapter_tpu.config import parse_args
+
+    with pytest.raises(ValueError, match="mode-dota"):
+        parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",
+                    "--dota-use-dota", "true"])
+    with pytest.raises(ValueError, match="vmap"):
+        parse_args(["--dist-mode", "ep", "--vmap-corruptions", "true"])
+
+
 def test_ep_requires_mode_dota(setup):
     model, params, rng = setup
     cfg = Config(model=ModelConfig(compute_dtype="float32"),

@@ -10,7 +10,8 @@ corruption, log Top-1/3/5 + the mean.  Differences by design:
   * model weights load from a converted checkpoint when provided
     (models/loader.py), otherwise the run is zero-shot-random (useful for
     throughput work, meaningless for accuracy — a warning is logged);
-  * distributed modes per RunConfig.dist_mode (parallel/mesh.py);
+  * distributed modes per RunConfig.dist_mode (parallel/mesh.py stream
+    sharding; parallel/ep.py class-sharded expert parallelism);
   * --trunk-parallel {tp,pp,sp} shards the ENCODER over the devices
     (tensor / pipeline / ring-attention sequence parallelism — capacity
     and large-N levers for trunks beyond one chip) while the adaptation
@@ -179,6 +180,12 @@ def main(argv=None):
                     seed=cfg.run.seed)
             elif cfg.run.dist_mode == "psum":
                 _, summary = pmesh.run_stream_psum(
+                    cfg, model, params, text, pcs, rgbs, targets,
+                    seed=cfg.run.seed)
+            elif cfg.run.dist_mode == "ep":
+                from uni_adapter_tpu.parallel import ep as pep
+
+                _, summary = pep.run_stream_ep(
                     cfg, model, params, text, pcs, rgbs, targets,
                     seed=cfg.run.seed)
             elif not cfg.run.use_scan:

@@ -232,6 +232,11 @@ class RunConfig:
     #   'replicated' — single stream, exact reference trajectory
     #   'sharded'    — shard the stream; per-shard independent adaptation state
     #   'psum'       — shard the stream; psum-merged sufficient statistics
+    #   'ep'         — shard the MODE-DOTA CLASS state (expert parallelism,
+    #                  parallel/ep.py): replicated batch, same adaptation
+    #                  order as the single-device run, K-proportional work
+    #                  divided over devices — the Objaverse-LVIS (K=1156)
+    #                  scaling lever
     dist_mode: str = "replicated"
     data_axis: str = "data"
     # Trunk (model) parallelism for the encoder forward, independent of
@@ -397,11 +402,22 @@ def parse_args(argv=None) -> Config:
         dota=dataclasses.replace(cfg.dota, **explicit(cfg.dota, "dota_")),
         cache=dataclasses.replace(cfg.cache, **cache_explicit),
     )
-    if cfg.run.dist_mode not in ("replicated", "sharded", "psum"):
+    if cfg.run.dist_mode not in ("replicated", "sharded", "psum", "ep"):
         # main.py string-compares the mode; without this check a typo would
         # silently fall through to the replicated path
         raise ValueError(f"--dist-mode {cfg.run.dist_mode!r}: expected "
-                         "replicated, sharded, or psum")
+                         "replicated, sharded, psum, or ep")
+    if cfg.run.dist_mode == "ep":
+        if not cfg.dota.use_mode_dota:
+            raise ValueError(
+                "--dist-mode ep shards the MODE-DOTA class state over the "
+                "devices (parallel/ep.py); enable --dota-use-mode-dota or "
+                "pick sharded/psum for the other methods")
+        if cfg.run.vmap_corruptions:
+            raise ValueError(
+                "--dist-mode ep does not compose with --vmap-corruptions "
+                "from the CLI (vmap over the class-axis shard_map); run "
+                "corruptions sequentially")
     if cfg.run.trunk_parallel not in ("none", "tp", "pp", "sp"):
         raise ValueError(f"--trunk-parallel {cfg.run.trunk_parallel!r}: "
                          "expected none, tp, pp, or sp")
