@@ -183,6 +183,38 @@ def test_ep_pad_rows_stay_frozen(setup):
         pytest.approx(2 * T, rel=1e-5)
 
 
+def test_streams_ep_dp_composition(setup):
+    """DP × EP on a 2-D (data, classes) mesh: stream trajectories equal
+    engine.run_streams_vmapped's (same per-stream seeds), class-sharded.
+    The realistic LVIS deployment of the corruption sweep."""
+    from jax.sharding import Mesh
+
+    model, params, rng = setup
+    rng = np.random.default_rng(4)
+    K, C = 16, 4
+    text = _text(rng, K)
+    pcs = rng.standard_normal((C, T, 1, N, 3)).astype(np.float32)
+    rgbs = np.ones_like(pcs)
+    targets = rng.integers(0, K, (C, T, 1)).astype(np.int32)
+    cfg = _cfg(res=False)
+
+    _, want_outs = engine.run_streams_vmapped(
+        cfg, model, params, jnp.asarray(text), jnp.asarray(pcs),
+        jnp.asarray(rgbs), jnp.asarray(targets), seed=42)
+    want = engine.summarize_vmapped(want_outs, T)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "classes"))
+    states, summary = ep.run_streams_ep(cfg, model, params, text, pcs,
+                                        rgbs, targets, mesh=mesh)
+    assert summary["acc1_per_stream"] == pytest.approx(
+        [w["acc1"] for w in want])
+    assert summary["n_class_shards"] == 4
+    # stacked full-K states: leading C, class leaves unpadded
+    assert np.asarray(states.method_state.mu).shape[:2] == (C, K)
+    assert np.asarray(states.step).shape == (C,)
+
+
 def test_ep_cli(tmp_path):
     """--dist-mode ep through the evaluation CLI: K=40 modelnet classes
     shard 5-per-device over the virtual 8-device mesh; accuracies match

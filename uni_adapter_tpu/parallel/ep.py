@@ -202,6 +202,101 @@ def _is_class_leaf(path, leaf) -> bool:
     return leaf.ndim > 0 and "rng" not in jax.tree_util.keystr(path)
 
 
+def _is_stacked_class_leaf(path, leaf) -> bool:
+    """Same, one vmapped stream axis in front (run_streams_ep): class
+    leaves are (C_local, K_local, ...); per-stream scalars/keys are
+    (C_local,) or (C_local, 2)."""
+    return leaf.ndim > 1 and "rng" not in jax.tree_util.keystr(path)
+
+
+def run_streams_ep(cfg: Config, model, params, text_features_initial,
+                   pcs, rgbs, targets, mesh: Mesh, data_axis: str = "data",
+                   classes_axis: str = "classes", seed: int = 42):
+    """DP × EP: independent STREAMS sharded over `data_axis`, the MODE-DOTA
+    class state sharded over `classes_axis` — shard_map(vmap(scan)) on a
+    2-D mesh.  The realistic Objaverse-LVIS deployment of the benchmark
+    sweep: the 15 corruption streams scale across one axis exactly like
+    mesh.run_streams_sharded (same per-stream seeds), while each stream's
+    K-proportional adaptation work divides over the other.
+
+    Args:
+      pcs: (C, T, B, N, 3); rgbs likewise; targets: (C, T, B).  C must be
+        a multiple of the data-axis size.
+    Returns:
+      (stacked final EngineStates with leading C axis and full-K class
+       leaves, summary dict with per-stream acc1).
+    """
+    assert {data_axis, classes_axis} <= set(mesh.axis_names), mesh
+    n_data = mesh.shape[data_axis]
+    n_cls = mesh.shape[classes_axis]
+    C, T, B = pcs.shape[0], pcs.shape[1], pcs.shape[2]
+    if C % n_data:
+        raise ValueError(f"stream count {C} must divide over the "
+                         f"{n_data}-device data axis")
+    text = np.asarray(text_features_initial, np.float32)
+    K = text.shape[0]
+    text_pad, k_pad = pad_classes(text, n_cls)
+    step = make_ep_step_fn(cfg, model, classes_axis, K, n_cls)
+    # per-stream seeds match engine.init_states_vmapped / run_streams_sharded
+    keys = jnp.stack([jax.random.PRNGKey(seed + i) for i in range(C)])
+
+    def body(params, text_local, keys_c, pcs_c, rgbs_c, tgts_c):
+        # local block: (C/n_data, T, ...) streams × (K_pad/n_cls) classes
+        states = jax.vmap(
+            lambda r: engine.init_state(cfg, text_local, r))(keys_c)
+        tf = lambda a: jnp.swapaxes(a, 0, 1)                # time leads
+
+        def scan_body(states, batch):
+            return jax.vmap(step, in_axes=(None, None, 0, 0))(
+                params, text_local, states, batch)
+
+        states, outs = jax.lax.scan(
+            scan_body, states, (tf(pcs_c), tf(rgbs_c), tf(tgts_c)))
+        correct = jnp.sum(outs.correct, axis=0)             # (C/n_data, 3)
+        # replicated over classes already (identical math on gathered
+        # logits); gather the tiny counters over the data axis so they
+        # come back fully replicated (host-fetchable)
+        correct = jax.lax.all_gather(correct, data_axis,
+                                     axis=0, tiled=True)
+        return states, correct
+
+    template = jax.eval_shape(
+        lambda: jax.vmap(lambda r: engine.init_state(
+            cfg, jnp.zeros((k_pad // n_cls, text.shape[1]), jnp.float32), r)
+        )(keys[:C // n_data]))
+    # stacked states: axis 0 is the stream block (data axis), axis 1 the
+    # class block for K-leading leaves; per-stream keys/scalars carry the
+    # stream axis only
+    state_specs = jax.tree_util.tree_map_with_path(
+        lambda p, l: (P(data_axis, classes_axis)
+                      if _is_stacked_class_leaf(p, l) else P(data_axis)),
+        template)
+
+    body_fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(classes_axis), P(data_axis), P(data_axis),
+                  P(data_axis), P(data_axis)),
+        out_specs=(state_specs, P()), check_vma=False))
+    states, correct = body_fn(params, jnp.asarray(text_pad), keys,
+                              jnp.asarray(pcs), jnp.asarray(rgbs),
+                              jnp.asarray(targets))
+    # strip pad classes (leaf axis 1 for class leaves)
+    states = jax.tree_util.tree_map_with_path(
+        lambda p, l: l[:, :K] if _is_stacked_class_leaf(p, l) else l, states)
+
+    correct = np.asarray(correct)                           # (C, 3)
+    n_samples = T * B
+    summary = {
+        "acc1_per_stream": (100.0 * correct[:, 0] / n_samples).tolist(),
+        "acc1": float(100.0 * correct[:, 0].sum() / (C * n_samples)),
+        "acc3": float(100.0 * correct[:, 1].sum() / (C * n_samples)),
+        "acc5": float(100.0 * correct[:, 2].sum() / (C * n_samples)),
+        "n_samples": C * n_samples, "n_class_shards": n_cls,
+        "padded_classes": k_pad - K,
+    }
+    return states, summary
+
+
 def run_stream_ep(cfg: Config, model, params, text_features_initial,
                   pcs, rgbs, targets, mesh: Optional[Mesh] = None,
                   seed: int = 42):
