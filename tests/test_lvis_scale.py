@@ -191,3 +191,37 @@ def test_prototype_graph_conf_underflow_fallback():
                                                  graph_mode="prototype"))
         assert np.all(np.isfinite(logits))
         assert int(np.argmax(logits[0])) == cls, (cls, logits[0])
+
+
+def test_ep_runs_at_k1156():
+    """Class-sharded (EP) MODE-DOTA at the real LVIS K: 1156 pads to 1160
+    over 8 shards (145/device), residual loop on — the deployment
+    parallel/ep.py exists for.  Trajectory parity with the replicated
+    engine is covered at small K in tests/test_ep.py; this pins the
+    at-scale plumbing (padding, gathers, sharded residual gradient)."""
+    from uni_adapter_tpu.parallel import ep
+
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_mode_dota=True, mode_M=2,
+                                 res_learning=True, residual_steps=1),
+                 cache=CacheConfig())
+    D, N, T = 48, 32, 3
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, N, 6)))
+    text = rng.standard_normal((K_LVIS, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    pcs = rng.standard_normal((T, 1, N, 3)).astype(np.float32)
+    tgts = rng.integers(0, K_LVIS, (T, 1)).astype(np.int32)
+
+    state, summary = ep.run_stream_ep(
+        cfg, model, params, text, pcs, np.ones_like(pcs), tgts,
+        mesh=ep.make_classes_mesh(8))
+    assert summary["padded_classes"] == 4          # 1160 - 1156
+    assert summary["n_class_shards"] == 8
+    assert np.isfinite(summary["acc1"])
+    # full-K state back on the host, pads stripped
+    assert np.asarray(state.method_state.mu).shape == (K_LVIS, 2, D)
+    assert np.asarray(state.res_state.residuals).shape == (K_LVIS, D)
+    assert np.isfinite(np.asarray(state.res_state.residuals)).all()
