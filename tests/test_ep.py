@@ -183,6 +183,40 @@ def test_ep_pad_rows_stay_frozen(setup):
         pytest.approx(2 * T, rel=1e-5)
 
 
+def test_ep_continual_resume_matches_replicated(setup):
+    """initial_state resumes the class-sharded trajectory: EP over segment 1
+    then EP over segment 2 resumed from the returned full-K carry equals
+    the replicated engine chained the same way (continual TTA protocol)."""
+    model, params, rng = setup
+    rng = np.random.default_rng(6)
+    K = 10  # padded: the splice must re-freeze the pad rows
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=1)
+    cfg = _cfg(res=False)
+    half = T // 2
+
+    st1, o1 = _replicated(cfg, model, params, text, pcs[:half], rgbs[:half],
+                          targets[:half])
+    st2, o2 = engine.run_stream_scan(
+        cfg, model, params, jnp.asarray(text), jnp.asarray(pcs[half:]),
+        jnp.asarray(rgbs[half:]), jnp.asarray(targets[half:]),
+        initial_state=st1)
+
+    mesh = ep.make_classes_mesh(8)
+    est1, s1 = ep.run_stream_ep(cfg, model, params, text, pcs[:half],
+                                rgbs[:half], targets[:half], mesh=mesh)
+    est2, s2 = ep.run_stream_ep(cfg, model, params, text, pcs[half:],
+                                rgbs[half:], targets[half:], mesh=mesh,
+                                initial_state=est1)
+
+    assert int(est2.step) == T  # the carry chained through both segments
+    np.testing.assert_allclose(np.asarray(est2.method_state.mu),
+                               np.asarray(st2.method_state.mu),
+                               rtol=1e-5, atol=1e-7)
+    want_c = np.asarray(jnp.sum(o2.correct, axis=0))
+    assert s2["acc1"] == pytest.approx(100.0 * want_c[0] / (T - half))
+
+
 def test_streams_ep_dp_composition(setup):
     """DP × EP on a 2-D (data, classes) mesh: stream trajectories equal
     engine.run_streams_vmapped's (same per-stream seeds), class-sharded.

@@ -185,9 +185,11 @@ def main(argv=None):
             elif cfg.run.dist_mode == "ep":
                 from uni_adapter_tpu.parallel import ep as pep
 
-                _, summary = pep.run_stream_ep(
+                state, summary = pep.run_stream_ep(
                     cfg, model, params, text, pcs, rgbs, targets,
-                    seed=cfg.run.seed)
+                    seed=cfg.run.seed, initial_state=carry_state)
+                if cfg.run.continual:
+                    carry_state = state
             elif not cfg.run.use_scan:
                 res = engine.run_stream(cfg, model, params, text,
                                         dataset.iter_batches(

@@ -437,11 +437,12 @@ def parse_args(argv=None) -> Config:
                 "--continual carries one adaptation trajectory through the "
                 "corruption SEQUENCE; --vmap-corruptions runs the streams "
                 "in parallel — the two are mutually exclusive")
-        if cfg.run.dist_mode != "replicated":
+        if cfg.run.dist_mode not in ("replicated", "ep"):
             raise ValueError(
-                "--continual requires --dist-mode replicated from the CLI "
-                "(sharded/psum modes re-build their mesh state per stream; "
-                "chain them via the library API if needed)")
+                "--continual requires --dist-mode replicated or ep from "
+                "the CLI (sharded/psum modes change the adaptation order "
+                "and re-build their mesh state per stream; chain them via "
+                "the library API if needed)")
     cfg = cfg.resolve()
     # explicit cache flags beat the table
     return dataclasses.replace(

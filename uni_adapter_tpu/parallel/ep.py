@@ -299,7 +299,8 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
 
 def run_stream_ep(cfg: Config, model, params, text_features_initial,
                   pcs, rgbs, targets, mesh: Optional[Mesh] = None,
-                  seed: int = 42):
+                  seed: int = 42,
+                  initial_state: Optional[engine.EngineState] = None):
     """Run the stream with the MODE-DOTA state class-sharded over the mesh.
 
     The batch is replicated — same adaptation ORDER as the single-device
@@ -310,6 +311,10 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
 
     Args:
       pcs: (T, B, N, 3); rgbs likewise; targets: (T, B).
+      initial_state: resume the adaptation trajectory from this FULL-K
+        carry (as returned by this function or by the replicated engine —
+        continual TTA / elastic resume, mirroring run_stream_scan); the
+        class leaves re-shard over the mesh, pad classes re-init frozen.
     """
     mesh = mesh or make_classes_mesh()
     axis = mesh.axis_names[0]
@@ -319,27 +324,34 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
     text_pad, k_pad = pad_classes(text, n)
     step = make_ep_step_fn(cfg, model, axis, K, n)
 
-    def body(params, text_local, pcs, rgbs, tgts):
-        state = engine.init_state(cfg, text_local, jax.random.PRNGKey(seed))
+    def body(params, text_local, state, pcs, rgbs, tgts):
         state, outs = jax.lax.scan(
             lambda s, b: step(params, text_local, s, b), state,
             (pcs, rgbs, tgts))
         return state, jnp.sum(outs.correct, axis=0), outs.final_logits
 
-    # out_specs mirror the EngineState pytree: class-block leaves emerge as
-    # global (K_pad, ...) arrays, scalars/keys replicated
-    template = jax.eval_shape(
-        lambda: engine.init_state(cfg, jnp.zeros((k_pad // n, text.shape[1]),
-                                                 jnp.float32),
-                                  jax.random.PRNGKey(seed)))
+    # the padded initial carry: a fresh init on the padded anchors (which
+    # covers the frozen pad classes), with the caller's full-K state
+    # spliced over the real rows when resuming
+    state0 = engine.init_state(cfg, jnp.asarray(text_pad),
+                               jax.random.PRNGKey(seed))
+    if initial_state is not None:
+        state0 = jax.tree_util.tree_map_with_path(
+            lambda p, init_l, given_l: (
+                jnp.concatenate([jnp.asarray(given_l), init_l[K:]], axis=0)
+                if _is_class_leaf(p, init_l) else jnp.asarray(given_l)),
+            state0, initial_state)
+
+    # state specs mirror the EngineState pytree: class-block leaves live
+    # sharded as global (K_pad, ...) arrays, scalars/keys replicated
     state_specs = jax.tree_util.tree_map_with_path(
-        lambda p, l: P(axis) if _is_class_leaf(p, l) else P(), template)
+        lambda p, l: P(axis) if _is_class_leaf(p, l) else P(), state0)
 
     body_fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(), P()),
+        in_specs=(P(), P(axis), state_specs, P(), P(), P()),
         out_specs=(state_specs, P(), P()), check_vma=False))
-    state, correct, _ = body_fn(params, jnp.asarray(text_pad),
+    state, correct, _ = body_fn(params, jnp.asarray(text_pad), state0,
                                 jnp.asarray(pcs), jnp.asarray(rgbs),
                                 jnp.asarray(targets))
 
