@@ -183,6 +183,35 @@ def test_ep_pad_rows_stay_frozen(setup):
         pytest.approx(2 * T, rel=1e-5)
 
 
+def test_ep_sharded_encoder_matches_replicated_encoder(setup):
+    """shard_encoder=True splits the fused 2B encoder batch over the class
+    axis (B=4 → 2B=8 over 8 devices, one sample each) and gathers the
+    features — per-sample encoder math is batch-independent, so the run
+    matches the replicated-encoder EP run to float roundoff."""
+    model, params, rng = setup
+    rng = np.random.default_rng(8)
+    K = 16
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=4)
+    cfg = _cfg(res=False)
+    mesh = ep.make_classes_mesh(8)
+
+    st_a, sum_a = ep.run_stream_ep(cfg, model, params, text, pcs, rgbs,
+                                   targets, mesh=mesh)
+    st_b, sum_b = ep.run_stream_ep(cfg, model, params, text, pcs, rgbs,
+                                   targets, mesh=mesh, shard_encoder=True)
+    np.testing.assert_allclose(np.asarray(st_b.method_state.mu),
+                               np.asarray(st_a.method_state.mu),
+                               rtol=1e-5, atol=1e-7)
+    assert sum_b["acc1"] == pytest.approx(sum_a["acc1"])
+    assert sum_b["acc5"] == pytest.approx(sum_a["acc5"])
+
+    # indivisible fused batch fails loudly at trace time
+    with pytest.raises(ValueError, match="2B=2"):
+        ep.run_stream_ep(cfg, model, params, text, pcs[:, :1], rgbs[:, :1],
+                         targets[:, :1], mesh=mesh, shard_encoder=True)
+
+
 def test_ep_continual_resume_matches_replicated(setup):
     """initial_state resumes the class-sharded trajectory: EP over segment 1
     then EP over segment 2 resumed from the returned full-K carry equals

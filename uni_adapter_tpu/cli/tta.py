@@ -187,7 +187,8 @@ def main(argv=None):
 
                 state, summary = pep.run_stream_ep(
                     cfg, model, params, text, pcs, rgbs, targets,
-                    seed=cfg.run.seed, initial_state=carry_state)
+                    seed=cfg.run.seed, initial_state=carry_state,
+                    shard_encoder=cfg.run.ep_shard_encoder)
                 if cfg.run.continual:
                     carry_state = state
             elif not cfg.run.use_scan:

@@ -238,6 +238,10 @@ class RunConfig:
     #                  divided over devices — the Objaverse-LVIS (K=1156)
     #                  scaling lever
     dist_mode: str = "replicated"
+    # EP only: also split the fused 2B encoder batch over the class axis
+    # (features all_gather back) so the trunk forward scales with the mesh
+    # too; requires 2·batch_size to divide the device count
+    ep_shard_encoder: bool = False
     data_axis: str = "data"
     # Trunk (model) parallelism for the encoder forward, independent of
     # dist_mode's stream sharding (requires dist_mode='replicated' and

@@ -84,13 +84,23 @@ def pad_classes(text: np.ndarray, n_shards: int):
 
 def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
                     n_shards: int,
-                    encode_fn: Optional[Callable] = None) -> Callable:
+                    encode_fn: Optional[Callable] = None,
+                    shard_encoder: bool = False) -> Callable:
     """Per-sample step for INSIDE shard_map over the `axis` class mesh:
         step(params, text_local, state, batch) -> (state, StepOutput)
     where `text_local` is this device's (K_pad/n, D) anchor block, `state`
     the matching class-block EngineState, and `batch` the REPLICATED
     (pc, rgb, target) step.  Mirrors engine.make_step_fn's MODE-DOTA branch
     (engine.py:240-278) with the class-axis collectives spliced in.
+
+    shard_encoder: also split the fused 2B encoder batch over the class
+      axis (each device encodes 2B/n samples; features all_gather back) —
+      the otherwise-replicated trunk forward then scales with the mesh
+      too, making EP a full-step lever rather than adaptation-only.
+      Requires 2B % n == 0 (checked at trace time).  Per-sample encoder
+      math is batch-independent, so the gathered features match the
+      replicated forward to float roundoff; the noise is generated for
+      the FULL batch and sliced, so the consumed values are identical.
     """
     dc = cfg.dota
     if not dc.use_mode_dota:
@@ -138,8 +148,24 @@ def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
         B = pc.shape[0]
         pc_aug = pc + dc.noise_std * jax.random.normal(noise_rng, pc.shape,
                                                        pc.dtype)
-        feat_both = encode(params, jnp.concatenate([pc, pc_aug], axis=0),
-                           jnp.concatenate([rgb, rgb], axis=0))
+        pc_both = jnp.concatenate([pc, pc_aug], axis=0)
+        rgb_both = jnp.concatenate([rgb, rgb], axis=0)
+        if shard_encoder:
+            if (2 * B) % n_shards:
+                raise ValueError(
+                    f"shard_encoder requires the fused encoder batch "
+                    f"2B={2 * B} to divide over the {n_shards}-device "
+                    f"class axis")
+            chunk = 2 * B // n_shards
+            start = jax.lax.axis_index(axis) * chunk
+            feat_local = encode(
+                params,
+                jax.lax.dynamic_slice_in_dim(pc_both, start, chunk, 0),
+                jax.lax.dynamic_slice_in_dim(rgb_both, start, chunk, 0))
+            feat_both = jax.lax.all_gather(feat_local, axis, axis=0,
+                                           tiled=True)
+        else:
+            feat_both = encode(params, pc_both, rgb_both)
         feat, feat_aug = feat_both[:B], feat_both[B:]
 
         # CLIP logits: local column block, gathered, pads sliced off BEFORE
@@ -300,7 +326,8 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
 def run_stream_ep(cfg: Config, model, params, text_features_initial,
                   pcs, rgbs, targets, mesh: Optional[Mesh] = None,
                   seed: int = 42,
-                  initial_state: Optional[engine.EngineState] = None):
+                  initial_state: Optional[engine.EngineState] = None,
+                  shard_encoder: bool = False):
     """Run the stream with the MODE-DOTA state class-sharded over the mesh.
 
     The batch is replicated — same adaptation ORDER as the single-device
@@ -322,7 +349,8 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
     text = np.asarray(text_features_initial, np.float32)
     K = text.shape[0]
     text_pad, k_pad = pad_classes(text, n)
-    step = make_ep_step_fn(cfg, model, axis, K, n)
+    step = make_ep_step_fn(cfg, model, axis, K, n,
+                           shard_encoder=shard_encoder)
 
     def body(params, text_local, state, pcs, rgbs, tgts):
         state, outs = jax.lax.scan(
