@@ -321,6 +321,35 @@ def test_ep_cli_validation():
         parse_args(["--dist-mode", "ep", "--vmap-corruptions", "true"])
 
 
+def test_ep_k_smaller_than_mesh(setup):
+    """K=2 over 8 devices: 6 devices hold ONLY frozen pad classes (1 class
+    each), M=1 modes — the degenerate corner must still match the
+    replicated run (zero prob columns keep pad fits inert; garbage pad
+    likelihood columns are sliced before every reduction)."""
+    model, params, rng = setup
+    rng = np.random.default_rng(9)
+    K = 2
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=1)
+    dc = DotaConfig(use_dota=False, use_mode_dota=True, mode_M=1,
+                    res_learning=True, residual_steps=1)
+    cfg = Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
+                 cache=CacheConfig())
+
+    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
+                                        targets)
+    got_state, summary = ep.run_stream_ep(cfg, model, params, text, pcs,
+                                          rgbs, targets,
+                                          mesh=ep.make_classes_mesh(8))
+    assert summary["padded_classes"] == 6
+    np.testing.assert_allclose(np.asarray(got_state.method_state.mu),
+                               np.asarray(want_state.method_state.mu),
+                               rtol=1e-3, atol=1e-5)
+    assert np.isfinite(np.asarray(got_state.res_state.residuals)).all()
+    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
+    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
+
+
 def test_ep_requires_mode_dota(setup):
     model, params, rng = setup
     cfg = Config(model=ModelConfig(compute_dtype="float32"),
