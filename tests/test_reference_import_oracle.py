@@ -1434,7 +1434,7 @@ def test_driver_loop_matches_reference_main(ref, tmp_path):
         return _FakeOurDS()
 
     def fake_run_stream_scan(cfg, model, params, text, pcs, rgbs, tgts,
-                             seed=0, scan_fn=None):
+                             seed=0, scan_fn=None, initial_state=None):
         our_order.append(cfg.data.corruption)
         return None, cfg.data.corruption
 
