@@ -278,6 +278,58 @@ def test_streams_ep_dp_composition(setup):
     assert np.asarray(states.step).shape == (C,)
 
 
+def test_streams_ep_shard_encoder(setup):
+    """run_streams_ep forwards the encoder-sharding lever (advisor round-3):
+    DP × EP with B=2 (2B=4 over the 4-device class axis, one sample each)
+    matches the replicated-encoder DP × EP run to float roundoff."""
+    from jax.sharding import Mesh
+
+    model, params, rng = setup
+    rng = np.random.default_rng(11)
+    K, C, B = 16, 4, 2
+    text = _text(rng, K)
+    pcs = rng.standard_normal((C, T, B, N, 3)).astype(np.float32)
+    rgbs = np.ones_like(pcs)
+    targets = rng.integers(0, K, (C, T, B)).astype(np.int32)
+    cfg = _cfg(res=False)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "classes"))
+
+    st_a, sum_a = ep.run_streams_ep(cfg, model, params, text, pcs, rgbs,
+                                    targets, mesh=mesh)
+    st_b, sum_b = ep.run_streams_ep(cfg, model, params, text, pcs, rgbs,
+                                    targets, mesh=mesh, shard_encoder=True)
+    np.testing.assert_allclose(np.asarray(st_b.method_state.mu),
+                               np.asarray(st_a.method_state.mu),
+                               rtol=1e-5, atol=1e-7)
+    assert sum_b["acc1_per_stream"] == pytest.approx(
+        sum_a["acc1_per_stream"])
+
+
+def test_ep_residual_unroll_matches_loop(setup):
+    """--dota-residual-unroll is honoured under EP (advisor round-3): the
+    unrolled sharded residual loop is the same math as the fori_loop body,
+    so short trajectories match to tolerance (fusion order may differ)."""
+    model, params, rng = setup
+    rng = np.random.default_rng(12)
+    K = 16
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=1)
+    mesh = ep.make_classes_mesh(8)
+
+    st_loop, _ = ep.run_stream_ep(_cfg(res=True), model, params, text, pcs,
+                                  rgbs, targets, mesh=mesh)
+    st_flat, _ = ep.run_stream_ep(_cfg(res=True, residual_unroll=True),
+                                  model, params, text, pcs, rgbs, targets,
+                                  mesh=mesh)
+    np.testing.assert_allclose(np.asarray(st_flat.res_state.residuals),
+                               np.asarray(st_loop.res_state.residuals),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st_flat.method_state.mu),
+                               np.asarray(st_loop.method_state.mu),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_ep_cli(tmp_path):
     """--dist-mode ep through the evaluation CLI: K=40 modelnet classes
     shard 5-per-device over the virtual 8-device mesh; accuracies match
@@ -319,6 +371,12 @@ def test_ep_cli_validation():
                     "--dota-use-dota", "true"])
     with pytest.raises(ValueError, match="vmap"):
         parse_args(["--dist-mode", "ep", "--vmap-corruptions", "true"])
+    # inert-flag combination rejected (advisor round-3): the encoder-sharding
+    # lever only exists inside the EP step
+    with pytest.raises(ValueError, match="ep-shard-encoder"):
+        parse_args(["--ep-shard-encoder", "true"])
+    with pytest.raises(ValueError, match="ep-shard-encoder"):
+        parse_args(["--dist-mode", "sharded", "--ep-shard-encoder", "true"])
 
 
 def test_ep_k_smaller_than_mesh(setup):

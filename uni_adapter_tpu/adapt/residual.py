@@ -230,7 +230,8 @@ def optimize_residuals_sharded(res_state: ResidualState,
                                epsilon: float, axis_name: str,
                                num_classes: int, num_steps: int = 10,
                                precision: jax.lax.Precision =
-                               jax.lax.Precision.HIGHEST) -> ResidualState:
+                               jax.lax.Precision.HIGHEST,
+                               unroll: bool = False) -> ResidualState:
     """Class-sharded residual optimisation (for parallel/ep.py).
 
     Every K-leading operand — residuals, text anchors, the frozen mixture
@@ -273,6 +274,12 @@ def optimize_residuals_sharded(res_state: ResidualState,
         return ResidualState(optax.apply_updates(rs.residuals, updates),
                              opt_state)
 
+    if unroll:
+        # same opt-in flat-program variant as optimize_residuals; lets XLA
+        # overlap a step's elementwise tail with the next step's matmuls
+        for i in range(num_steps):
+            res_state = body(i, res_state)
+        return res_state
     return jax.lax.fori_loop(0, num_steps, body, res_state)
 
 

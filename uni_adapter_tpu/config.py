@@ -422,6 +422,12 @@ def parse_args(argv=None) -> Config:
                 "--dist-mode ep does not compose with --vmap-corruptions "
                 "from the CLI (vmap over the class-axis shard_map); run "
                 "corruptions sequentially")
+    elif cfg.run.ep_shard_encoder:
+        # inert-flag-combination pattern: reject rather than silently ignore
+        # (matches trunk_parallel / vmap_corruptions / continual handling)
+        raise ValueError(
+            "--ep-shard-encoder splits the fused encoder batch over the EP "
+            "class axis; it has no effect unless --dist-mode ep")
     if cfg.run.trunk_parallel not in ("none", "tp", "pp", "sp"):
         raise ValueError(f"--trunk-parallel {cfg.run.trunk_parallel!r}: "
                          "expected none, tp, pp, or sp")

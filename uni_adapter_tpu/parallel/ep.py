@@ -200,7 +200,7 @@ def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
                 return residual.optimize_residuals_sharded(
                     rs, text_local, ms, res_opt, dc.epsilon, axis,
                     num_classes, num_steps=dc.residual_steps,
-                    precision=res_prec)
+                    precision=res_prec, unroll=dc.residual_unroll)
             res_state = jax.lax.cond(state.step > 0, do_opt,
                                      lambda rs: rs, state.res_state)
 
@@ -237,7 +237,8 @@ def _is_stacked_class_leaf(path, leaf) -> bool:
 
 def run_streams_ep(cfg: Config, model, params, text_features_initial,
                    pcs, rgbs, targets, mesh: Mesh, data_axis: str = "data",
-                   classes_axis: str = "classes", seed: int = 42):
+                   classes_axis: str = "classes", seed: int = 42,
+                   shard_encoder: bool = False):
     """DP × EP: independent STREAMS sharded over `data_axis`, the MODE-DOTA
     class state sharded over `classes_axis` — shard_map(vmap(scan)) on a
     2-D mesh.  The realistic Objaverse-LVIS deployment of the benchmark
@@ -248,6 +249,9 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
     Args:
       pcs: (C, T, B, N, 3); rgbs likewise; targets: (C, T, B).  C must be
         a multiple of the data-axis size.
+      shard_encoder: forward make_ep_step_fn's encoder-sharding lever —
+        each class-axis device encodes 2B/n_cls of the fused batch
+        (requires 2B % n_cls == 0; checked at trace time).
     Returns:
       (stacked final EngineStates with leading C axis and full-K class
        leaves, summary dict with per-stream acc1).
@@ -262,7 +266,8 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
     text = np.asarray(text_features_initial, np.float32)
     K = text.shape[0]
     text_pad, k_pad = pad_classes(text, n_cls)
-    step = make_ep_step_fn(cfg, model, classes_axis, K, n_cls)
+    step = make_ep_step_fn(cfg, model, classes_axis, K, n_cls,
+                           shard_encoder=shard_encoder)
     # per-stream seeds match engine.init_states_vmapped / run_streams_sharded
     keys = jnp.stack([jax.random.PRNGKey(seed + i) for i in range(C)])
 
