@@ -366,7 +366,7 @@ def test_ep_cli(tmp_path):
 def test_ep_cli_validation():
     from uni_adapter_tpu.config import parse_args
 
-    with pytest.raises(ValueError, match="mode-dota"):
+    with pytest.raises(ValueError, match="sharded/psum"):
         parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",
                     "--dota-use-dota", "true"])
     with pytest.raises(ValueError, match="vmap"):
@@ -413,5 +413,5 @@ def test_ep_requires_mode_dota(setup):
     cfg = Config(model=ModelConfig(compute_dtype="float32"),
                  dota=DotaConfig(use_dota=True, use_mode_dota=False),
                  cache=CacheConfig())
-    with pytest.raises(ValueError, match="MODE-DOTA only"):
+    with pytest.raises(ValueError, match="MODE-DOTA and the prototype"):
         ep.make_ep_step_fn(cfg, model, "classes", 8, 8)

@@ -412,11 +412,19 @@ def parse_args(argv=None) -> Config:
         raise ValueError(f"--dist-mode {cfg.run.dist_mode!r}: expected "
                          "replicated, sharded, psum, or ep")
     if cfg.run.dist_mode == "ep":
-        if not cfg.dota.use_mode_dota:
+        is_cache = not (cfg.dota.use_dota or cfg.dota.use_mode_dota
+                        or cfg.dota.use_gmm_dota
+                        or cfg.dota.use_adaptive_dota)
+        if not (cfg.dota.use_mode_dota or is_cache):
             raise ValueError(
-                "--dist-mode ep shards the MODE-DOTA class state over the "
-                "devices (parallel/ep.py); enable --dota-use-mode-dota or "
-                "pick sharded/psum for the other methods")
+                "--dist-mode ep shards the MODE-DOTA or prototype-cache "
+                "class state over the devices (parallel/ep.py); pick "
+                "sharded/psum for DOTA/GMM/adaptive")
+        if is_cache and cfg.run.ep_shard_encoder:
+            raise ValueError(
+                "--ep-shard-encoder splits MODE-DOTA's fused 2-forward "
+                "batch; the cache path runs one batch-1 forward per step "
+                "— nothing to split")
         if cfg.run.vmap_corruptions:
             raise ValueError(
                 "--dist-mode ep does not compose with --vmap-corruptions "

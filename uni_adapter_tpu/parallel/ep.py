@@ -38,6 +38,16 @@ expert).  The encoder forward is recomputed per device — at the K this
 mode exists for, the adaptation rather than the trunk is the bottleneck;
 compose with trunk parallelism on a 2-D mesh if the trunk dominates.
 
+The prototype-CACHE path shards the same way (round-4): CacheState's
+K-leading leaves split over the class axis — at LVIS scale the
+(K, C, K) probability state is ~160 MB/stream and the prototype-graph
+refinement builds a (K, K) adjacency every step, both class-leading
+(_make_cache_step; reference semantics Uni_Adapter.py:78-189).  The
+insert-or-merge becomes owner-masked collective arithmetic (single-
+contributor psums are bitwise the owner's values) and the graph
+refinement row-shards its adjacency build and CG matvec while the small
+CG state stays replicated (_sharded_refinement).
+
 K need not divide the mesh: anchors pad to K_pad = ceil(K/n)·n with unit
 rows whose logits never reach the stream (the gathered logits slice back
 to K before any softmax), so the pad classes' state and residual rows
@@ -53,8 +63,14 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from uni_adapter_tpu import engine
+from uni_adapter_tpu.adapt import cache as cache_mod
 from uni_adapter_tpu.adapt import fusion, mode_dota, residual
 from uni_adapter_tpu.config import Config
+from uni_adapter_tpu.utils.math import (
+    conjugate_gradient,
+    normalized_entropy,
+    softmax_entropy,
+)
 from uni_adapter_tpu.utils.metrics import topk_correct
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -103,11 +119,27 @@ def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
       the FULL batch and sliced, so the consumed values are identical.
     """
     dc = cfg.dota
+    is_cache = not (dc.use_dota or dc.use_mode_dota or dc.use_gmm_dota
+                    or dc.use_adaptive_dota)
+    if is_cache:
+        # the prototype cache is the OTHER method with K-proportional
+        # cost: its (K, C, K) probability state and the class-prototype
+        # graph both lead with K (adapt/cache.py; at LVIS scale the probs
+        # leaf alone is ~160 MB/stream) — class-shard them the same way
+        if shard_encoder:
+            raise ValueError(
+                "shard_encoder requires the fused 2-forward MODE-DOTA "
+                "batch; the cache path runs one batch-1 forward per step "
+                "(get_logits_wrapper coerces pred to an int, "
+                "Uni_Adapter.py:72) — nothing to split")
+        encode = encode_fn if encode_fn is not None else \
+            engine.make_encode_fn(cfg, model)
+        return _make_cache_step(cfg, encode, axis, num_classes, n_shards)
     if not dc.use_mode_dota:
         raise ValueError(
-            "class-sharded (EP) evaluation supports MODE-DOTA only: the "
-            "mixture state and the residual loop are what shard by class; "
-            "use dist_mode='sharded'/'psum' for the other methods")
+            "class-sharded (EP) evaluation supports MODE-DOTA and the "
+            "prototype cache: those states shard by class; use "
+            "dist_mode='sharded'/'psum' for DOTA/GMM/adaptive")
     encode = encode_fn if encode_fn is not None else \
         engine.make_encode_fn(cfg, model)
     use_res = dc.res_learning
@@ -221,11 +253,284 @@ def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
     return step
 
 
+def _make_cache_step(cfg: Config, encode: Callable, axis: str,
+                     num_classes: int, n_shards: int) -> Callable:
+    """Per-sample cache step for INSIDE shard_map over the class mesh.
+
+    The CacheState shards by its leading class axis: each device holds its
+    (K_local, C, ·) block — feats/conf/counts/valid row-local, the probs
+    leaf (K_local, C, K_pad) keeping the FULL padded class-probability
+    vector per prototype (its last axis is what predict reads, not a
+    shardable node axis).  The per-step collectives are tiny: the gathered
+    (1, K) clip logits, a handful of psums for the insert-or-merge
+    (exactly one device owns the predicted row, so each psum has a single
+    non-zero contribution and is bitwise the owner's value), and the
+    refinement's gathered CG vectors.  What divides by n_shards is the
+    K-proportional work: the prototype collapse, the (rows, N) adjacency
+    build, and the CG matvec (reference semantics
+    Uni_Adapter.py:78-189, utils/math_utils.py:21-110).
+    """
+    cc = cfg.cache
+    scale = cfg.model.logit_scale
+
+    def step(params, text_local, state: engine.EngineState, batch):
+        pc, rgb, target = batch
+        if pc.shape[0] != 1:
+            raise ValueError(
+                f"the prototype-cache path requires batch_size=1 "
+                f"(got {pc.shape[0]}); see adapt/cache.py docstring")
+        text_local = text_local.astype(jnp.float32)
+        k_local = text_local.shape[0]
+        k_pad = k_local * n_shards
+        rng, _ = jax.random.split(state.rng)
+        clip_w_local = text_local.T                      # (D, K_local)
+
+        feat = encode(params, pc, rgb)                   # (1, D)
+        logits_local = scale * jnp.matmul(
+            feat.astype(jnp.float32), clip_w_local, precision=_HIGH)
+        clip_logits = jax.lax.all_gather(
+            logits_local, axis, axis=1, tiled=True)[:, :num_classes]
+        ent = softmax_entropy(clip_logits)
+        prob_map = jax.nn.softmax(clip_logits, axis=1)
+        pred = jnp.argmax(clip_logits[0]).astype(jnp.int32)
+        prop_ent = normalized_entropy(ent, num_classes)[0]
+
+        ms = _ep_update_cache(state.method_state, axis, pred, feat,
+                              prop_ent, prob_map, clip_w_local,
+                              num_classes, k_pad, beta=cc.beta,
+                              logit_scale=scale)
+        cache_logits = _ep_cache_logits(feat, ms, axis, num_classes,
+                                        cc.threshold, cc.lambda_reg,
+                                        cc.use_new_approximation,
+                                        cc.cg_max_iter, cc.graph_mode)
+        final = fusion.fuse_cache(clip_logits, cache_logits,
+                                  logit_scale=scale)
+        out = engine.StepOutput(final, clip_logits,
+                                topk_correct(final, target, (1, 3, 5)))
+        return engine.EngineState(ms, state.res_state, state.step + 1,
+                                  rng), out
+
+    return step
+
+
+def _ep_update_cache(s: "cache_mod.CacheState", axis: str, pred, feat,
+                     prop_ent, prob_map, clip_w_local, num_classes: int,
+                     k_pad: int, beta: float, logit_scale: float):
+    """Collective insert-or-merge on the class-sharded cache
+    (adapt/cache.py:update_cache re-derived for SPMD).
+
+    Exactly one device owns the predicted class row.  Because collectives
+    may not diverge across devices, the owner's row quantities broadcast
+    via owner-masked psums (single non-zero term ⇒ bitwise the owner's
+    value, no reduction reorder) and every device computes the merge
+    arithmetic on identical replicated scalars; only the final row write
+    is owner-masked.  The merged prototype's probs re-derive from its
+    gathered full-K logits, mirroring the replicated path's
+    `logits = scale·f@W` over all classes (Uni_Adapter.py:106-108).
+    """
+    k_local, C = s.conf.shape
+    offset = jax.lax.axis_index(axis) * k_local
+    in_block = (pred >= offset) & (pred < offset + k_local)
+    o = in_block.astype(jnp.float32)
+    lp = jnp.clip(pred - offset, 0, k_local - 1)
+
+    confidence = jnp.exp(-beta * prop_ent)
+    feat0 = feat[0].astype(jnp.float32)                  # (D,)
+    prob_pad = jnp.pad(prob_map[0].astype(jnp.float32),
+                       (0, k_pad - num_classes))         # (K_pad,)
+
+    n_valid = jax.lax.psum(o * jnp.sum(s.valid[lp].astype(jnp.float32)),
+                           axis).astype(jnp.int32)
+    has_room = n_valid < C
+
+    # owner's merge candidate (garbage on non-owners, masked by o)
+    sims = jax.lax.psum(
+        o * jnp.matmul(s.feats[lp], feat0, precision=_HIGH), axis)  # (C,)
+    m = jnp.argmax(sims)
+    feat_c = jax.lax.psum(o * s.feats[lp, m], axis)
+    conf_c = jax.lax.psum(o * s.conf[lp, m], axis)
+    count_c = jax.lax.psum(o * s.counts[lp, m], axis)
+
+    # confidence-count-weighted running mean with the same underflow
+    # guard as adapt/cache.py:update_cache
+    denom = count_c * conf_c + confidence
+    weighted = (conf_c * count_c * feat_c + confidence * feat0) / \
+        jnp.where(denom > 0.0, denom, 1.0)
+    new_feat = jnp.where(denom > 0.0, weighted,
+                         (count_c * feat_c + feat0) / (count_c + 1.0))
+    new_feat = new_feat / (jnp.linalg.norm(new_feat) + 1e-12)
+    lg_local = logit_scale * jnp.matmul(new_feat[None], clip_w_local,
+                                        precision=_HIGH)
+    lg = jax.lax.all_gather(lg_local, axis, axis=1,
+                            tiled=True)[:, :num_classes]
+    new_prob = jnp.pad(jax.nn.softmax(lg, axis=1)[0],
+                       (0, k_pad - num_classes))
+    new_pent = normalized_entropy(softmax_entropy(lg), num_classes)[0]
+    new_conf = jnp.exp(-beta * new_pent)
+
+    slot = jnp.where(has_room, n_valid, m)
+    w_feat = jnp.where(has_room, feat0, new_feat)
+    w_conf = jnp.where(has_room, confidence, new_conf)
+    w_prob = jnp.where(has_room, prob_pad, new_prob)
+    w_count = jnp.where(has_room, 1.0, count_c + 1.0)
+
+    def owner_write(arr, val):
+        return jnp.where(in_block, arr.at[lp, slot].set(val), arr)
+
+    return cache_mod.CacheState(
+        feats=owner_write(s.feats, w_feat),
+        conf=owner_write(s.conf, w_conf),
+        probs=owner_write(s.probs, w_prob),
+        counts=owner_write(s.counts, w_count),
+        valid=owner_write(s.valid, True),
+    )
+
+
+def _sharded_refinement(nodes_local, probs_local, valid_local, axis: str,
+                        threshold: float, lambda_reg: float,
+                        use_new_approximation: bool, max_iter: int):
+    """Row-sharded graph-Laplacian label refinement.
+
+    Each device owns a contiguous block of graph nodes.  The adjacency
+    rows W_local = normed_local @ normed_fullᵀ and the CG matvec are the
+    N²-proportional work — they divide over the mesh; the CG state
+    (x, r, p — (N, K) vectors) stays replicated, so alpha/beta and the
+    while_loop trip count are identical on every device.  Per-row dot
+    products equal the replicated _masked_laplacian's rows, so the
+    refinement matches utils/math.online_value_refinement_new to float
+    roundoff.  Returns the FULL (N, K) refined matrix (replicated).
+    """
+    n_local, D = nodes_local.shape
+    offset = jax.lax.axis_index(axis) * n_local
+    n_total = n_local * jax.lax.psum(1, axis)
+
+    normed_local = nodes_local / (jnp.linalg.norm(
+        nodes_local, axis=1, keepdims=True) + 1e-12)
+    normed_full = jax.lax.all_gather(normed_local, axis, axis=0,
+                                     tiled=True)          # (N, D)
+    vmask_local = valid_local.astype(jnp.float32)
+    vmask_full = jax.lax.all_gather(vmask_local, axis, axis=0, tiled=True)
+
+    W_local = jnp.matmul(normed_local, normed_full.T, precision=_HIGH)
+    W_local = jnp.where(W_local < threshold, 0.0, W_local)
+    W_local = W_local * vmask_local[:, None] * vmask_full[None, :]
+    deg_local = W_local.sum(axis=1)
+    deg_full = jax.lax.all_gather(deg_local, axis, axis=0, tiled=True)
+    dis_full = 1.0 / (jnp.sqrt(deg_full) + 1e-8)
+    dis_local = jax.lax.dynamic_slice_in_dim(dis_full, offset, n_local, 0)
+    I_local = jax.nn.one_hot(offset + jnp.arange(n_local), n_total,
+                             dtype=W_local.dtype)
+    L_local = I_local - dis_local[:, None] * W_local * dis_full[None, :]
+    A_local = (L_local + 2.0 * lambda_reg * I_local).astype(jnp.float32)
+
+    probs_masked = probs_local * vmask_local[:, None]
+    b_full = 2.0 * lambda_reg * jax.lax.all_gather(
+        probs_masked, axis, axis=0, tiled=True)           # (N, K)
+
+    if use_new_approximation:
+        def matvec(p):
+            return jax.lax.all_gather(
+                jnp.matmul(A_local, p, precision=_HIGH), axis, axis=0,
+                tiled=True)
+
+        sol = conjugate_gradient(matvec, b_full, max_iter=max_iter)
+    else:
+        # 'old' explicit-solve presets: gather the full system — it only
+        # runs where the per-dataset tables choose it (small graphs)
+        A_full = jax.lax.all_gather(A_local, axis, axis=0, tiled=True)
+        sol = jnp.linalg.solve(A_full, b_full)
+    sol = sol / (sol.sum(axis=1, keepdims=True) + 1e-12)
+    return sol * vmask_full[:, None]
+
+
+def _ep_cache_logits(pc_features, s: "cache_mod.CacheState", axis: str,
+                     num_classes: int, threshold: float, lambda_reg: float,
+                     use_new_approximation: bool, cg_max_iter: int,
+                     graph_mode: str):
+    """Class-sharded compute_cache_logits (adapt/cache.py:135-260).
+
+    graph_mode resolves on the GLOBAL node count (same dense↔prototype
+    switch point as the replicated path).  Node rows — prototype collapse,
+    refinement, affinity — are row-local; the readout's count-normalise
+    and the (B, K) logits psum over the node blocks.
+    """
+    k_local, C, D = s.feats.shape
+    if graph_mode == "auto":
+        graph_mode = "dense" if num_classes * C <= 4096 else "prototype"
+
+    if graph_mode == "prototype":
+        w = s.conf * s.valid.astype(jnp.float32)            # (K_local, C)
+        wsum = w.sum(axis=1, keepdims=True)
+        vmask = s.valid.astype(jnp.float32)
+        w = jnp.where(wsum > 0.0, w, vmask)
+        wsum = w.sum(axis=1, keepdims=True)
+        w = w / jnp.maximum(wsum, 1e-30)
+        nodes_local = jnp.einsum("kc,kcd->kd", w, s.feats, precision=_HIGH)
+        nodes_local = nodes_local / (jnp.linalg.norm(
+            nodes_local, axis=1, keepdims=True) + 1e-12)
+        probs_local = jnp.einsum("kc,kcp->kp", w, s.probs,
+                                 precision=_HIGH)[:, :num_classes]
+        valid_local = s.valid.any(axis=1)
+        n_local = k_local
+    elif graph_mode == "dense":
+        nodes_local = s.feats.reshape(k_local * C, D)
+        probs_local = s.probs.reshape(k_local * C, -1)[:, :num_classes]
+        valid_local = s.valid.reshape(k_local * C)
+        n_local = k_local * C
+    else:
+        raise ValueError(f"unknown graph_mode {graph_mode!r} "
+                         "(expected 'auto', 'dense', or 'prototype')")
+
+    refined_full = _sharded_refinement(
+        nodes_local, probs_local, valid_local, axis, threshold, lambda_reg,
+        use_new_approximation, cg_max_iter)                 # (N, K)
+    offset = jax.lax.axis_index(axis) * n_local
+    refined_local = jax.lax.dynamic_slice_in_dim(refined_full, offset,
+                                                 n_local, 0)
+
+    # _graph_readout, block-distributed: values count-normalise over ALL
+    # nodes; the affinity contraction psums over the node blocks
+    new_classes = jnp.argmax(refined_local, axis=1)
+    values = jax.nn.one_hot(new_classes, num_classes, dtype=jnp.float32)
+    values = values * valid_local[:, None].astype(jnp.float32)
+    cache_counts = jax.lax.psum(values.sum(axis=0), axis) + 1e-6
+    values = values / cache_counts
+
+    pc = pc_features / (jnp.linalg.norm(pc_features, axis=-1,
+                                        keepdims=True) + 1e-12)
+    affinity = jnp.matmul(pc.astype(jnp.float32), nodes_local.T,
+                          precision=_HIGH)
+    affinity = affinity * valid_local[None, :].astype(jnp.float32)
+    return jax.lax.psum(jnp.matmul(affinity, values, precision=_HIGH),
+                        axis)
+
+
 def _is_class_leaf(path, leaf) -> bool:
     """K-leading leaves shard over the class axis; scalars (step, t, Adam
     count) and the PRNG key replicate.  The key is matched by path — its
     (2,) shape could collide with a tiny K_local."""
     return leaf.ndim > 0 and "rng" not in jax.tree_util.keystr(path)
+
+
+def _is_cache_probs(path) -> bool:
+    """The cache probs leaf is (K, C, K): BOTH its node axis (leading) and
+    its class-probability axis (trailing) carry K — the trailing one pads
+    to K_pad alongside the anchors but never shards (it is what the
+    refinement reads, not a node axis).  Only CacheState has a field named
+    'probs'."""
+    return ".probs" in jax.tree_util.keystr(path)
+
+
+def _init_local_state(cfg: Config, text_local, rng, k_pad: int):
+    """init_state on a LOCAL class block (inside shard_map): the cache
+    probs leaf must still span the full padded class axis."""
+    st = engine.init_state(cfg, text_local, rng)
+    ms = st.method_state
+    if isinstance(ms, cache_mod.CacheState):
+        k_local, C = ms.conf.shape
+        ms = ms._replace(probs=jnp.zeros((k_local, C, k_pad), jnp.float32))
+        st = engine.EngineState(ms, st.res_state, st.step, st.rng)
+    return st
 
 
 def _is_stacked_class_leaf(path, leaf) -> bool:
@@ -274,7 +579,7 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
     def body(params, text_local, keys_c, pcs_c, rgbs_c, tgts_c):
         # local block: (C/n_data, T, ...) streams × (K_pad/n_cls) classes
         states = jax.vmap(
-            lambda r: engine.init_state(cfg, text_local, r))(keys_c)
+            lambda r: _init_local_state(cfg, text_local, r, k_pad))(keys_c)
         tf = lambda a: jnp.swapaxes(a, 0, 1)                # time leads
 
         def scan_body(states, batch):
@@ -292,9 +597,9 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
         return states, correct
 
     template = jax.eval_shape(
-        lambda: jax.vmap(lambda r: engine.init_state(
-            cfg, jnp.zeros((k_pad // n_cls, text.shape[1]), jnp.float32), r)
-        )(keys[:C // n_data]))
+        lambda: jax.vmap(lambda r: _init_local_state(
+            cfg, jnp.zeros((k_pad // n_cls, text.shape[1]), jnp.float32),
+            r, k_pad))(keys[:C // n_data]))
     # stacked states: axis 0 is the stream block (data axis), axis 1 the
     # class block for K-leading leaves; per-stream keys/scalars carry the
     # stream axis only
@@ -311,9 +616,15 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
     states, correct = body_fn(params, jnp.asarray(text_pad), keys,
                               jnp.asarray(pcs), jnp.asarray(rgbs),
                               jnp.asarray(targets))
-    # strip pad classes (leaf axis 1 for class leaves)
-    states = jax.tree_util.tree_map_with_path(
-        lambda p, l: l[:, :K] if _is_stacked_class_leaf(p, l) else l, states)
+    # strip pad classes (leaf axis 1 for class leaves; the cache probs
+    # leaf also carries the padded class axis in last position)
+    def _strip_stacked(p, l):
+        if not _is_stacked_class_leaf(p, l):
+            return l
+        l = l[:, :K]
+        return l[..., :K] if _is_cache_probs(p) else l
+
+    states = jax.tree_util.tree_map_with_path(_strip_stacked, states)
 
     correct = np.asarray(correct)                           # (C, 3)
     n_samples = T * B
@@ -369,11 +680,18 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
     state0 = engine.init_state(cfg, jnp.asarray(text_pad),
                                jax.random.PRNGKey(seed))
     if initial_state is not None:
-        state0 = jax.tree_util.tree_map_with_path(
-            lambda p, init_l, given_l: (
-                jnp.concatenate([jnp.asarray(given_l), init_l[K:]], axis=0)
-                if _is_class_leaf(p, init_l) else jnp.asarray(given_l)),
-            state0, initial_state)
+        def _splice(p, init_l, given_l):
+            if not _is_class_leaf(p, init_l):
+                return jnp.asarray(given_l)
+            g = jnp.asarray(given_l)
+            if _is_cache_probs(p) and g.shape[-1] != init_l.shape[-1]:
+                # full-K carry → re-pad the trailing class axis
+                g = jnp.pad(g, ((0, 0), (0, 0),
+                                (0, init_l.shape[-1] - g.shape[-1])))
+            return jnp.concatenate([g, init_l[K:]], axis=0)
+
+        state0 = jax.tree_util.tree_map_with_path(_splice, state0,
+                                                  initial_state)
 
     # state specs mirror the EngineState pytree: class-block leaves live
     # sharded as global (K_pad, ...) arrays, scalars/keys replicated
@@ -389,8 +707,13 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
                                 jnp.asarray(targets))
 
     # strip the pad classes from the gathered state
-    state = jax.tree_util.tree_map_with_path(
-        lambda p, l: l[:K] if _is_class_leaf(p, l) else l, state)
+    def _strip(p, l):
+        if not _is_class_leaf(p, l):
+            return l
+        l = l[:K]
+        return l[..., :K] if _is_cache_probs(p) else l
+
+    state = jax.tree_util.tree_map_with_path(_strip, state)
 
     correct = np.asarray(correct)                 # replicated across the mesh
     n_samples = pcs.shape[0] * pcs.shape[1]

@@ -36,7 +36,7 @@ def normalized_entropy(ent: jax.Array, num_classes: int) -> jax.Array:
     return (ent / jnp.log2(float(num_classes))).astype(jnp.float32)
 
 
-def conjugate_gradient(A: jax.Array, b: jax.Array, max_iter: int = 100,
+def conjugate_gradient(A, b: jax.Array, max_iter: int = 100,
                        tol: float = 1e-5) -> jax.Array:
     """Solve A @ x = b by CG, column-wise step sizes.
 
@@ -51,9 +51,16 @@ def conjugate_gradient(A: jax.Array, b: jax.Array, max_iter: int = 100,
     PAYING for the matvec once converged — CG on the cache graphs typically
     lands in far fewer than max_iter trips, and each dead trip is a full
     (N, N) @ (N, K) matmul.
+
+    Args:
+      A: (N, N) matrix, or a callable p -> A @ p (row-sharded operators:
+        parallel/ep.py gathers a per-device matvec so the CG state stays
+        replicated while the N² work divides over the mesh).
     """
+    matvec = A if callable(A) else \
+        (lambda p: jnp.matmul(A, p, precision=_HIGH))
     x = jnp.zeros_like(b)
-    r = b - A @ x
+    r = b - matvec(x)
     p = r
     rz = jnp.sum(r * r, axis=0)
 
@@ -69,7 +76,7 @@ def conjugate_gradient(A: jax.Array, b: jax.Array, max_iter: int = 100,
 
     def body(carry):
         i, x, r, p, rz_old = carry
-        Ap = jnp.matmul(A, p, precision=_HIGH)
+        Ap = matvec(p)
         alpha = (rz_old / (jnp.sum(p * Ap, axis=0) + 1e-8))[None, :]
         x = x + alpha * p
         r = r - alpha * Ap
