@@ -306,6 +306,78 @@ def test_streams_ep_shard_encoder(setup):
         sum_a["acc1_per_stream"])
 
 
+def test_ep_tp_trunk_composition(setup):
+    """EP × TP on a 2-D (classes, model) mesh (the ep.py composition
+    claim, now a test): the class-sharded MODE-DOTA step runs with a
+    Megatron-sharded trunk injected via the encode_fn hook — shard_map is
+    manual over classes, the model axis stays automatic and GSPMD inserts
+    the trunk's all-reduces inside the step.  The trajectory equals the
+    fully replicated run."""
+    from jax.sharding import Mesh
+    from uni_adapter_tpu.parallel.tp import make_tp_encode_fn
+
+    model, params, rng = setup
+    rng = np.random.default_rng(13)
+    K = 16
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=2)
+    cfg = _cfg(res=False)
+
+    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
+                                        targets)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("classes", "model"))
+    prepare, encode = make_tp_encode_fn(model, mesh, "uni3d", axis="model")
+    got_state, summary = ep.run_stream_ep(
+        cfg, model, prepare(params), text, pcs, rgbs, targets, mesh=mesh,
+        classes_axis="classes", encode_fn=encode)
+    assert summary["n_class_shards"] == 4
+    for name in ("mu", "var", "pi", "c", "class_counts"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got_state.method_state, name)),
+            np.asarray(getattr(want_state.method_state, name)),
+            rtol=2e-4, atol=2e-5, err_msg=name)
+    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
+    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / (T * 2))
+
+
+def test_ep_tp_cache_composition(setup):
+    """EP × TP with the CACHE method: the round-4 cache step composes with
+    the Megatron trunk the same way."""
+    from jax.sharding import Mesh
+    from uni_adapter_tpu.config import CacheConfig, Config, ModelConfig
+    from uni_adapter_tpu.parallel.tp import make_tp_encode_fn
+
+    model, params, rng = setup
+    rng = np.random.default_rng(14)
+    K = 10  # pads to 12 over the 4-device classes axis
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=1)
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_dota=False, use_mode_dota=False),
+                 cache=CacheConfig(shot_capacity=3, threshold=0.3,
+                                   lambda_reg=0.11, beta=150.0))
+
+    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
+                                        targets)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("classes", "model"))
+    prepare, encode = make_tp_encode_fn(model, mesh, "uni3d", axis="model")
+    got_state, summary = ep.run_stream_ep(
+        cfg, model, prepare(params), text, pcs, rgbs, targets, mesh=mesh,
+        classes_axis="classes", encode_fn=encode)
+    assert summary["padded_classes"] == 2
+    np.testing.assert_array_equal(
+        np.asarray(got_state.method_state.valid),
+        np.asarray(want_state.method_state.valid))
+    np.testing.assert_allclose(
+        np.asarray(got_state.method_state.feats),
+        np.asarray(want_state.method_state.feats), rtol=2e-4, atol=2e-5)
+    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
+    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
+
+
 def test_ep_residual_unroll_matches_loop(setup):
     """--dota-residual-unroll is honoured under EP (advisor round-3): the
     unrolled sharded residual loop is the same math as the fori_loop body,

@@ -643,8 +643,11 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
                   pcs, rgbs, targets, mesh: Optional[Mesh] = None,
                   seed: int = 42,
                   initial_state: Optional[engine.EngineState] = None,
-                  shard_encoder: bool = False):
-    """Run the stream with the MODE-DOTA state class-sharded over the mesh.
+                  shard_encoder: bool = False,
+                  encode_fn: Optional[Callable] = None,
+                  classes_axis: Optional[str] = None):
+    """Run the stream with the adaptation state class-sharded over the mesh
+    (MODE-DOTA or the prototype cache — see make_ep_step_fn).
 
     The batch is replicated — same adaptation ORDER as the single-device
     run (one step consumes one stream step), with the K-proportional work
@@ -658,15 +661,25 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
         carry (as returned by this function or by the replicated engine —
         continual TTA / elastic resume, mirroring run_stream_scan); the
         class leaves re-shard over the mesh, pad classes re-init frozen.
+      encode_fn / classes_axis: EP × trunk-parallel composition on a 2-D
+        (classes, model) mesh: pass parallel/tp.make_tp_encode_fn's encode
+        (built on THIS mesh with its model axis) plus TP-prepared params,
+        and name `classes_axis`.  The shard_map then goes PARTIAL-manual —
+        manual over classes, the model axis automatic — and GSPMD inserts
+        the Megatron all-reduces inside the per-step trunk forward (the
+        same partial-manual pattern as parallel/pp.py's PP × TP).  PP/SP
+        trunks are themselves shard_map-based and cannot nest here; use
+        TP for the trunk leg.
     """
     mesh = mesh or make_classes_mesh()
-    axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    axis = classes_axis or mesh.axis_names[0]
+    n = mesh.shape[axis]
     text = np.asarray(text_features_initial, np.float32)
     K = text.shape[0]
     text_pad, k_pad = pad_classes(text, n)
     step = make_ep_step_fn(cfg, model, axis, K, n,
-                           shard_encoder=shard_encoder)
+                           shard_encoder=shard_encoder,
+                           encode_fn=encode_fn)
 
     def body(params, text_local, state, pcs, rgbs, tgts):
         state, outs = jax.lax.scan(
@@ -698,10 +711,13 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
     state_specs = jax.tree_util.tree_map_with_path(
         lambda p, l: P(axis) if _is_class_leaf(p, l) else P(), state0)
 
+    # partial-manual when the mesh carries extra (trunk) axes: manual over
+    # classes, the rest automatic for GSPMD (the TP trunk's constraints)
+    extra = ({"axis_names": {axis}} if len(mesh.axis_names) > 1 else {})
     body_fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(axis), state_specs, P(), P(), P()),
-        out_specs=(state_specs, P(), P()), check_vma=False))
+        out_specs=(state_specs, P(), P()), check_vma=False, **extra))
     state, correct, _ = body_fn(params, jnp.asarray(text_pad), state0,
                                 jnp.asarray(pcs), jnp.asarray(rgbs),
                                 jnp.asarray(targets))
