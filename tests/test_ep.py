@@ -438,9 +438,10 @@ def test_ep_cli(tmp_path):
 def test_ep_cli_validation():
     from uni_adapter_tpu.config import parse_args
 
+    # plain DOTA is EP-legal since round 4; GMM/adaptive stay rejected
     with pytest.raises(ValueError, match="sharded/psum"):
         parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",
-                    "--dota-use-dota", "true"])
+                    "--dota-use-gmm-dota", "true"])
     with pytest.raises(ValueError, match="vmap"):
         parse_args(["--dist-mode", "ep", "--vmap-corruptions", "true"])
     # inert-flag combination rejected (advisor round-3): the encoder-sharding
@@ -480,10 +481,11 @@ def test_ep_k_smaller_than_mesh(setup):
     assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
 
 
-def test_ep_requires_mode_dota(setup):
+def test_ep_requires_shardable_method(setup):
     model, params, rng = setup
     cfg = Config(model=ModelConfig(compute_dtype="float32"),
-                 dota=DotaConfig(use_dota=True, use_mode_dota=False),
+                 dota=DotaConfig(use_dota=False, use_mode_dota=False,
+                                 use_gmm_dota=True),
                  cache=CacheConfig())
-    with pytest.raises(ValueError, match="MODE-DOTA and the prototype"):
+    with pytest.raises(ValueError, match="GMM/adaptive"):
         ep.make_ep_step_fn(cfg, model, "classes", 8, 8)

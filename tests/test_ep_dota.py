@@ -1,14 +1,10 @@
-"""Class-sharded (expert-parallel) prototype-cache path on the 8-CPU mesh.
+"""Class-sharded (expert-parallel) plain-DOTA path on the 8-CPU mesh.
 
-Round-3 EP covered MODE-DOTA only; the cache is the OTHER method with
-K-proportional cost — at LVIS scale its (K, C, K) probability state is
-~160 MB/stream and the prototype-graph refinement builds a (K, K)
-adjacency every step (adapt/cache.py docstring; reference semantics
-Uni_Adapter.py:78-189).  parallel/ep.py class-shards both.  The
-insert-or-merge is owner-masked with single-contributor psums (bitwise
-the owner's values), and the refinement's per-row dots equal the
-replicated rows — so the EP trajectory matches the replicated run to
-float roundoff.
+Plain DOTA's (K, D, D) per-class covariance is the most memory-dominant
+class-leading state of the adaptation family (4.8 GB at LVIS K=1156,
+D=1024).  parallel/ep.py shards it by class rows; fit and the LDA predict
+are row-local, and `update`'s shared precision Λ = inv((1-ε)·Σ̄+ε·I)
+psums valid-row Σ sums (reference semantics dota.py:19-88).
 """
 import numpy as np
 import jax
@@ -20,7 +16,7 @@ from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
 from uni_adapter_tpu.models.uni3d import Uni3D
 from uni_adapter_tpu.parallel import ep
 
-D, N, T = 32, 48, 8
+D, N, T = 32, 48, 6
 
 
 @pytest.fixture(scope="module")
@@ -39,16 +35,15 @@ def _text(rng, K):
     return text / np.linalg.norm(text, axis=1, keepdims=True)
 
 
-def _stream(rng, K):
-    pcs = rng.standard_normal((T, 1, N, 3)).astype(np.float32)
-    return pcs, np.ones_like(pcs), rng.integers(0, K, (T, 1)).astype(np.int32)
+def _stream(rng, K, B=1):
+    pcs = rng.standard_normal((T, B, N, 3)).astype(np.float32)
+    return pcs, np.ones_like(pcs), rng.integers(0, K, (T, B)).astype(np.int32)
 
 
-def _cfg(**cache_kw):
-    return Config(model=ModelConfig(compute_dtype="float32"),
-                  dota=DotaConfig(use_dota=False, use_mode_dota=False),
-                  cache=CacheConfig(shot_capacity=3, threshold=0.3,
-                                    lambda_reg=0.11, beta=150.0, **cache_kw))
+def _cfg(**kw):
+    dc = DotaConfig(use_dota=True, use_mode_dota=False, **kw)
+    return Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
+                  cache=CacheConfig())
 
 
 def _replicated(cfg, model, params, text, pcs, rgbs, targets, seed=42,
@@ -59,72 +54,28 @@ def _replicated(cfg, model, params, text, pcs, rgbs, targets, seed=42,
         initial_state=initial_state)
 
 
-def _assert_cache_close(got, want, rtol=1e-5, atol=1e-6):
-    np.testing.assert_array_equal(np.asarray(got.valid),
-                                  np.asarray(want.valid))
-    np.testing.assert_array_equal(np.asarray(got.counts),
-                                  np.asarray(want.counts))
-    for name in ("feats", "conf", "probs"):
+def _assert_dota_close(got, want, rtol=1e-4, atol=1e-5):
+    for name in ("mu", "c", "sigma", "cum_soft_labels"):
         np.testing.assert_allclose(np.asarray(getattr(got, name)),
                                    np.asarray(getattr(want, name)),
                                    rtol=rtol, atol=atol, err_msg=name)
+    # lam = inv((1-ε)Σ̄+εI) amplifies the Σ̄ psum's reduction reorder
+    # through an ill-conditioned inverse (entries ~5e3 at σ=1e-4 init);
+    # compare at the scale of that amplification
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(want.lam),
+                               rtol=2e-3, atol=1.0, err_msg="lam")
+    assert int(got.prior_step) == int(want.prior_step)
 
 
-@pytest.mark.parametrize("K,mode", [(16, "dense"), (10, "dense"),
-                                    (16, "prototype"), (10, "prototype")])
-def test_ep_cache_matches_replicated(setup, K, mode):
-    """Divisible (16) and padded (10 → 16) label spaces, both graph modes:
-    the class-sharded cache trajectory equals the replicated run."""
+@pytest.mark.parametrize("K,B", [(16, 2), (10, 1)])
+def test_ep_dota_matches_replicated(setup, K, B):
+    """Divisible (16) and padded (10 → 16) label spaces: the class-sharded
+    DOTA trajectory equals the replicated run (the only cross-class
+    reductions — Σ̄ and mean(c) — reorder at float level)."""
     model, params, rng = setup
     rng = np.random.default_rng(1)
     text = _text(rng, K)
-    pcs, rgbs, targets = _stream(rng, K)
-    cfg = _cfg(graph_mode=mode)
-
-    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
-                                        targets)
-    got_state, summary = ep.run_stream_ep(cfg, model, params, text, pcs,
-                                          rgbs, targets,
-                                          mesh=ep.make_classes_mesh(8))
-    assert summary["padded_classes"] == (16 - K if K == 10 else 0)
-    _assert_cache_close(got_state.method_state, want_state.method_state)
-    assert np.asarray(got_state.method_state.probs).shape == (K, 3, K)
-    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
-    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
-    np.testing.assert_allclose(
-        np.asarray(got_state.method_state.feats),
-        np.asarray(want_state.method_state.feats), rtol=1e-5, atol=1e-6)
-
-
-def test_ep_cache_old_approximation(setup):
-    """use_new_approximation=False (ShapeNet preset): the explicit-solve
-    refinement gathers the full system and still matches."""
-    model, params, rng = setup
-    rng = np.random.default_rng(2)
-    K = 16
-    text = _text(rng, K)
-    pcs, rgbs, targets = _stream(rng, K)
-    cfg = _cfg(use_new_approximation=False)
-
-    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
-                                        targets)
-    got_state, summary = ep.run_stream_ep(cfg, model, params, text, pcs,
-                                          rgbs, targets,
-                                          mesh=ep.make_classes_mesh(8))
-    _assert_cache_close(got_state.method_state, want_state.method_state,
-                        rtol=1e-4, atol=1e-5)
-    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
-    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
-
-
-def test_ep_cache_k_smaller_than_mesh(setup):
-    """K=2 over 8 devices: 6 pad-only devices must stay inert (their rows
-    never receive a prediction; refinement masks their invalid nodes)."""
-    model, params, rng = setup
-    rng = np.random.default_rng(3)
-    K = 2
-    text = _text(rng, K)
-    pcs, rgbs, targets = _stream(rng, K)
+    pcs, rgbs, targets = _stream(rng, K, B=B)
     cfg = _cfg()
 
     want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
@@ -132,18 +83,39 @@ def test_ep_cache_k_smaller_than_mesh(setup):
     got_state, summary = ep.run_stream_ep(cfg, model, params, text, pcs,
                                           rgbs, targets,
                                           mesh=ep.make_classes_mesh(8))
-    assert summary["padded_classes"] == 6
-    _assert_cache_close(got_state.method_state, want_state.method_state)
+    assert summary["padded_classes"] == (16 - K if K == 10 else 0)
+    _assert_dota_close(got_state.method_state, want_state.method_state)
+    assert np.asarray(got_state.method_state.cum_soft_labels).shape == (1, K)
+    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
+    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / (T * B))
+
+
+def test_ep_dota_prior_path(setup):
+    """The cumulative-soft-label prior (dota.py:73-88 prior blend) under
+    class sharding: the replicated cum prior must stay exact."""
+    model, params, rng = setup
+    rng = np.random.default_rng(2)
+    K = 16
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K)
+    cfg = _cfg(prior_pre_steps=4)
+
+    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
+                                        targets)
+    got_state, summary = ep.run_stream_ep(cfg, model, params, text, pcs,
+                                          rgbs, targets,
+                                          mesh=ep.make_classes_mesh(8))
+    _assert_dota_close(got_state.method_state, want_state.method_state)
     want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
     assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
 
 
-def test_ep_cache_continual_resume(setup):
-    """initial_state resumes the class-sharded cache: the full-K carry's
-    probs leaf re-pads its trailing class axis on splice."""
+def test_ep_dota_continual_resume(setup):
+    """The full-K carry splices back (cum prior re-pads its trailing class
+    axis) and the chained trajectory equals the replicated chain."""
     model, params, rng = setup
-    rng = np.random.default_rng(4)
-    K = 10  # padded — both axes of probs re-pad
+    rng = np.random.default_rng(3)
+    K = 10
     text = _text(rng, K)
     pcs, rgbs, targets = _stream(rng, K)
     cfg = _cfg()
@@ -161,18 +133,17 @@ def test_ep_cache_continual_resume(setup):
                                 rgbs[half:], targets[half:], mesh=mesh,
                                 initial_state=est1)
     assert int(est2.step) == T
-    _assert_cache_close(est2.method_state, st2.method_state)
+    _assert_dota_close(est2.method_state, st2.method_state)
     want_c = np.asarray(jnp.sum(o2.correct, axis=0))
     assert s2["acc1"] == pytest.approx(100.0 * want_c[0] / (T - half))
 
 
-def test_streams_ep_cache_dp_composition(setup):
-    """DP × EP for the cache: stream trajectories equal the vmapped
-    replicated runs, class-sharded state with full-K leaves returned."""
+def test_streams_ep_dota_dp_composition(setup):
+    """DP × EP for plain DOTA on a 2-D (data, classes) mesh."""
     from jax.sharding import Mesh
 
     model, params, rng = setup
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(4)
     K, C = 16, 4
     text = _text(rng, K)
     pcs = rng.standard_normal((C, T, 1, N, 3)).astype(np.float32)
@@ -191,12 +162,13 @@ def test_streams_ep_cache_dp_composition(setup):
                                         rgbs, targets, mesh=mesh)
     assert summary["acc1_per_stream"] == pytest.approx(
         [w["acc1"] for w in want])
-    assert np.asarray(states.method_state.feats).shape[:2] == (C, K)
-    assert np.asarray(states.method_state.probs).shape == (C, K, 3, K)
+    assert np.asarray(states.method_state.sigma).shape[:2] == (C, K)
+    assert np.asarray(states.method_state.cum_soft_labels).shape == \
+        (C, 1, K)
 
 
-def test_ep_cache_cli(tmp_path):
-    """--dist-mode ep with the cache method through the evaluation CLI."""
+def test_ep_dota_cli(tmp_path):
+    """--dist-mode ep with --dota-use-dota through the evaluation CLI."""
     import uni_adapter_tpu.cli.tta as tta_cli
 
     root = tmp_path / "data"
@@ -210,24 +182,23 @@ def test_ep_cache_cli(tmp_path):
               "--num-group", "16", "--group-size", "8", "--pc-encoder-dim",
               "32", "--eva-heads", "4", "--compute-dtype", "float32",
               "--precomputed-text-features", "large", "--root", str(root),
-              "--dota-use-mode-dota", "false", "--cache-cg-max-iter", "20"]
+              "--dota-use-dota", "true", "--dota-use-mode-dota", "false"]
     base = tta_cli.main(common + ["--output-dir", str(tmp_path / "base")])
     got = tta_cli.main(common + ["--output-dir", str(tmp_path / "ep"),
                                  "--dist-mode", "ep"])
     assert got == base
 
 
-def test_ep_cache_validation():
+def test_ep_dota_validation():
     from uni_adapter_tpu.config import parse_args
 
-    # cache + EP now parses (round-3 rejected it)
-    cfg = parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false"])
+    cfg = parse_args(["--dist-mode", "ep", "--dota-use-dota", "true",
+                      "--dota-use-mode-dota", "false"])
     assert cfg.run.dist_mode == "ep"
-    # GMM/adaptive stay rejected (plain DOTA is EP-legal since round 4)
+    with pytest.raises(ValueError, match="nothing to split"):
+        parse_args(["--dist-mode", "ep", "--dota-use-dota", "true",
+                    "--dota-use-mode-dota", "false",
+                    "--ep-shard-encoder", "true"])
     with pytest.raises(ValueError, match="sharded/psum"):
         parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",
-                    "--dota-use-adaptive-dota", "true"])
-    # and encoder sharding has no cache meaning
-    with pytest.raises(ValueError, match="nothing to split"):
-        parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",
-                    "--ep-shard-encoder", "true"])
+                    "--dota-use-gmm-dota", "true"])

@@ -64,6 +64,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from uni_adapter_tpu import engine
 from uni_adapter_tpu.adapt import cache as cache_mod
+from uni_adapter_tpu.adapt import dota as dota_mod
 from uni_adapter_tpu.adapt import fusion, mode_dota, residual
 from uni_adapter_tpu.config import Config
 from uni_adapter_tpu.utils.math import (
@@ -135,11 +136,25 @@ def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
         encode = encode_fn if encode_fn is not None else \
             engine.make_encode_fn(cfg, model)
         return _make_cache_step(cfg, encode, axis, num_classes, n_shards)
+    if dc.use_dota and not dc.use_mode_dota:
+        # plain DOTA's (K, D, D) per-class covariance is the MOST
+        # memory-dominant class-leading state of the family (4.8 GB at
+        # LVIS K=1156, D=1024 — 600 MB/device on an EP-8 mesh); its fit
+        # and LDA predict are class-row-local, only the shared precision
+        # Λ = inv((1-ε)·Σ̄+ε·I) needs a psum of Σ row sums
+        if shard_encoder:
+            raise ValueError(
+                "shard_encoder requires the fused 2-forward MODE-DOTA "
+                "batch; plain DOTA runs one forward per step — nothing "
+                "to split")
+        encode = encode_fn if encode_fn is not None else \
+            engine.make_encode_fn(cfg, model)
+        return _make_dota_step(cfg, encode, axis, num_classes, n_shards)
     if not dc.use_mode_dota:
         raise ValueError(
-            "class-sharded (EP) evaluation supports MODE-DOTA and the "
-            "prototype cache: those states shard by class; use "
-            "dist_mode='sharded'/'psum' for DOTA/GMM/adaptive")
+            "class-sharded (EP) evaluation supports MODE-DOTA, plain "
+            "DOTA, and the prototype cache: those states shard by class; "
+            "use dist_mode='sharded'/'psum' for GMM/adaptive")
     encode = encode_fn if encode_fn is not None else \
         engine.make_encode_fn(cfg, model)
     use_res = dc.res_learning
@@ -249,6 +264,101 @@ def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
         out = engine.StepOutput(final, clip_logits,
                                 topk_correct(final, target, (1, 3, 5)))
         return engine.EngineState(ms, res_state, state.step + 1, rng), out
+
+    return step
+
+
+def _make_dota_step(cfg: Config, encode: Callable, axis: str,
+                    num_classes: int, n_shards: int) -> Callable:
+    """Per-sample plain-DOTA step for INSIDE shard_map over the class mesh.
+
+    DOTAState shards by class rows: mu (K_local, D), c (K_local,),
+    sigma (K_local, D, D); the shared precision `lam` (D, D), the
+    cumulative prior `cum_soft_labels` (1, K_pad), and `prior_step`
+    replicate.  fit's soft-label-weighted mean/covariance updates are
+    class-row-local (adapt/dota.py:60-110 on the local block, zero prob
+    columns freezing the pads); the LDA predict is a column-block matmul
+    gathered like the CLIP logits; `update`'s Σ̄ = mean over classes is
+    the one genuinely cross-class reduction — a psum of valid-row sums
+    (reference semantics dota.py:19-88, Uni_Adapter.py:409-412).
+    """
+    dc = cfg.dota
+    scale = cfg.model.logit_scale
+
+    def step(params, text_local, state: engine.EngineState, batch):
+        pc, rgb, target = batch
+        text_local = text_local.astype(jnp.float32)
+        k_local = text_local.shape[0]
+        k_pad = k_local * n_shards
+        offset = jax.lax.axis_index(axis) * k_local
+        valid = ((offset + jnp.arange(k_local)) < num_classes
+                 ).astype(jnp.float32)
+        rng, _ = jax.random.split(state.rng)
+        clip_w_local = text_local.T
+
+        feat = encode(params, pc, rgb)
+        B = pc.shape[0]
+        logits_local = scale * jnp.matmul(
+            feat.astype(jnp.float32), clip_w_local, precision=_HIGH)
+        clip_logits = jax.lax.all_gather(
+            logits_local, axis, axis=1, tiled=True)[:, :num_classes]
+        prob_map = jax.nn.softmax(clip_logits, axis=1)
+        prob_pad = jnp.pad(prob_map, ((0, 0), (0, k_pad - num_classes)))
+        prob_local = jax.lax.dynamic_slice_in_dim(prob_pad, offset,
+                                                  k_local, axis=1)
+
+        m = jnp.mean(feat, axis=0, keepdims=True)
+        if dc.fp16_predict_input:
+            m = m.astype(jnp.float16).astype(jnp.float32)
+
+        ms = state.method_state
+        # predict BEFORE fit (engine.py DOTA branch order): column-block
+        # LDA scores, gathered
+        M_loc = ms.mu.T                                    # (D, K_local)
+        W_loc = jnp.matmul(ms.lam, M_loc, precision=_HIGH)
+        half = 0.5 * jnp.sum(M_loc * W_loc, axis=0)        # (K_local,)
+        scores_local = jnp.matmul(m, W_loc, precision=_HIGH) - half
+        dota_logits = jax.lax.all_gather(
+            scores_local, axis, axis=1, tiled=True)[:, :num_classes]
+        if dc.prior_pre_steps is not None:
+            prior = (ms.cum_soft_labels[:, :num_classes]
+                     + dc.prior_pre_steps / num_classes)
+            prior = prior / (dc.prior_pre_steps + ms.prior_step)
+            dota_logits = dota_logits + jnp.log(prior + 1e-10)
+
+        # fit: class-row-local streaming update (adapt/dota.py:60-110)
+        x = feat.astype(jnp.float32)
+        sum_w = jnp.sum(prob_local, axis=0)                # (K_local,)
+        weighted_x = jnp.matmul(prob_local.T, x, precision=_HIGH)
+        xm = x[:, None, :] - ms.mu[None, :, :]             # (B, K_local, D)
+        delta = jnp.einsum("bji,bjk->jik", prob_local[:, :, None] * xm, xm,
+                           precision=_HIGH)
+        new_mu = (weighted_x + ms.c[:, None] * ms.mu) / (
+            sum_w[:, None] + ms.c[:, None])
+        new_c = ms.c + sum_w
+        sigma = (ms.c[:, None, None] * ms.sigma + delta) / \
+            (ms.c + sum_w)[:, None, None]
+        cum = ms.cum_soft_labels + jnp.sum(prob_pad, axis=0)[None, :]
+
+        # update: Σ̄ over the REAL classes only (pads would drag the mean
+        # toward their frozen σ·I init), psum of valid-row block sums
+        d = x.shape[1]
+        overall = jax.lax.psum(
+            jnp.sum(sigma * valid[:, None, None], axis=0), axis) \
+            / num_classes
+        reg = (1.0 - dc.epsilon) * overall \
+            + dc.epsilon * jnp.eye(d, dtype=jnp.float32)
+        lam = jnp.linalg.inv(reg)
+        ms = dota_mod.DOTAState(new_mu, new_c, sigma, lam, cum,
+                                ms.prior_step + jnp.int32(B))
+
+        c_mean = jax.lax.psum(jnp.sum(new_c * valid), axis) / num_classes
+        w = fusion.dota_fusion_weight(dc.rho, dc.eta, c_mean, float(B))
+        final = fusion.fuse_dota(clip_logits, dota_logits, w)
+        out = engine.StepOutput(final, clip_logits,
+                                topk_correct(final, target, (1, 3, 5)))
+        return engine.EngineState(ms, state.res_state, state.step + 1,
+                                  rng), out
 
     return step
 
@@ -505,30 +615,45 @@ def _ep_cache_logits(pc_features, s: "cache_mod.CacheState", axis: str,
                         axis)
 
 
+#: leaves that replicate across the class mesh despite being arrays: the
+#: PRNG key (matched by path — its (2,) shape could collide with a tiny
+#: K_local), plain DOTA's shared precision (D, D), and its cumulative
+#: prior (1, K_pad — class axis trailing, not leading)
+_REPLICATED_TOKENS = ("rng", ".lam", ".cum_soft_labels")
+
+
 def _is_class_leaf(path, leaf) -> bool:
     """K-leading leaves shard over the class axis; scalars (step, t, Adam
-    count) and the PRNG key replicate.  The key is matched by path — its
-    (2,) shape could collide with a tiny K_local."""
-    return leaf.ndim > 0 and "rng" not in jax.tree_util.keystr(path)
+    count) and the _REPLICATED_TOKENS leaves replicate."""
+    ks = jax.tree_util.keystr(path)
+    return leaf.ndim > 0 and not any(t in ks for t in _REPLICATED_TOKENS)
 
 
-def _is_cache_probs(path) -> bool:
-    """The cache probs leaf is (K, C, K): BOTH its node axis (leading) and
-    its class-probability axis (trailing) carry K — the trailing one pads
-    to K_pad alongside the anchors but never shards (it is what the
-    refinement reads, not a node axis).  Only CacheState has a field named
-    'probs'."""
-    return ".probs" in jax.tree_util.keystr(path)
+def _has_padded_class_tail(path) -> bool:
+    """Leaves whose TRAILING axis carries the padded class dimension: the
+    cache probs (K, C, K_pad) and DOTA's cum_soft_labels (1, K_pad).
+    They pad/strip on splice/return alongside the anchors."""
+    ks = jax.tree_util.keystr(path)
+    return ".probs" in ks or ".cum_soft_labels" in ks
+
+
+# backwards-compat alias (older name used by run_streams_ep strip)
+_is_cache_probs = _has_padded_class_tail
 
 
 def _init_local_state(cfg: Config, text_local, rng, k_pad: int):
-    """init_state on a LOCAL class block (inside shard_map): the cache
-    probs leaf must still span the full padded class axis."""
+    """init_state on a LOCAL class block (inside shard_map): trailing
+    class axes (cache probs, DOTA cum prior) must still span the full
+    padded class dimension."""
     st = engine.init_state(cfg, text_local, rng)
     ms = st.method_state
     if isinstance(ms, cache_mod.CacheState):
         k_local, C = ms.conf.shape
         ms = ms._replace(probs=jnp.zeros((k_local, C, k_pad), jnp.float32))
+        st = engine.EngineState(ms, st.res_state, st.step, st.rng)
+    elif isinstance(ms, dota_mod.DOTAState):
+        ms = ms._replace(
+            cum_soft_labels=jnp.zeros((1, k_pad), jnp.float32))
         st = engine.EngineState(ms, st.res_state, st.step, st.rng)
     return st
 
@@ -536,8 +661,10 @@ def _init_local_state(cfg: Config, text_local, rng, k_pad: int):
 def _is_stacked_class_leaf(path, leaf) -> bool:
     """Same, one vmapped stream axis in front (run_streams_ep): class
     leaves are (C_local, K_local, ...); per-stream scalars/keys are
-    (C_local,) or (C_local, 2)."""
-    return leaf.ndim > 1 and "rng" not in jax.tree_util.keystr(path)
+    (C_local,) or (C_local, 2); the replicated-by-token leaves (lam, cum
+    prior) carry the stream axis only."""
+    ks = jax.tree_util.keystr(path)
+    return leaf.ndim > 1 and not any(t in ks for t in _REPLICATED_TOKENS)
 
 
 def run_streams_ep(cfg: Config, model, params, text_features_initial,
@@ -616,13 +743,12 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
     states, correct = body_fn(params, jnp.asarray(text_pad), keys,
                               jnp.asarray(pcs), jnp.asarray(rgbs),
                               jnp.asarray(targets))
-    # strip pad classes (leaf axis 1 for class leaves; the cache probs
-    # leaf also carries the padded class axis in last position)
+    # strip pad classes (leaf axis 1 for class leaves; trailing-class-axis
+    # leaves — cache probs, DOTA cum prior — also slice their last axis)
     def _strip_stacked(p, l):
-        if not _is_stacked_class_leaf(p, l):
-            return l
-        l = l[:, :K]
-        return l[..., :K] if _is_cache_probs(p) else l
+        if _is_stacked_class_leaf(p, l):
+            l = l[:, :K]
+        return l[..., :K] if _has_padded_class_tail(p) else l
 
     states = jax.tree_util.tree_map_with_path(_strip_stacked, states)
 
@@ -694,13 +820,15 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
                                jax.random.PRNGKey(seed))
     if initial_state is not None:
         def _splice(p, init_l, given_l):
-            if not _is_class_leaf(p, init_l):
-                return jnp.asarray(given_l)
             g = jnp.asarray(given_l)
-            if _is_cache_probs(p) and g.shape[-1] != init_l.shape[-1]:
+            if _has_padded_class_tail(p) and \
+                    g.shape[-1] != init_l.shape[-1]:
                 # full-K carry → re-pad the trailing class axis
-                g = jnp.pad(g, ((0, 0), (0, 0),
-                                (0, init_l.shape[-1] - g.shape[-1])))
+                pad = [(0, 0)] * (g.ndim - 1) \
+                    + [(0, init_l.shape[-1] - g.shape[-1])]
+                g = jnp.pad(g, pad)
+            if not _is_class_leaf(p, init_l):
+                return g
             return jnp.concatenate([g, init_l[K:]], axis=0)
 
         state0 = jax.tree_util.tree_map_with_path(_splice, state0,
@@ -724,10 +852,9 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
 
     # strip the pad classes from the gathered state
     def _strip(p, l):
-        if not _is_class_leaf(p, l):
-            return l
-        l = l[:K]
-        return l[..., :K] if _is_cache_probs(p) else l
+        if _is_class_leaf(p, l):
+            l = l[:K]
+        return l[..., :K] if _has_padded_class_tail(p) else l
 
     state = jax.tree_util.tree_map_with_path(_strip, state)
 
