@@ -225,3 +225,64 @@ def test_ep_runs_at_k1156():
     assert np.asarray(state.method_state.mu).shape == (K_LVIS, 2, D)
     assert np.asarray(state.res_state.residuals).shape == (K_LVIS, D)
     assert np.isfinite(np.asarray(state.res_state.residuals)).all()
+
+
+def test_ep_cache_runs_at_k1156():
+    """Class-sharded cache at the real LVIS K with the prototype graph
+    (the deployment whose (K, C, K) probs state — ~160 MB/stream at the
+    real D — motivated the round-4 cache EP): the gathered-matvec CG
+    refines the 1160-node padded class graph, only 1156 rows live."""
+    from uni_adapter_tpu.parallel import ep
+
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_dota=False, use_mode_dota=False),
+                 cache=CacheConfig(shot_capacity=4, cg_max_iter=10,
+                                   graph_mode="prototype"))
+    D, N, T = 48, 32, 3
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, N, 6)))
+    text = rng.standard_normal((K_LVIS, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    pcs = rng.standard_normal((T, 1, N, 3)).astype(np.float32)
+    tgts = rng.integers(0, K_LVIS, (T, 1)).astype(np.int32)
+
+    state, summary = ep.run_stream_ep(
+        cfg, model, params, text, pcs, np.ones_like(pcs), tgts,
+        mesh=ep.make_classes_mesh(8))
+    assert summary["padded_classes"] == 4
+    assert np.isfinite(summary["acc1"])
+    ms = state.method_state
+    assert np.asarray(ms.probs).shape == (K_LVIS, 4, K_LVIS)
+    assert int(np.asarray(ms.valid).sum()) == T   # one insert per step
+    assert np.isfinite(np.asarray(ms.feats)).all()
+
+
+def test_ep_dota_runs_at_k1156():
+    """Class-sharded plain DOTA at the real LVIS K: the (K, D, D) Σ —
+    the state EP exists to divide — lives as 145 rows/device."""
+    from uni_adapter_tpu.parallel import ep
+
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_dota=True, use_mode_dota=False),
+                 cache=CacheConfig())
+    D, N, T = 48, 32, 3
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, N, 6)))
+    text = rng.standard_normal((K_LVIS, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    pcs = rng.standard_normal((T, 1, N, 3)).astype(np.float32)
+    tgts = rng.integers(0, K_LVIS, (T, 1)).astype(np.int32)
+
+    state, summary = ep.run_stream_ep(
+        cfg, model, params, text, pcs, np.ones_like(pcs), tgts,
+        mesh=ep.make_classes_mesh(8))
+    assert summary["padded_classes"] == 4
+    assert np.isfinite(summary["acc1"])
+    ms = state.method_state
+    assert np.asarray(ms.sigma).shape == (K_LVIS, D, D)
+    assert np.asarray(ms.cum_soft_labels).shape == (1, K_LVIS)
+    assert np.isfinite(np.asarray(ms.lam)).all()
