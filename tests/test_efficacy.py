@@ -52,62 +52,20 @@ import torch
 import jax.numpy as jnp
 
 from uni_adapter_tpu import engine
-from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
 
 REF = "/root/reference"
-K, D, N, T = 8, 32, 64, 480
-DELTA, ROT, JITTER, TAU = 0.20, 0.38, 0.12, 0.03
 
-
-# ---------------------------------------------------------------------------
-# The structured problem
-# ---------------------------------------------------------------------------
-
-def make_problem(seed):
-    """Ring classes + coherent tangential drift (see module docstring).
-
-    Returns (pcs (T,1,N,3), targets (T,1), text (K,D), W (3,D))."""
-    rng = np.random.default_rng(seed)
-    e0 = np.array([1.0, 0.0, 0.0], np.float32)
-    spacing = 2 * np.pi / K
-    ang = spacing * np.arange(K)
-
-    def ring_points(angles):
-        r = np.stack([np.zeros(len(angles)), np.cos(angles),
-                      np.sin(angles)], 1).astype(np.float32)
-        m = e0[None] + DELTA * r
-        return m / np.linalg.norm(m, axis=1, keepdims=True)
-
-    m_clean = ring_points(ang)
-    m_corrupt = ring_points(ang + ROT * spacing)
-    W = rng.standard_normal((3, D)).astype(np.float32)
-    text = np.sin(m_clean) @ W
-    text /= np.linalg.norm(text, axis=1, keepdims=True)
-    y = rng.integers(0, K, (T, 1)).astype(np.int64)
-    centers = m_corrupt[y[:, 0]] \
-        + JITTER * DELTA * rng.standard_normal((T, 3)).astype(np.float32)
-    pcs = centers[:, None, None, :] + TAU * rng.standard_normal(
-        (T, 1, N, 3)).astype(np.float32)
-    return pcs.astype(np.float32), y, text.astype(np.float32), W
-
-
-def zero_shot_acc(pcs, targets, text, W):
-    """Implementation-independent zero-shot accuracy: the frozen-anchor
-    baseline both engines share (features are deterministic in the toy
-    encoder, so this is THE zero-shot number for the stream)."""
-    feat = np.sin(pcs[:, 0]).mean(axis=1) @ W                # (T, D)
-    feat /= np.linalg.norm(feat, axis=1, keepdims=True)
-    pred = (feat @ text.T).argmax(axis=1)
-    return 100.0 * np.mean(pred == targets[:, 0])
-
-
-class _JaxToyEncoder:
-    def __init__(self, W):
-        self.W = jnp.asarray(W)
-
-    def apply(self, params, pc):
-        return (jnp.mean(jnp.sin(pc[:, :, :3]), axis=1) @ self.W
-                ).astype(jnp.float32)
+from uni_adapter_tpu.data.synthetic_stream import (  # noqa: E402
+    D,
+    K,
+    N,
+    T,
+    ToyEncoder as _JaxToyEncoder,
+    make_problem,
+    method_config as _config,
+    run_adapter,
+    zero_shot_acc,
+)
 
 
 class _TorchToyEncoder(torch.nn.Module):
@@ -125,36 +83,7 @@ class _TorchToyEncoder(torch.nn.Module):
 # Drivers
 # ---------------------------------------------------------------------------
 
-def _config(method):
-    dc = {
-        # reference defaults (utils/params.py:103-111); res_learning off —
-        # the alignment loss needs real text-embedding structure and
-        # measurably degrades anchors on this toy geometry (its efficacy
-        # is exercised separately below via reference-gain parity)
-        "mode": DotaConfig(use_mode_dota=True, mode_M=4, res_learning=False,
-                           epsilon=1e-4, sigma=1e-4, rho=0.02, eta=0.1,
-                           noise_std=0.0, fp16_predict_input=True),
-        "cache": DotaConfig(use_dota=False, use_mode_dota=False),
-        # GMM-DOTA — present-but-unwired in the reference, wired here
-        "gmm": DotaConfig(use_dota=False, use_mode_dota=False,
-                          use_gmm_dota=True, mode_M=4,
-                          epsilon=1e-4, sigma=1e-4, rho=0.02, eta=0.1),
-    }[method]
-    return Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
-                  cache=CacheConfig(shot_capacity=30, threshold=0.5,
-                                    lambda_reg=0.11, beta=150.0))
-
-
-def run_ours(method, text, pcs, targets, W):
-    cfg = _config(method)
-    model = _JaxToyEncoder(W)
-    rgbs = np.ones_like(pcs)
-    _, outs = engine.run_stream_scan(
-        cfg, model, {}, jnp.asarray(text), jnp.asarray(pcs),
-        jnp.asarray(rgbs), jnp.asarray(targets.astype(np.int32)))
-    final = np.asarray(outs.final_logits)[:, 0]
-    acc = 100.0 * np.mean(final.argmax(-1) == targets[:, 0])
-    return acc, final
+run_ours = run_adapter
 
 
 @pytest.fixture(scope="module")

@@ -57,6 +57,46 @@ def init(epsilon: float, sigma: float, input_dim: int, num_classes: int,
                      jnp.zeros((), jnp.int32))
 
 
+def fit_rows(mu: jax.Array, c: jax.Array, sigma: jax.Array,
+             x: jax.Array, y: jax.Array,
+             streaming_update_sigma: bool = True,
+             axis_name: Optional[str] = None):
+    """Row-local core of `fit`: the streaming mean/covariance update on a
+    (K_rows, ·) block — K_rows may be the full class set (`fit`) or a
+    class-sharded block (parallel/ep.py feeds its device's rows with the
+    matching soft-label column slice; zero columns freeze pad rows).
+
+    Returns (new_mu, new_c, new_sigma, sum_w, n_fit)."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    sum_w = jnp.sum(y, axis=0)                                   # (K,)
+    weighted_x = jnp.matmul(y.T, x, precision=_HIGH)             # (K, D)
+    n_fit = jnp.asarray(x.shape[0], jnp.int32)                   # ()
+
+    delta = None
+    if streaming_update_sigma:
+        # delta[k] = Σ_b y[b,k] (x_b - mu_k)(x_b - mu_k)ᵀ  — one einsum, MXU
+        xm = x[:, None, :] - mu[None, :, :]                      # (B, K, D)
+        delta = jnp.einsum("bji,bjk->jik", y[:, :, None] * xm, xm,
+                           precision=_HIGH)                      # (K, D, D)
+
+    if axis_name is not None:
+        sum_w, weighted_x, n_fit = jax.lax.psum(
+            (sum_w, weighted_x, n_fit), axis_name)
+        if delta is not None:
+            delta = jax.lax.psum(delta, axis_name)
+
+    new_mu = (weighted_x + c[:, None] * mu) / (
+        sum_w[:, None] + c[:, None])
+    new_c = c + sum_w
+
+    new_sigma = sigma
+    if streaming_update_sigma:
+        denom = (c + sum_w)[:, None, None]
+        new_sigma = (c[:, None, None] * sigma + delta) / denom
+    return new_mu, new_c, new_sigma, sum_w, n_fit
+
+
 def fit(state: DOTAState, x: jax.Array, y: jax.Array,
         streaming_update_sigma: bool = True,
         axis_name: Optional[str] = None) -> DOTAState:
@@ -71,31 +111,10 @@ def fit(state: DOTAState, x: jax.Array, y: jax.Array,
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
-    sum_w = jnp.sum(y, axis=0)                                   # (K,)
-    weighted_x = jnp.matmul(y.T, x, precision=_HIGH)             # (K, D)
-    n_fit = jnp.asarray(x.shape[0], jnp.int32)                   # ()
-
-    delta = None
-    if streaming_update_sigma:
-        # delta[k] = Σ_b y[b,k] (x_b - mu_k)(x_b - mu_k)ᵀ  — one einsum, MXU
-        xm = x[:, None, :] - state.mu[None, :, :]                # (B, K, D)
-        delta = jnp.einsum("bji,bjk->jik", y[:, :, None] * xm, xm,
-                           precision=_HIGH)                      # (K, D, D)
-
-    if axis_name is not None:
-        sum_w, weighted_x, n_fit = jax.lax.psum(
-            (sum_w, weighted_x, n_fit), axis_name)
-        if delta is not None:
-            delta = jax.lax.psum(delta, axis_name)
-
-    new_mu = (weighted_x + state.c[:, None] * state.mu) / (
-        sum_w[:, None] + state.c[:, None])
-    new_c = state.c + sum_w
-
-    sigma = state.sigma
-    if streaming_update_sigma:
-        denom = (state.c + sum_w)[:, None, None]
-        sigma = (state.c[:, None, None] * sigma + delta) / denom
+    new_mu, new_c, sigma, sum_w, n_fit = fit_rows(
+        state.mu, state.c, state.sigma, x, y,
+        streaming_update_sigma=streaming_update_sigma,
+        axis_name=axis_name)
 
     # The reference increments prior_step by 1 per fit CALL and adds y with
     # a (1,K)+(B,K) broadcast (dota.py:45-46) — coherent only at the

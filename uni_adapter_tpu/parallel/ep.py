@@ -325,12 +325,11 @@ def _make_dota_step(cfg: Config, encode: Callable, axis: str,
             m = m.astype(jnp.float16).astype(jnp.float32)
 
         ms = state.method_state
-        # predict BEFORE fit (engine.py DOTA branch order): column-block
-        # LDA scores, gathered
-        M_loc = ms.mu.T                                    # (D, K_local)
-        W_loc = jnp.matmul(ms.lam, M_loc, precision=_HIGH)
-        half = 0.5 * jnp.sum(M_loc * W_loc, axis=0)        # (K_local,)
-        scores_local = jnp.matmul(m, W_loc, precision=_HIGH) - half
+        # predict BEFORE fit (engine.py DOTA branch order): dota.predict on
+        # the local class-row block (mu local, lam replicated) is the
+        # column block of the full LDA scores; prior (replicated cum)
+        # applied AFTER the gather
+        scores_local = dota_mod.predict(ms, m)
         dota_logits = jax.lax.all_gather(
             scores_local, axis, axis=1, tiled=True)[:, :num_classes]
         if dc.prior_pre_steps is not None:
@@ -339,23 +338,15 @@ def _make_dota_step(cfg: Config, encode: Callable, axis: str,
             prior = prior / (dc.prior_pre_steps + ms.prior_step)
             dota_logits = dota_logits + jnp.log(prior + 1e-10)
 
-        # fit: class-row-local streaming update (adapt/dota.py:60-110)
-        x = feat.astype(jnp.float32)
-        sum_w = jnp.sum(prob_local, axis=0)                # (K_local,)
-        weighted_x = jnp.matmul(prob_local.T, x, precision=_HIGH)
-        xm = x[:, None, :] - ms.mu[None, :, :]             # (B, K_local, D)
-        delta = jnp.einsum("bji,bjk->jik", prob_local[:, :, None] * xm, xm,
-                           precision=_HIGH)
-        new_mu = (weighted_x + ms.c[:, None] * ms.mu) / (
-            sum_w[:, None] + ms.c[:, None])
-        new_c = ms.c + sum_w
-        sigma = (ms.c[:, None, None] * ms.sigma + delta) / \
-            (ms.c + sum_w)[:, None, None]
+        # fit: the row-local core on this device's rows with the matching
+        # soft-label column slice (adapt/dota.py:fit_rows)
+        new_mu, new_c, sigma, _, _ = dota_mod.fit_rows(
+            ms.mu, ms.c, ms.sigma, feat, prob_local)
         cum = ms.cum_soft_labels + jnp.sum(prob_pad, axis=0)[None, :]
 
         # update: Σ̄ over the REAL classes only (pads would drag the mean
         # toward their frozen σ·I init), psum of valid-row block sums
-        d = x.shape[1]
+        d = feat.shape[1]
         overall = jax.lax.psum(
             jnp.sum(sigma * valid[:, None, None], axis=0), axis) \
             / num_classes
@@ -466,36 +457,44 @@ def _ep_update_cache(s: "cache_mod.CacheState", axis: str, pred, feat,
                            axis).astype(jnp.int32)
     has_room = n_valid < C
 
-    # owner's merge candidate (garbage on non-owners, masked by o)
-    sims = jax.lax.psum(
-        o * jnp.matmul(s.feats[lp], feat0, precision=_HIGH), axis)  # (C,)
-    m = jnp.argmax(sims)
-    feat_c = jax.lax.psum(o * s.feats[lp, m], axis)
-    conf_c = jax.lax.psum(o * s.conf[lp, m], axis)
-    count_c = jax.lax.psum(o * s.counts[lp, m], axis)
+    def insert_vals(_):
+        return (n_valid, feat0, confidence, prob_pad,
+                jnp.float32(1.0))
 
-    # confidence-count-weighted running mean with the same underflow
-    # guard as adapt/cache.py:update_cache
-    denom = count_c * conf_c + confidence
-    weighted = (conf_c * count_c * feat_c + confidence * feat0) / \
-        jnp.where(denom > 0.0, denom, 1.0)
-    new_feat = jnp.where(denom > 0.0, weighted,
-                         (count_c * feat_c + feat0) / (count_c + 1.0))
-    new_feat = new_feat / (jnp.linalg.norm(new_feat) + 1e-12)
-    lg_local = logit_scale * jnp.matmul(new_feat[None], clip_w_local,
-                                        precision=_HIGH)
-    lg = jax.lax.all_gather(lg_local, axis, axis=1,
-                            tiled=True)[:, :num_classes]
-    new_prob = jnp.pad(jax.nn.softmax(lg, axis=1)[0],
-                       (0, k_pad - num_classes))
-    new_pent = normalized_entropy(softmax_entropy(lg), num_classes)[0]
-    new_conf = jnp.exp(-beta * new_pent)
+    def merge_vals(_):
+        # owner's merge candidate (garbage on non-owners, masked by o);
+        # has_room is replicated across the mesh, so every device takes
+        # this branch together and the collectives stay uniform (same
+        # replicated-predicate pattern as the residual do_opt cond) —
+        # insert steps (the whole warm-up) skip them entirely
+        sims = jax.lax.psum(
+            o * jnp.matmul(s.feats[lp], feat0, precision=_HIGH),
+            axis)                                              # (C,)
+        m = jnp.argmax(sims).astype(n_valid.dtype)
+        feat_c = jax.lax.psum(o * s.feats[lp, m], axis)
+        conf_c = jax.lax.psum(o * s.conf[lp, m], axis)
+        count_c = jax.lax.psum(o * s.counts[lp, m], axis)
 
-    slot = jnp.where(has_room, n_valid, m)
-    w_feat = jnp.where(has_room, feat0, new_feat)
-    w_conf = jnp.where(has_room, confidence, new_conf)
-    w_prob = jnp.where(has_room, prob_pad, new_prob)
-    w_count = jnp.where(has_room, 1.0, count_c + 1.0)
+        # confidence-count-weighted running mean with the same underflow
+        # guard as adapt/cache.py:update_cache
+        denom = count_c * conf_c + confidence
+        weighted = (conf_c * count_c * feat_c + confidence * feat0) / \
+            jnp.where(denom > 0.0, denom, 1.0)
+        new_feat = jnp.where(denom > 0.0, weighted,
+                             (count_c * feat_c + feat0) / (count_c + 1.0))
+        new_feat = new_feat / (jnp.linalg.norm(new_feat) + 1e-12)
+        lg_local = logit_scale * jnp.matmul(new_feat[None], clip_w_local,
+                                            precision=_HIGH)
+        lg = jax.lax.all_gather(lg_local, axis, axis=1,
+                                tiled=True)[:, :num_classes]
+        new_prob = jnp.pad(jax.nn.softmax(lg, axis=1)[0],
+                           (0, k_pad - num_classes))
+        new_pent = normalized_entropy(softmax_entropy(lg), num_classes)[0]
+        new_conf = jnp.exp(-beta * new_pent)
+        return m, new_feat, new_conf, new_prob, count_c + 1.0
+
+    slot, w_feat, w_conf, w_prob, w_count = jax.lax.cond(
+        has_room, insert_vals, merge_vals, None)
 
     def owner_write(arr, val):
         return jnp.where(in_block, arr.at[lp, slot].set(val), arr)
@@ -648,10 +647,6 @@ def _has_padded_class_tail(path) -> bool:
     They pad/strip on splice/return alongside the anchors."""
     ks = jax.tree_util.keystr(path)
     return ".probs" in ks or ".cum_soft_labels" in ks
-
-
-# backwards-compat alias (older name used by run_streams_ep strip)
-_is_cache_probs = _has_padded_class_tail
 
 
 def _init_local_state(cfg: Config, text_local, rng, k_pad: int):
