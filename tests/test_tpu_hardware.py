@@ -293,3 +293,23 @@ def test_adaptive_split_scatter_matches_cpu_on_hw():
         # retry inside _assert_twins_equal genuinely recompiles
         _assert_twins_equal(lambda f=name: getattr(on_cpu(), f),
                             lambda f=name: getattr(on_tpu(), f))
+
+
+def test_efficacy_holds_on_hw():
+    """The adaptation-efficacy north star on REAL TPU lowering: the same
+    calibrated structured stream the CPU efficacy tests pin
+    (uni_adapter_tpu/data/synthetic_stream.py) must show the same gains
+    through the on-device scan — MODE-DOTA ≥ +3, cache ≥ +5 over pure
+    zero-shot (CPU-measured +12.1 / +7.7 on this seed).  Guards against a
+    TPU-lowering numerics regression silently eroding the method's
+    accuracy value while all throughput metrics stay green."""
+    from uni_adapter_tpu.data.synthetic_stream import (
+        make_problem, run_adapter, zero_shot_acc)
+
+    pcs, targets, text, W = make_problem(17)
+    zs = zero_shot_acc(pcs, targets, text, W)
+    assert 60.0 < zs < 90.0, f"stream mis-calibrated: zs={zs}"
+    mode_acc, _ = run_adapter("mode", text, pcs, targets, W)
+    cache_acc, _ = run_adapter("cache", text, pcs, targets, W)
+    assert mode_acc >= zs + 3.0, (mode_acc, zs)
+    assert cache_acc >= zs + 5.0, (cache_acc, zs)
