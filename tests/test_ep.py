@@ -446,10 +446,10 @@ def test_ep_cli(tmp_path):
 def test_ep_cli_validation():
     from uni_adapter_tpu.config import parse_args
 
-    # plain DOTA is EP-legal since round 4; GMM/adaptive stay rejected
+    # plain DOTA and GMM are EP-legal since round 4; adaptive stays rejected
     with pytest.raises(ValueError, match="sharded/psum"):
         parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",
-                    "--dota-use-gmm-dota", "true"])
+                    "--dota-use-adaptive-dota", "true"])
     with pytest.raises(ValueError, match="vmap"):
         parse_args(["--dist-mode", "ep", "--vmap-corruptions", "true"])
     # inert-flag combination rejected (advisor round-3): the encoder-sharding
@@ -490,10 +490,13 @@ def test_ep_k_smaller_than_mesh(setup):
 
 
 def test_ep_requires_shardable_method(setup):
+    # adaptive is the one remaining EP-illegal variant (mode splits
+    # re-assign slots across the whole K axis); GMM became EP-legal in
+    # round 4 (tests/test_ep_gmm.py)
     model, params, rng = setup
     cfg = Config(model=ModelConfig(compute_dtype="float32"),
                  dota=DotaConfig(use_dota=False, use_mode_dota=False,
-                                 use_gmm_dota=True),
+                                 use_adaptive_dota=True),
                  cache=CacheConfig())
-    with pytest.raises(ValueError, match="GMM/adaptive"):
+    with pytest.raises(ValueError, match="adaptive"):
         ep.make_ep_step_fn(cfg, model, "classes", 8, 8)

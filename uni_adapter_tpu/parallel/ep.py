@@ -65,7 +65,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from uni_adapter_tpu import engine
 from uni_adapter_tpu.adapt import cache as cache_mod
 from uni_adapter_tpu.adapt import dota as dota_mod
-from uni_adapter_tpu.adapt import fusion, mode_dota, residual
+from uni_adapter_tpu.adapt import fusion, gmm as gmm_mod, mode_dota, residual
 from uni_adapter_tpu.config import Config
 from uni_adapter_tpu.utils.math import (
     conjugate_gradient,
@@ -153,11 +153,24 @@ def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
         encode = encode_fn if encode_fn is not None else \
             engine.make_encode_fn(cfg, model)
         return _make_dota_step(cfg, encode, axis, num_classes, n_shards)
+    if dc.use_gmm_dota and not dc.use_mode_dota:
+        # GMM-DOTA's (K, M, D) mixture is class-row-local like MODE-DOTA's;
+        # only its blended prior (class_counts normalisation) and the
+        # fusion weight cross classes — both psums of valid-row sums
+        if shard_encoder:
+            raise ValueError(
+                "shard_encoder requires the fused 2-forward MODE-DOTA "
+                "batch; GMM-DOTA runs one forward per step — nothing "
+                "to split")
+        encode = encode_fn if encode_fn is not None else \
+            engine.make_encode_fn(cfg, model)
+        return _make_gmm_step(cfg, encode, axis, num_classes, n_shards)
     if not dc.use_mode_dota:
         raise ValueError(
             "class-sharded (EP) evaluation supports MODE-DOTA, plain "
-            "DOTA, and the prototype cache: those states shard by class; "
-            "use dist_mode='sharded'/'psum' for GMM/adaptive")
+            "DOTA, GMM-DOTA, and the prototype cache: those states shard "
+            "by class; use dist_mode='sharded'/'psum' for adaptive (its "
+            "EP story is future work)")
     encode = encode_fn if encode_fn is not None else \
         engine.make_encode_fn(cfg, model)
     use_res = dc.res_learning
@@ -359,6 +372,88 @@ def _make_dota_step(cfg: Config, encode: Callable, axis: str,
         c_mean = jax.lax.psum(jnp.sum(new_c * valid), axis) / num_classes
         w = fusion.dota_fusion_weight(dc.rho, dc.eta, c_mean, float(B))
         final = fusion.fuse_dota(clip_logits, dota_logits, w)
+        out = engine.StepOutput(final, clip_logits,
+                                topk_correct(final, target, (1, 3, 5)))
+        return engine.EngineState(ms, state.res_state, state.step + 1,
+                                  rng), out
+
+    return step
+
+
+def _make_gmm_step(cfg: Config, encode: Callable, axis: str,
+                   num_classes: int, n_shards: int) -> Callable:
+    """Per-sample GMM-DOTA step for INSIDE shard_map over the class mesh.
+
+    GMMDotaState shards by class rows (mu/sigma/sigma_reg (K_local, M, D),
+    pi/C (K_local, M), class_counts (K_local,)); `total_samples`
+    replicates.  fit's streaming EM normalises responsibilities over modes
+    only (adapt/gmm.py:93-125 on the local rows, zero prob columns
+    freezing pads); predict's per-class discriminant is a column block,
+    with the blended empirical prior's normaliser psum'd over valid rows
+    (reference semantics gmm_dota_adaptation_model.py:204-256).
+
+    NOTE the QR-orthonormal mean perturbations at init draw from a
+    (K, D, M)-shaped normal and the soft-count init is 1/(K·M) — a
+    PADDED-shape draw produces different values on the real rows, so
+    run_stream_ep splices an UNPADDED init over them (its fresh-init
+    path) and run_streams_ep's per-block init redoes the real-K draw
+    inside shard_map (_init_local_state's GMM branch).
+    """
+    dc = cfg.dota
+    scale = cfg.model.logit_scale
+
+    def step(params, text_local, state: engine.EngineState, batch):
+        pc, rgb, target = batch
+        text_local = text_local.astype(jnp.float32)
+        k_local = text_local.shape[0]
+        k_pad = k_local * n_shards
+        offset = jax.lax.axis_index(axis) * k_local
+        valid = ((offset + jnp.arange(k_local)) < num_classes
+                 ).astype(jnp.float32)
+        rng, _ = jax.random.split(state.rng)
+
+        feat = encode(params, pc, rgb)
+        B = pc.shape[0]
+        logits_local = scale * jnp.matmul(
+            feat.astype(jnp.float32), text_local.T, precision=_HIGH)
+        clip_logits = jax.lax.all_gather(
+            logits_local, axis, axis=1, tiled=True)[:, :num_classes]
+        prob_map = jax.nn.softmax(clip_logits, axis=1)
+        prob_pad = jnp.pad(prob_map, ((0, 0), (0, k_pad - num_classes)))
+        prob_local = jax.lax.dynamic_slice_in_dim(prob_pad, offset,
+                                                  k_local, axis=1)
+
+        ms = state.method_state
+        # predict BEFORE fit (engine.py GMM branch order): local-row class
+        # log-likelihoods + the blended prior with a psum'd normaliser
+        m = jnp.mean(feat, axis=0, keepdims=True).astype(jnp.float32)
+        f_km = gmm_mod._log_gauss_diag(m[:, None, None, :], ms.mu[None],
+                                       ms.sigma_reg[None])
+        log_pi = jnp.log(jnp.clip(ms.pi, min=1e-10))
+        log_lik_local = jax.scipy.special.logsumexp(
+            log_pi[None] + f_km, axis=-1)                  # (1, K_local)
+        t = ms.total_samples.astype(jnp.float32)
+        total_counts = jax.lax.psum(jnp.sum(ms.class_counts * valid), axis)
+        est_local = ms.class_counts / jnp.clip(total_counts, min=1e-10)
+        uniform = 1.0 / num_classes
+        alpha_t = jnp.minimum(dc.alpha_max, t / (t + 100.0))
+        p_local = jnp.where(t > 0,
+                            (1 - alpha_t) * uniform + alpha_t * est_local,
+                            uniform)
+        scores_local = log_lik_local + \
+            jnp.log(jnp.clip(p_local, min=1e-10))[None]
+        gmm_logits = jax.lax.all_gather(
+            scores_local, axis, axis=1, tiled=True)[:, :num_classes]
+
+        ms = gmm_mod.fit(ms, feat, prob_local)
+        ms = gmm_mod.update(ms, dc.epsilon)
+
+        c_mean = jax.lax.psum(jnp.sum(ms.C.sum(axis=1) * valid), axis) \
+            / num_classes
+        w = fusion.dota_fusion_weight(dc.rho, dc.eta, c_mean, float(B))
+        final = fusion.fuse_mode_dota(
+            clip_logits, gmm_logits, w,
+            fix_normalization=dc.fix_fusion_normalization)
         out = engine.StepOutput(final, clip_logits,
                                 topk_correct(final, target, (1, 3, 5)))
         return engine.EngineState(ms, state.res_state, state.step + 1,
@@ -649,10 +744,21 @@ def _has_padded_class_tail(path) -> bool:
     return ".probs" in ks or ".cum_soft_labels" in ks
 
 
-def _init_local_state(cfg: Config, text_local, rng, k_pad: int):
+def _init_local_state(cfg: Config, text_local, rng, k_pad: int,
+                      axis: Optional[str] = None,
+                      num_classes: Optional[int] = None):
     """init_state on a LOCAL class block (inside shard_map): trailing
     class axes (cache probs, DOTA cum prior) must still span the full
-    padded class dimension."""
+    padded class dimension.
+
+    For GMM-DOTA the local init must also reproduce the replicated
+    engine's FULL-K init values on its rows: the QR mean-perturbation
+    draw is (K, D, M)-shaped and the soft-count init is 1/(K·M)
+    (adapt/gmm.init) — both depend on the real K, so a local-shape
+    redraw would diverge from the replicated trajectory at step 0.
+    Pass `axis`/`num_classes` inside shard_map to enable that branch
+    (the eval_shape template path omits them; shapes are unaffected).
+    """
     st = engine.init_state(cfg, text_local, rng)
     ms = st.method_state
     if isinstance(ms, cache_mod.CacheState):
@@ -662,6 +768,33 @@ def _init_local_state(cfg: Config, text_local, rng, k_pad: int):
     elif isinstance(ms, dota_mod.DOTAState):
         ms = ms._replace(
             cum_soft_labels=jnp.zeros((1, k_pad), jnp.float32))
+        st = engine.EngineState(ms, st.res_state, st.step, st.rng)
+    elif isinstance(ms, gmm_mod.GMMDotaState) and axis is not None:
+        K = num_classes
+        k_local, M, Dm = ms.mu.shape
+        # engine.init_state's split order: carry = split[0], init draw
+        # = split[1] (engine.py GMM branch) — st.rng already carries
+        # split[0]; redo the draw at the REAL K and take this device's
+        # row block (pad rows beyond K get a zero perturbation — frozen
+        # unit-anchor Gaussians, never scored)
+        init_rng = jax.random.split(rng)[1]
+        if M > 1 and Dm >= M:
+            rv = jax.random.normal(init_rng, (K, Dm, M))
+            q, _ = jnp.linalg.qr(rv)
+            ortho = jnp.swapaxes(q, 1, 2)              # (K, M, D)
+        else:
+            rv = jax.random.normal(init_rng, (K, M, Dm))
+            ortho = rv / (jnp.linalg.norm(rv, axis=-1, keepdims=True)
+                          + 1e-12)
+        ortho = jnp.pad(ortho, ((0, k_pad - K), (0, 0), (0, 0)))
+        offset = jax.lax.axis_index(axis) * k_local
+        ortho_local = jax.lax.dynamic_slice_in_dim(ortho, offset,
+                                                   k_local, axis=0)
+        # 0.01 = gmm.init's perturbation_scale default (the engine does
+        # not override it)
+        mu = text_local.astype(jnp.float32)[:, None, :] + 0.01 * ortho_local
+        ms = ms._replace(
+            mu=mu, C=jnp.full((k_local, M), 1.0 / (K * M), jnp.float32))
         st = engine.EngineState(ms, st.res_state, st.step, st.rng)
     return st
 
@@ -714,7 +847,9 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
     def body(params, text_local, keys_c, pcs_c, rgbs_c, tgts_c):
         # local block: (C/n_data, T, ...) streams × (K_pad/n_cls) classes
         states = jax.vmap(
-            lambda r: _init_local_state(cfg, text_local, r, k_pad))(keys_c)
+            lambda r: _init_local_state(cfg, text_local, r, k_pad,
+                                        axis=classes_axis,
+                                        num_classes=K))(keys_c)
         tf = lambda a: jnp.swapaxes(a, 0, 1)                # time leads
 
         def scan_body(states, batch):
@@ -821,26 +956,32 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
             (pcs, rgbs, tgts))
         return state, jnp.sum(outs.correct, axis=0), outs.final_logits
 
-    # the padded initial carry: a fresh init on the padded anchors (which
-    # covers the frozen pad classes), with the caller's full-K state
-    # spliced over the real rows when resuming
+    # the padded initial carry: a fresh init on the padded anchors covers
+    # the frozen pad classes; the REAL rows always splice in from either
+    # the caller's resume carry or a fresh UNPADDED init — the latter
+    # keeps rng-consuming inits (GMM's (K, D, M) QR draw) bitwise the
+    # replicated engine's (a padded-shape draw produces different values
+    # on the real rows; row-deterministic inits are unaffected)
     state0 = engine.init_state(cfg, jnp.asarray(text_pad),
                                jax.random.PRNGKey(seed))
-    if initial_state is not None:
-        def _splice(p, init_l, given_l):
-            g = jnp.asarray(given_l)
-            if _has_padded_class_tail(p) and \
-                    g.shape[-1] != init_l.shape[-1]:
-                # full-K carry → re-pad the trailing class axis
-                pad = [(0, 0)] * (g.ndim - 1) \
-                    + [(0, init_l.shape[-1] - g.shape[-1])]
-                g = jnp.pad(g, pad)
-            if not _is_class_leaf(p, init_l):
-                return g
-            return jnp.concatenate([g, init_l[K:]], axis=0)
+    if initial_state is None:
+        initial_state = engine.init_state(cfg, jnp.asarray(text),
+                                          jax.random.PRNGKey(seed))
 
-        state0 = jax.tree_util.tree_map_with_path(_splice, state0,
-                                                  initial_state)
+    def _splice(p, init_l, given_l):
+        g = jnp.asarray(given_l)
+        if _has_padded_class_tail(p) and \
+                g.shape[-1] != init_l.shape[-1]:
+            # full-K carry → re-pad the trailing class axis
+            pad = [(0, 0)] * (g.ndim - 1) \
+                + [(0, init_l.shape[-1] - g.shape[-1])]
+            g = jnp.pad(g, pad)
+        if not _is_class_leaf(p, init_l):
+            return g
+        return jnp.concatenate([g, init_l[K:]], axis=0)
+
+    state0 = jax.tree_util.tree_map_with_path(_splice, state0,
+                                              initial_state)
 
     # state specs mirror the EngineState pytree: class-block leaves live
     # sharded as global (K_pad, ...) arrays, scalars/keys replicated
