@@ -446,10 +446,10 @@ def test_ep_cli(tmp_path):
 def test_ep_cli_validation():
     from uni_adapter_tpu.config import parse_args
 
-    # plain DOTA and GMM are EP-legal since round 4; adaptive stays rejected
-    with pytest.raises(ValueError, match="sharded/psum"):
-        parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",
-                    "--dota-use-adaptive-dota", "true"])
+    # the whole family is EP-legal since round 4 (incl. adaptive)
+    cfg_ad = parse_args(["--dist-mode", "ep", "--dota-use-mode-dota",
+                         "false", "--dota-use-adaptive-dota", "true"])
+    assert cfg_ad.run.dist_mode == "ep"
     with pytest.raises(ValueError, match="vmap"):
         parse_args(["--dist-mode", "ep", "--vmap-corruptions", "true"])
     # inert-flag combination rejected (advisor round-3): the encoder-sharding
@@ -489,14 +489,27 @@ def test_ep_k_smaller_than_mesh(setup):
     assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
 
 
-def test_ep_requires_shardable_method(setup):
-    # adaptive is the one remaining EP-illegal variant (mode splits
-    # re-assign slots across the whole K axis); GMM became EP-legal in
-    # round 4 (tests/test_ep_gmm.py)
+def test_ep_every_method_shardable(setup):
+    """Round-4 completion: the ENTIRE adaptation family class-shards —
+    make_ep_step_fn builds a step for all five method configs (MODE-DOTA,
+    plain DOTA, GMM, adaptive, cache); only the MODE-DOTA-specific
+    encoder-sharding lever rejects elsewhere."""
     model, params, rng = setup
-    cfg = Config(model=ModelConfig(compute_dtype="float32"),
-                 dota=DotaConfig(use_dota=False, use_mode_dota=False,
-                                 use_adaptive_dota=True),
-                 cache=CacheConfig())
-    with pytest.raises(ValueError, match="adaptive"):
-        ep.make_ep_step_fn(cfg, model, "classes", 8, 8)
+    flag_sets = [
+        dict(use_dota=False, use_mode_dota=True),
+        dict(use_dota=True, use_mode_dota=False),
+        dict(use_dota=False, use_mode_dota=False, use_gmm_dota=True),
+        dict(use_dota=False, use_mode_dota=False, use_adaptive_dota=True),
+        dict(use_dota=False, use_mode_dota=False),   # cache path
+    ]
+    for flags in flag_sets:
+        cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                     dota=DotaConfig(**flags), cache=CacheConfig())
+        assert callable(ep.make_ep_step_fn(cfg, model, "classes", 8, 8))
+    with pytest.raises(ValueError, match="nothing to split"):
+        ep.make_ep_step_fn(
+            Config(model=ModelConfig(compute_dtype="float32"),
+                   dota=DotaConfig(use_dota=False, use_mode_dota=False,
+                                   use_adaptive_dota=True),
+                   cache=CacheConfig()),
+            model, "classes", 8, 8, shard_encoder=True)

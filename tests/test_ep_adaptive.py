@@ -1,10 +1,16 @@
-"""Class-sharded (expert-parallel) plain-DOTA path on the 8-CPU mesh.
+"""Class-sharded (expert-parallel) adaptive-modes DOTA on the 8-CPU mesh.
 
-Plain DOTA's (K, D, D) per-class covariance is the most memory-dominant
-class-leading state of the adaptation family (4.8 GB at LVIS K=1156,
-D=1024).  parallel/ep.py shards it by class rows; fit and the LDA predict
-are row-local, and `update`'s shared precision Λ = inv((1-ε)·Σ̄+ε·I)
-psums valid-row Σ sums (reference semantics dota.py:19-88).
+The adaptive variant is class-row-local THROUGH its splits: the masked
+streaming EM normalises responsibilities over modes only, and the
+collect-ascending/execute-reversed split scatter never crosses class rows
+(adapt/adaptive.py:94-194; reference dota_mixture_adaptive.py:173-260).
+predict has no cross-class term in the engine protocol (source_priors is
+None), so the only cross-class reduction under EP is the fusion weight's
+mean(c) psum.  The split-check cadence rides the replicated fit_calls
+scalar — every device takes the split branch on the same step.
+
+This completes the family: all five adaptation methods (MODE-DOTA, plain
+DOTA, GMM, adaptive, cache) class-shard under --dist-mode ep.
 """
 import numpy as np
 import jax
@@ -12,6 +18,7 @@ import jax.numpy as jnp
 import pytest
 
 from uni_adapter_tpu import engine
+from uni_adapter_tpu.adapt import adaptive
 from uni_adapter_tpu.config import CacheConfig, Config, DotaConfig, ModelConfig
 from uni_adapter_tpu.models.uni3d import Uni3D
 from uni_adapter_tpu.parallel import ep
@@ -35,13 +42,15 @@ def _text(rng, K):
     return text / np.linalg.norm(text, axis=1, keepdims=True)
 
 
-def _stream(rng, K, B=1):
-    pcs = rng.standard_normal((T, B, N, 3)).astype(np.float32)
-    return pcs, np.ones_like(pcs), rng.integers(0, K, (T, B)).astype(np.int32)
+def _stream(rng, K, B=1, steps=T):
+    pcs = rng.standard_normal((steps, B, N, 3)).astype(np.float32)
+    return pcs, np.ones_like(pcs), \
+        rng.integers(0, K, (steps, B)).astype(np.int32)
 
 
 def _cfg(**kw):
-    dc = DotaConfig(use_dota=True, use_mode_dota=False, **kw)
+    dc = DotaConfig(use_dota=False, use_mode_dota=False,
+                    use_adaptive_dota=True, **kw)
     return Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
                   cache=CacheConfig())
 
@@ -54,24 +63,22 @@ def _replicated(cfg, model, params, text, pcs, rgbs, targets, seed=42,
         initial_state=initial_state)
 
 
-def _assert_dota_close(got, want, rtol=1e-4, atol=1e-5):
-    for name in ("mu", "c", "sigma", "cum_soft_labels"):
+def _assert_adaptive_close(got, want, rtol=1e-4, atol=1e-5):
+    np.testing.assert_array_equal(np.asarray(got.mask),
+                                  np.asarray(want.mask), err_msg="mask")
+    for name in ("mu", "var", "pi", "c", "class_counts"):
         np.testing.assert_allclose(np.asarray(getattr(got, name)),
                                    np.asarray(getattr(want, name)),
                                    rtol=rtol, atol=atol, err_msg=name)
-    # lam = inv((1-ε)Σ̄+εI) amplifies the Σ̄ psum's reduction reorder
-    # through an ill-conditioned inverse (entries ~5e3 at σ=1e-4 init);
-    # compare at the scale of that amplification
-    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(want.lam),
-                               rtol=2e-3, atol=1.0, err_msg="lam")
-    assert int(got.prior_step) == int(want.prior_step)
+    assert int(got.t) == int(want.t)
+    assert int(got.fit_calls) == int(want.fit_calls)
 
 
 @pytest.mark.parametrize("K,B", [(16, 2), (10, 1)])
-def test_ep_dota_matches_replicated(setup, K, B):
+def test_ep_adaptive_matches_replicated(setup, K, B):
     """Divisible (16) and padded (10 → 16) label spaces: the class-sharded
-    DOTA trajectory equals the replicated run (the only cross-class
-    reductions — Σ̄ and mean(c) — reorder at float level)."""
+    adaptive trajectory equals the replicated run (row-local masked EM on
+    identical gathered prob_map slices)."""
     model, params, rng = setup
     rng = np.random.default_rng(1)
     text = _text(rng, K)
@@ -84,35 +91,41 @@ def test_ep_dota_matches_replicated(setup, K, B):
                                           rgbs, targets,
                                           mesh=ep.make_classes_mesh(8))
     assert summary["padded_classes"] == (16 - K if K == 10 else 0)
-    _assert_dota_close(got_state.method_state, want_state.method_state)
-    assert np.asarray(got_state.method_state.cum_soft_labels).shape == (1, K)
+    _assert_adaptive_close(got_state.method_state, want_state.method_state)
     want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
     assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / (T * B))
 
 
-def test_ep_dota_prior_path(setup):
-    """The cumulative-soft-label prior (dota.py:73-88 prior blend) under
-    class sharding: the replicated cum prior must stay exact."""
+def test_ep_adaptive_splits_fire_and_match(setup):
+    """The split scatter under shard_map: 60 steps at sigma 5e-4 (split
+    threshold 5e-3, far below the ~1/D variance fitted components reach on
+    unit-norm features — the test_variants recipe) force splits through
+    the 50-fit check.  Mode counts must GROW past 1/class, pad rows must
+    stay at their init single mode, and the post-split state must equal
+    the replicated run's."""
     model, params, rng = setup
     rng = np.random.default_rng(2)
-    K = 16
+    K = 10  # pads to 16: frozen pad rows cross the split boundary too
     text = _text(rng, K)
-    pcs, rgbs, targets = _stream(rng, K)
-    cfg = _cfg(prior_pre_steps=4)
+    pcs, rgbs, targets = _stream(rng, K, steps=60)
+    cfg = _cfg(sigma=5e-4)
 
-    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
-                                        targets)
+    want_state, _ = _replicated(cfg, model, params, text, pcs, rgbs,
+                                targets)
     got_state, summary = ep.run_stream_ep(cfg, model, params, text, pcs,
                                           rgbs, targets,
                                           mesh=ep.make_classes_mesh(8))
-    _assert_dota_close(got_state.method_state, want_state.method_state)
-    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
-    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
+    n_want = np.asarray(adaptive.num_modes_per_class(want_state.method_state))
+    n_got = np.asarray(adaptive.num_modes_per_class(got_state.method_state))
+    assert n_want.sum() > K, "recipe failed to fire splits (replicated)"
+    np.testing.assert_array_equal(n_got, n_want)
+    _assert_adaptive_close(got_state.method_state, want_state.method_state,
+                           rtol=1e-3, atol=1e-4)
 
 
-def test_ep_dota_continual_resume(setup):
-    """The full-K carry splices back (cum prior re-pads its trailing class
-    axis) and the chained trajectory equals the replicated chain."""
+def test_ep_adaptive_continual_resume(setup):
+    """The full-K carry (with its mask/fit_calls bookkeeping) splices back
+    and the chained trajectory equals the replicated chain."""
     model, params, rng = setup
     rng = np.random.default_rng(3)
     K = 10
@@ -133,13 +146,15 @@ def test_ep_dota_continual_resume(setup):
                                 rgbs[half:], targets[half:], mesh=mesh,
                                 initial_state=est1)
     assert int(est2.step) == T
-    _assert_dota_close(est2.method_state, st2.method_state)
+    _assert_adaptive_close(est2.method_state, st2.method_state)
     want_c = np.asarray(jnp.sum(o2.correct, axis=0))
     assert s2["acc1"] == pytest.approx(100.0 * want_c[0] / (T - half))
 
 
-def test_streams_ep_dota_dp_composition(setup):
-    """DP × EP for plain DOTA on a 2-D (data, classes) mesh."""
+def test_streams_ep_adaptive_dp_composition(setup):
+    """DP × EP for adaptive-modes on a 2-D (data, classes) mesh: per-stream
+    trajectories equal engine.run_streams_vmapped's (the masked scatter
+    fires under vmap-inside-shard_map on the padded rows too)."""
     from jax.sharding import Mesh
 
     model, params, rng = setup
@@ -151,7 +166,7 @@ def test_streams_ep_dota_dp_composition(setup):
     targets = rng.integers(0, K, (C, T, 1)).astype(np.int32)
     cfg = _cfg()
 
-    _, want_outs = engine.run_streams_vmapped(
+    want_states, want_outs = engine.run_streams_vmapped(
         cfg, model, params, jnp.asarray(text), jnp.asarray(pcs),
         jnp.asarray(rgbs), jnp.asarray(targets), seed=42)
     want = engine.summarize_vmapped(want_outs, T)
@@ -162,13 +177,16 @@ def test_streams_ep_dota_dp_composition(setup):
                                         rgbs, targets, mesh=mesh)
     assert summary["acc1_per_stream"] == pytest.approx(
         [w["acc1"] for w in want])
-    assert np.asarray(states.method_state.sigma).shape[:2] == (C, K)
-    assert np.asarray(states.method_state.cum_soft_labels).shape == \
-        (C, 1, K)
+    np.testing.assert_array_equal(np.asarray(states.method_state.mask),
+                                  np.asarray(want_states.method_state.mask))
+    np.testing.assert_allclose(np.asarray(states.method_state.mu),
+                               np.asarray(want_states.method_state.mu),
+                               rtol=1e-4, atol=1e-5)
+    assert np.asarray(states.method_state.mu).shape[:2] == (C, K)
 
 
-def test_ep_dota_cli(tmp_path):
-    """--dist-mode ep with --dota-use-dota through the evaluation CLI."""
+def test_ep_adaptive_cli(tmp_path):
+    """--dist-mode ep with --dota-use-adaptive-dota through the CLI."""
     import uni_adapter_tpu.cli.tta as tta_cli
 
     root = tmp_path / "data"
@@ -182,23 +200,21 @@ def test_ep_dota_cli(tmp_path):
               "--num-group", "16", "--group-size", "8", "--pc-encoder-dim",
               "32", "--eva-heads", "4", "--compute-dtype", "float32",
               "--precomputed-text-features", "large", "--root", str(root),
-              "--dota-use-dota", "true", "--dota-use-mode-dota", "false"]
+              "--dota-use-adaptive-dota", "true", "--dota-use-mode-dota",
+              "false"]
     base = tta_cli.main(common + ["--output-dir", str(tmp_path / "base")])
     got = tta_cli.main(common + ["--output-dir", str(tmp_path / "ep"),
                                  "--dist-mode", "ep"])
     assert got == base
 
 
-def test_ep_dota_validation():
+def test_ep_adaptive_validation():
     from uni_adapter_tpu.config import parse_args
 
-    cfg = parse_args(["--dist-mode", "ep", "--dota-use-dota", "true",
-                      "--dota-use-mode-dota", "false"])
+    cfg = parse_args(["--dist-mode", "ep", "--dota-use-adaptive-dota",
+                      "true", "--dota-use-mode-dota", "false"])
     assert cfg.run.dist_mode == "ep"
     with pytest.raises(ValueError, match="nothing to split"):
-        parse_args(["--dist-mode", "ep", "--dota-use-dota", "true",
-                    "--dota-use-mode-dota", "false",
+        parse_args(["--dist-mode", "ep", "--dota-use-adaptive-dota",
+                    "true", "--dota-use-mode-dota", "false",
                     "--ep-shard-encoder", "true"])
-    cfg_ad = parse_args(["--dist-mode", "ep", "--dota-use-mode-dota",
-                         "false", "--dota-use-adaptive-dota", "true"])
-    assert cfg_ad.run.dist_mode == "ep"  # whole family EP-legal (round 4)

@@ -236,8 +236,7 @@ def test_ep_gmm_validation():
         parse_args(["--dist-mode", "ep", "--dota-use-gmm-dota", "true",
                     "--dota-use-mode-dota", "false",
                     "--ep-shard-encoder", "true"])
-    # the adaptive variant stays EP-illegal (mode splits re-assign slots
-    # across the whole K axis — no class-local sharding story yet)
-    with pytest.raises(ValueError, match="sharded/psum"):
-        parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",
-                    "--dota-use-adaptive-dota", "true"])
+    # the adaptive variant is EP-legal too (tests/test_ep_adaptive.py)
+    cfg_ad = parse_args(["--dist-mode", "ep", "--dota-use-mode-dota",
+                         "false", "--dota-use-adaptive-dota", "true"])
+    assert cfg_ad.run.dist_mode == "ep"

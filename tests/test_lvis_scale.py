@@ -286,3 +286,65 @@ def test_ep_dota_runs_at_k1156():
     assert np.asarray(ms.sigma).shape == (K_LVIS, D, D)
     assert np.asarray(ms.cum_soft_labels).shape == (1, K_LVIS)
     assert np.isfinite(np.asarray(ms.lam)).all()
+
+
+def test_ep_gmm_runs_at_k1156():
+    """Class-sharded GMM-DOTA at the real LVIS K: the (K, M, D) mixture
+    splits 145 rows/device and the real-K QR init (a (1156, D, M) batched
+    QR) stays tractable inside the splice path."""
+    from uni_adapter_tpu.parallel import ep
+
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_dota=False, use_mode_dota=False,
+                                 use_gmm_dota=True, mode_M=2),
+                 cache=CacheConfig())
+    D, N, T = 48, 32, 3
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, N, 6)))
+    text = rng.standard_normal((K_LVIS, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    pcs = rng.standard_normal((T, 1, N, 3)).astype(np.float32)
+    tgts = rng.integers(0, K_LVIS, (T, 1)).astype(np.int32)
+
+    state, summary = ep.run_stream_ep(
+        cfg, model, params, text, pcs, np.ones_like(pcs), tgts,
+        mesh=ep.make_classes_mesh(8))
+    assert summary["padded_classes"] == 4
+    assert np.isfinite(summary["acc1"])
+    ms = state.method_state
+    assert np.asarray(ms.mu).shape == (K_LVIS, 2, D)
+    assert int(ms.total_samples) == T
+    assert np.isfinite(np.asarray(ms.mu)).all()
+
+
+def test_ep_adaptive_runs_at_k1156():
+    """Class-sharded adaptive-modes at the real LVIS K: the (K, Mmax, D)
+    padded slots split 145 rows/device; the masked scatter compiles at
+    scale."""
+    from uni_adapter_tpu.parallel import ep
+
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_dota=False, use_mode_dota=False,
+                                 use_adaptive_dota=True),
+                 cache=CacheConfig())
+    D, N, T = 48, 32, 3
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, N, 6)))
+    text = rng.standard_normal((K_LVIS, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    pcs = rng.standard_normal((T, 1, N, 3)).astype(np.float32)
+    tgts = rng.integers(0, K_LVIS, (T, 1)).astype(np.int32)
+
+    state, summary = ep.run_stream_ep(
+        cfg, model, params, text, pcs, np.ones_like(pcs), tgts,
+        mesh=ep.make_classes_mesh(8))
+    assert summary["padded_classes"] == 4
+    assert np.isfinite(summary["acc1"])
+    ms = state.method_state
+    assert np.asarray(ms.mask).shape[0] == K_LVIS
+    assert np.asarray(ms.mask)[:, 0].all()
+    assert np.isfinite(np.asarray(ms.mu)).all()

@@ -412,24 +412,14 @@ def parse_args(argv=None) -> Config:
         raise ValueError(f"--dist-mode {cfg.run.dist_mode!r}: expected "
                          "replicated, sharded, psum, or ep")
     if cfg.run.dist_mode == "ep":
-        is_cache = not (cfg.dota.use_dota or cfg.dota.use_mode_dota
-                        or cfg.dota.use_gmm_dota
-                        or cfg.dota.use_adaptive_dota)
-        is_plain_dota = cfg.dota.use_dota and not cfg.dota.use_mode_dota
-        is_gmm = cfg.dota.use_gmm_dota and not cfg.dota.use_mode_dota
-        if not (cfg.dota.use_mode_dota or is_plain_dota or is_gmm
-                or is_cache):
-            raise ValueError(
-                "--dist-mode ep shards the MODE-DOTA, plain-DOTA, "
-                "GMM-DOTA, or prototype-cache class state over the "
-                "devices (parallel/ep.py); pick sharded/psum for the "
-                "adaptive variant")
-        if (is_cache or is_plain_dota or is_gmm) and \
-                cfg.run.ep_shard_encoder:
+        # every adaptation method class-shards (parallel/ep.py: MODE-DOTA,
+        # plain DOTA, GMM-DOTA, adaptive-modes, and the prototype cache) —
+        # only the encoder-sharding lever is MODE-DOTA-specific
+        if cfg.run.ep_shard_encoder and not cfg.dota.use_mode_dota:
             raise ValueError(
                 "--ep-shard-encoder splits MODE-DOTA's fused 2-forward "
-                "batch; the cache, plain-DOTA, and GMM-DOTA paths run "
-                "one forward per step — nothing to split")
+                "batch; the cache, plain-DOTA, GMM-DOTA, and adaptive "
+                "paths run one forward per step — nothing to split")
         if cfg.run.vmap_corruptions:
             raise ValueError(
                 "--dist-mode ep does not compose with --vmap-corruptions "

@@ -38,6 +38,12 @@ expert).  The encoder forward is recomputed per device — at the K this
 mode exists for, the adaptation rather than the trunk is the bottleneck;
 compose with trunk parallelism on a 2-D mesh if the trunk dominates.
 
+Round-4 completes the family: EVERY adaptation method class-shards —
+plain DOTA (_make_dota_step: (K, D, D) covariance rows, psum'd shared
+precision), GMM-DOTA (_make_gmm_step: real-K QR init, psum'd blended
+prior), adaptive-modes (_make_adaptive_step: the split scatter is
+class-row-local), and the cache below.
+
 The prototype-CACHE path shards the same way (round-4): CacheState's
 K-leading leaves split over the class axis — at LVIS scale the
 (K, C, K) probability state is ~160 MB/stream and the prototype-graph
@@ -63,6 +69,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from uni_adapter_tpu import engine
+from uni_adapter_tpu.adapt import adaptive as adaptive_mod
 from uni_adapter_tpu.adapt import cache as cache_mod
 from uni_adapter_tpu.adapt import dota as dota_mod
 from uni_adapter_tpu.adapt import fusion, gmm as gmm_mod, mode_dota, residual
@@ -165,12 +172,24 @@ def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
         encode = encode_fn if encode_fn is not None else \
             engine.make_encode_fn(cfg, model)
         return _make_gmm_step(cfg, encode, axis, num_classes, n_shards)
-    if not dc.use_mode_dota:
-        raise ValueError(
-            "class-sharded (EP) evaluation supports MODE-DOTA, plain "
-            "DOTA, GMM-DOTA, and the prototype cache: those states shard "
-            "by class; use dist_mode='sharded'/'psum' for adaptive (its "
-            "EP story is future work)")
+    if dc.use_adaptive_dota and not dc.use_mode_dota:
+        # adaptive-modes is class-row-local THROUGH its splits: the
+        # collect-ascending/execute-reversed scatter operates per class
+        # row (adapt/adaptive.check_and_split), the masked EM normalises
+        # over modes only, and predict has no cross-class term (the
+        # engine passes source_priors=None) — only the fusion weight's
+        # mean(c) psums valid rows.  The split-check cadence rides the
+        # replicated fit_calls scalar, so every device splits on the
+        # same step.
+        if shard_encoder:
+            raise ValueError(
+                "shard_encoder requires the fused 2-forward MODE-DOTA "
+                "batch; adaptive-DOTA runs one forward per step — "
+                "nothing to split")
+        encode = encode_fn if encode_fn is not None else \
+            engine.make_encode_fn(cfg, model)
+        return _make_adaptive_step(cfg, encode, axis, num_classes,
+                                   n_shards)
     encode = encode_fn if encode_fn is not None else \
         engine.make_encode_fn(cfg, model)
     use_res = dc.res_learning
@@ -453,6 +472,75 @@ def _make_gmm_step(cfg: Config, encode: Callable, axis: str,
         w = fusion.dota_fusion_weight(dc.rho, dc.eta, c_mean, float(B))
         final = fusion.fuse_mode_dota(
             clip_logits, gmm_logits, w,
+            fix_normalization=dc.fix_fusion_normalization)
+        out = engine.StepOutput(final, clip_logits,
+                                topk_correct(final, target, (1, 3, 5)))
+        return engine.EngineState(ms, state.res_state, state.step + 1,
+                                  rng), out
+
+    return step
+
+
+def _make_adaptive_step(cfg: Config, encode: Callable, axis: str,
+                        num_classes: int, n_shards: int) -> Callable:
+    """Per-sample adaptive-modes step for INSIDE shard_map over the class
+    mesh.
+
+    AdaptiveState shards by class rows (mu/var (K_local, Mmax, D),
+    pi/c/mask (K_local, Mmax), class_counts (K_local,)); the t/fit_calls
+    scalars replicate, so the 50-fit split-check cond fires identically
+    on every device.  fit's masked EM and check_and_split's masked
+    scatter are class-row-local (adapt/adaptive.py:94-194 — the split
+    collect/execute protocol never crosses class rows); predict carries
+    no cross-class term in the engine protocol (source_priors=None,
+    engine.py adaptive branch).  Pad rows stay inert: zero prob columns
+    give zero sufficient statistics, and their slot-0 variance only
+    shrinks (never crosses the split threshold).
+
+    Reference semantics: dota_mixture_adaptive.py:7-438.
+    """
+    dc = cfg.dota
+    scale = cfg.model.logit_scale
+
+    def step(params, text_local, state: engine.EngineState, batch):
+        pc, rgb, target = batch
+        text_local = text_local.astype(jnp.float32)
+        k_local = text_local.shape[0]
+        k_pad = k_local * n_shards
+        offset = jax.lax.axis_index(axis) * k_local
+        valid = ((offset + jnp.arange(k_local)) < num_classes
+                 ).astype(jnp.float32)
+        rng, _ = jax.random.split(state.rng)
+
+        feat = encode(params, pc, rgb)
+        B = pc.shape[0]
+        logits_local = scale * jnp.matmul(
+            feat.astype(jnp.float32), text_local.T, precision=_HIGH)
+        clip_logits = jax.lax.all_gather(
+            logits_local, axis, axis=1, tiled=True)[:, :num_classes]
+        prob_map = jax.nn.softmax(clip_logits, axis=1)
+        prob_pad = jnp.pad(prob_map, ((0, 0), (0, k_pad - num_classes)))
+        prob_local = jax.lax.dynamic_slice_in_dim(prob_pad, offset,
+                                                  k_local, axis=1)
+
+        ms = state.method_state
+        sigma_init = adaptive_mod.resolve_sigma_init(
+            dc.sigma, text_local.shape[1])
+        # predict BEFORE fit (engine.py adaptive branch order): the masked
+        # logsumexp class scores are a row block, gathered then sliced
+        m = jnp.mean(feat, axis=0, keepdims=True)
+        scores_local = adaptive_mod.predict(ms, m, dc.epsilon)
+        ad_logits = jax.lax.all_gather(
+            scores_local, axis, axis=1, tiled=True)[:, :num_classes]
+
+        ms = adaptive_mod.fit(ms, feat, prob_local, dc.epsilon,
+                              split_threshold=10.0 * sigma_init)
+
+        c_mean = jax.lax.psum(jnp.sum(ms.c * valid[:, None]), axis) \
+            / (num_classes * ms.c.shape[1])
+        w = fusion.dota_fusion_weight(dc.rho, dc.eta, c_mean, float(B))
+        final = fusion.fuse_mode_dota(
+            clip_logits, ad_logits, w,
             fix_normalization=dc.fix_fusion_normalization)
         out = engine.StepOutput(final, clip_logits,
                                 topk_correct(final, target, (1, 3, 5)))
