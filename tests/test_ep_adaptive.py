@@ -218,3 +218,32 @@ def test_ep_adaptive_validation():
         parse_args(["--dist-mode", "ep", "--dota-use-adaptive-dota",
                     "true", "--dota-use-mode-dota", "false",
                     "--ep-shard-encoder", "true"])
+
+
+def test_ep_tp_adaptive_composition(setup):
+    """EP × TP with adaptive-modes: the class-sharded step composes with a
+    Megatron trunk via the encode_fn hook on a 2-D (classes, model) mesh,
+    equal to the replicated run."""
+    from jax.sharding import Mesh
+    from uni_adapter_tpu.parallel.tp import make_tp_encode_fn
+
+    model, params, rng = setup
+    rng = np.random.default_rng(8)
+    K = 10  # pads to 12 over the 4-device classes axis
+    text = _text(rng, K)
+    pcs, rgbs, targets = _stream(rng, K)
+    cfg = _cfg()
+
+    want_state, want_outs = _replicated(cfg, model, params, text, pcs, rgbs,
+                                        targets)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("classes", "model"))
+    prepare, encode = make_tp_encode_fn(model, mesh, "uni3d", axis="model")
+    got_state, summary = ep.run_stream_ep(
+        cfg, model, prepare(params), text, pcs, rgbs, targets, mesh=mesh,
+        classes_axis="classes", encode_fn=encode)
+    assert summary["padded_classes"] == 2
+    _assert_adaptive_close(got_state.method_state, want_state.method_state,
+                           rtol=2e-4, atol=2e-5)
+    want_c = np.asarray(jnp.sum(want_outs.correct, axis=0))
+    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
