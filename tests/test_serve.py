@@ -250,3 +250,75 @@ def test_warmup_compiles_without_touching_state(setup):
     want = _sequential_logits(cfg, model, params, text, streams[0], seed=42)
     np.testing.assert_allclose(np.stack(got)[:, 0], want[:, 0],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ep_server_equals_sequential(setup):
+    """dist_mode='ep': every client's state class-shards over the 8-device
+    mesh (K=4 pads to 8 — one class per device plus frozen pads); each
+    client's logits still equal a dedicated replicated sequential run.
+    The vmap ladder is disabled (requests serialise per tick)."""
+    from uni_adapter_tpu.parallel import ep
+
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, sizes=(1, 2, 4), seed=42,
+                       dist_mode="ep", mesh=ep.make_classes_mesh(8))
+    assert server.sizes == [1]
+    for cid in ["a", "b"]:
+        server.register(cid)
+
+    got = {c: [] for c in "ab"}
+    for t in range(T):
+        out = server.submit([(c, streams[i, t], None)
+                             for i, c in enumerate("ab")])
+        for c in "ab":
+            got[c].append(out[c])
+
+    for i, c in enumerate("ab"):
+        want = _sequential_logits(cfg, model, params, text, streams[i],
+                                  seed=42 + i)
+        np.testing.assert_allclose(np.stack(got[c]), want, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_ep_server_snapshot_restores_across_widths(setup, tmp_path):
+    """EP snapshots are FULL-K states: a client snapshotted on an 8-way
+    class mesh resumes identically on a 2-way mesh AND on a plain
+    replicated server (elastic re-deployment), matching the dedicated
+    sequential trajectory throughout."""
+    from uni_adapter_tpu.parallel import ep
+
+    cfg, model, params, text, streams = setup
+    half = T // 2
+    path = str(tmp_path / "ep_snap")
+
+    srv8 = TTAServer(cfg, model, params, text, seed=42, dist_mode="ep",
+                     mesh=ep.make_classes_mesh(8))
+    srv8.register("a")
+    first = [srv8.submit([("a", streams[0][t], None)])["a"]
+             for t in range(half)]
+    srv8.snapshot("a", path)
+
+    want = _sequential_logits(cfg, model, params, text, streams[0], seed=42)
+    np.testing.assert_allclose(np.stack(first), want[:half], rtol=1e-4,
+                               atol=1e-4)
+
+    srv2 = TTAServer(cfg, model, params, text, seed=42, dist_mode="ep",
+                     mesh=ep.make_classes_mesh(2))
+    srv2.restore("a", path)
+    rest2 = [srv2.submit([("a", streams[0][t], None)])["a"]
+             for t in range(half, T)]
+    np.testing.assert_allclose(np.stack(rest2), want[half:], rtol=1e-4,
+                               atol=1e-4)
+
+    srv_rep = TTAServer(cfg, model, params, text, seed=42)
+    srv_rep.restore("a", path)
+    rest_r = [srv_rep.submit([("a", streams[0][t], None)])["a"]
+              for t in range(half, T)]
+    np.testing.assert_allclose(np.stack(rest_r), want[half:], rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_server_dist_mode_validation(setup):
+    cfg, model, params, text, _ = setup
+    with pytest.raises(ValueError, match="sweep CLI"):
+        TTAServer(cfg, model, params, text, dist_mode="psum")

@@ -80,8 +80,17 @@ def main(argv=None):
 
     text = get_text_anchors_with_fallback(cfg)
     sizes = tuple(int(s) for s in serve_args.sizes.split(","))
+    # --dist-mode ep: class-shard every client's adaptation state over the
+    # devices (the large-K online deployment; parallel/ep.py) — the vmap
+    # ladder is disabled, see serve.TTAServer
+    if cfg.run.dist_mode not in ("replicated", "ep"):
+        raise ValueError(
+            f"--dist-mode {cfg.run.dist_mode!r}: the serving loop "
+            "supports replicated or ep (stream sharding belongs to the "
+            "sweep CLI)")
     server = TTAServer(cfg, model, params, text, sizes=sizes,
-                       seed=cfg.run.seed, encode_fn=encode_fn)
+                       seed=cfg.run.seed, encode_fn=encode_fn,
+                       dist_mode=cfg.run.dist_mode)
     if serve_args.warmup:
         logging.info("warming up %d step programs ...", len(sizes) + 1)
         server.warmup(cfg.data.npoints)

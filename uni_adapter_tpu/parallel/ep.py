@@ -896,6 +896,63 @@ def _is_stacked_class_leaf(path, leaf) -> bool:
     return leaf.ndim > 1 and not any(t in ks for t in _REPLICATED_TOKENS)
 
 
+def make_padded_state(cfg: Config, text, text_pad, rng,
+                      initial_state: Optional[engine.EngineState] = None
+                      ) -> engine.EngineState:
+    """Padded-K_pad EngineState ready to shard over the class mesh.
+
+    A fresh init on the padded anchors covers the frozen pad rows; the
+    REAL rows always splice in from either the caller's full-K resume
+    carry or a fresh UNPADDED init — the latter keeps rng-consuming
+    inits (GMM's (K, D, M) QR draw) bitwise the replicated engine's (a
+    padded-shape draw produces different values on the real rows;
+    row-deterministic inits are unaffected).  Trailing-class-axis leaves
+    (cache probs, DOTA cum prior) re-pad their last axis on splice.
+    """
+    text = jnp.asarray(text)
+    K = text.shape[0]
+    state0 = engine.init_state(cfg, jnp.asarray(text_pad), rng)
+    if initial_state is None:
+        initial_state = engine.init_state(cfg, text, rng)
+
+    def _splice(p, init_l, given_l):
+        g = jnp.asarray(given_l)
+        if _has_padded_class_tail(p) and \
+                g.shape[-1] != init_l.shape[-1]:
+            # full-K carry → re-pad the trailing class axis
+            pad = [(0, 0)] * (g.ndim - 1) \
+                + [(0, init_l.shape[-1] - g.shape[-1])]
+            g = jnp.pad(g, pad)
+        if not _is_class_leaf(p, init_l):
+            return g
+        return jnp.concatenate([g, init_l[K:]], axis=0)
+
+    return jax.tree_util.tree_map_with_path(_splice, state0, initial_state)
+
+
+def strip_padded_state(state: engine.EngineState,
+                       num_classes: int) -> engine.EngineState:
+    """Strip the frozen pad-class rows back off: class leaves slice their
+    leading axis to K; trailing-class-axis leaves slice their last axis
+    too.  The result is a full-K state interchangeable with the
+    replicated engine's (resume, checkpointing, cross-mesh moves)."""
+    K = num_classes
+
+    def _strip(p, l):
+        if _is_class_leaf(p, l):
+            l = l[:K]
+        return l[..., :K] if _has_padded_class_tail(p) else l
+
+    return jax.tree_util.tree_map_with_path(_strip, state)
+
+
+def state_partition_specs(state, axis: str):
+    """PartitionSpecs mirroring the EngineState pytree: class-block leaves
+    live sharded as global (K_pad, ...) arrays, scalars/keys replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: P(axis) if _is_class_leaf(p, l) else P(), state)
+
+
 def run_streams_ep(cfg: Config, model, params, text_features_initial,
                    pcs, rgbs, targets, mesh: Mesh, data_axis: str = "data",
                    classes_axis: str = "classes", seed: int = 42,
@@ -1044,37 +1101,10 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
             (pcs, rgbs, tgts))
         return state, jnp.sum(outs.correct, axis=0), outs.final_logits
 
-    # the padded initial carry: a fresh init on the padded anchors covers
-    # the frozen pad classes; the REAL rows always splice in from either
-    # the caller's resume carry or a fresh UNPADDED init — the latter
-    # keeps rng-consuming inits (GMM's (K, D, M) QR draw) bitwise the
-    # replicated engine's (a padded-shape draw produces different values
-    # on the real rows; row-deterministic inits are unaffected)
-    state0 = engine.init_state(cfg, jnp.asarray(text_pad),
-                               jax.random.PRNGKey(seed))
-    if initial_state is None:
-        initial_state = engine.init_state(cfg, jnp.asarray(text),
-                                          jax.random.PRNGKey(seed))
-
-    def _splice(p, init_l, given_l):
-        g = jnp.asarray(given_l)
-        if _has_padded_class_tail(p) and \
-                g.shape[-1] != init_l.shape[-1]:
-            # full-K carry → re-pad the trailing class axis
-            pad = [(0, 0)] * (g.ndim - 1) \
-                + [(0, init_l.shape[-1] - g.shape[-1])]
-            g = jnp.pad(g, pad)
-        if not _is_class_leaf(p, init_l):
-            return g
-        return jnp.concatenate([g, init_l[K:]], axis=0)
-
-    state0 = jax.tree_util.tree_map_with_path(_splice, state0,
-                                              initial_state)
-
-    # state specs mirror the EngineState pytree: class-block leaves live
-    # sharded as global (K_pad, ...) arrays, scalars/keys replicated
-    state_specs = jax.tree_util.tree_map_with_path(
-        lambda p, l: P(axis) if _is_class_leaf(p, l) else P(), state0)
+    state0 = make_padded_state(cfg, text, text_pad,
+                               jax.random.PRNGKey(seed),
+                               initial_state=initial_state)
+    state_specs = state_partition_specs(state0, axis)
 
     # partial-manual when the mesh carries extra (trunk) axes: manual over
     # classes, the rest automatic for GSPMD (the TP trunk's constraints)
@@ -1087,13 +1117,7 @@ def run_stream_ep(cfg: Config, model, params, text_features_initial,
                                 jnp.asarray(pcs), jnp.asarray(rgbs),
                                 jnp.asarray(targets))
 
-    # strip the pad classes from the gathered state
-    def _strip(p, l):
-        if _is_class_leaf(p, l):
-            l = l[:K]
-        return l[..., :K] if _has_padded_class_tail(p) else l
-
-    state = jax.tree_util.tree_map_with_path(_strip, state)
+    state = strip_padded_state(state, K)
 
     correct = np.asarray(correct)                 # replicated across the mesh
     n_samples = pcs.shape[0] * pcs.shape[1]

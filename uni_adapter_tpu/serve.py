@@ -16,6 +16,13 @@ FLOPs are exactly n per tick — nothing is padded away — while at most
 len(sizes) programs ever compile.  Only if the ladder cannot represent n
 exactly (no size 1) does the final chunk pad with an inert copy of its
 first request (state updates discarded).
+
+dist_mode='ep' (round 4) swaps the batching axis for a CLASS axis: every
+client's adaptation state class-shards over a `classes` mesh
+(parallel/ep.py) — the Objaverse-LVIS-scale online deployment, where the
+per-step cost is K-proportional adaptation math rather than the trunk.
+Requests then serialise (the class mesh already saturates on each one)
+and snapshots strip to full-K states that restore onto any mesh width.
 """
 from __future__ import annotations
 
@@ -36,23 +43,73 @@ class TTAServer:
 
     def __init__(self, cfg: Config, model, params, text_features,
                  sizes: Sequence[int] = (1, 2, 4, 8, 16), seed: int = 42,
-                 encode_fn=None):
+                 encode_fn=None, dist_mode: str = "replicated",
+                 mesh=None):
         """`encode_fn` (with matching `params`) swaps the trunk forward —
         e.g. parallel/tp.shard_params_tp'd params, or
         parallel/pp.make_pp_encode_fn for trunks larger than one chip's
-        HBM; the serving loop is encode-agnostic."""
+        HBM; the serving loop is encode-agnostic.
+
+        dist_mode='ep' class-shards every client's adaptation state over
+        a `classes` mesh (parallel/ep.py) — the large-K online
+        deployment: at Objaverse-LVIS scale the per-step K-proportional
+        work (EM likelihoods, the residual Adam loop) divides over the
+        devices and per-client state memory drops n_devices-fold.  The
+        multi-client vmap ladder is disabled under EP (sizes forces to
+        (1,)): the batch is replicated over the class mesh, so EVERY
+        device already works on every request — coalescing clients adds
+        no device utilisation, only queueing; requests serialise per
+        tick instead.  Snapshots strip to full-K states, so they
+        restore onto any mesh width or back onto a replicated server
+        (elastic re-deployment)."""
         self.cfg = cfg
         self.params = params
         self.text = jnp.asarray(text_features)
-        self.sizes = sorted(sizes)
         self.seed = seed
-        self._step = engine.make_step_fn(cfg, model, encode_fn=encode_fn)
-        self._vstep = jax.jit(jax.vmap(self._step, in_axes=(None, None, 0, 0)))
-        # single-request fast path: the raw (unvmapped) step, no state
-        # stack/slice — tree.map per-leaf slicing costs one dispatch per
-        # leaf per tick, which dominates single-client latency on remote
-        # devices (measured 66 -> ~7 ms/step over the tunneled v5e)
-        self._step1 = jax.jit(self._step)
+        self._ep = None
+        if dist_mode == "ep":
+            from jax.sharding import PartitionSpec as P
+            from uni_adapter_tpu.parallel import ep as ep_mod
+
+            mesh = mesh or ep_mod.make_classes_mesh()
+            axis = mesh.axis_names[0]
+            n = mesh.shape[axis]
+            text_np = np.asarray(text_features, np.float32)
+            K = text_np.shape[0]
+            text_pad, _ = ep_mod.pad_classes(text_np, n)
+            estep = ep_mod.make_ep_step_fn(cfg, model, axis, K, n,
+                                           encode_fn=encode_fn)
+            template = ep_mod.make_padded_state(
+                cfg, text_np, text_pad, jax.random.PRNGKey(0))
+            specs = ep_mod.state_partition_specs(template, axis)
+            self._step1 = jax.jit(jax.shard_map(
+                estep, mesh=mesh,
+                in_specs=(P(), P(axis), specs, P()),
+                out_specs=(specs, P()), check_vma=False))
+            self._vstep = None
+            self.text = jnp.asarray(text_pad)
+            self._ep = (ep_mod, text_np, text_pad, K)
+            self.sizes = [1]
+            logging.info("EP serving: K=%d over a %d-way class mesh "
+                         "(vmap ladder disabled — the class mesh already "
+                         "saturates on every request)", K, n)
+        elif dist_mode != "replicated":
+            raise ValueError(
+                f"dist_mode {dist_mode!r}: the serving loop supports "
+                "'replicated' (per-client vmap ladder) or 'ep' "
+                "(class-sharded state); stream sharding modes belong to "
+                "the sweep CLI")
+        else:
+            self.sizes = sorted(sizes)
+            self._step = engine.make_step_fn(cfg, model, encode_fn=encode_fn)
+            self._vstep = jax.jit(jax.vmap(self._step,
+                                           in_axes=(None, None, 0, 0)))
+            # single-request fast path: the raw (unvmapped) step, no state
+            # stack/slice — tree.map per-leaf slicing costs one dispatch
+            # per leaf per tick, which dominates single-client latency on
+            # remote devices (measured 66 -> ~7 ms/step over the tunneled
+            # v5e)
+            self._step1 = jax.jit(self._step)
         self.states: Dict[str, engine.EngineState] = {}
         self._next_client = 0
 
@@ -91,7 +148,13 @@ class TTAServer:
             raise ValueError(f"client {client_id!r} already registered")
         rng = jax.random.PRNGKey(self.seed + self._next_client)
         self._next_client += 1
-        self.states[client_id] = engine.init_state(self.cfg, self.text, rng)
+        if self._ep is not None:
+            ep_mod, text_np, text_pad, _ = self._ep
+            self.states[client_id] = ep_mod.make_padded_state(
+                self.cfg, text_np, text_pad, rng)
+        else:
+            self.states[client_id] = engine.init_state(self.cfg, self.text,
+                                                       rng)
 
     def reset(self, client_id: str) -> None:
         """Restart a client's adaptation from scratch (fresh seed — seed
@@ -190,12 +253,19 @@ class TTAServer:
         `drain_snapshots()` before shutdown)."""
         from uni_adapter_tpu import checkpoint
 
+        state = self.states[client_id]
+        if self._ep is not None:
+            # strip the frozen pad rows: snapshots are full-K states,
+            # interchangeable with the replicated engine's and restorable
+            # onto any class-mesh width (elastic re-deployment)
+            ep_mod, _, _, K = self._ep
+            state = ep_mod.strip_padded_state(state, K)
         if blocking:
-            checkpoint.save_state(path, self.states[client_id])
+            checkpoint.save_state(path, state)
             return
         if not hasattr(self, "_snapshotter"):
             self._snapshotter = checkpoint.AsyncSnapshotter()
-        self._snapshotter.save(path, self.states[client_id])
+        self._snapshotter.save(path, state)
 
     def drain_snapshots(self) -> None:
         """Block until all async snapshots have hit disk."""
@@ -222,6 +292,11 @@ class TTAServer:
             self.register(client_id)
         try:
             template = self.states.get(client_id)
+            if self._ep is not None:
+                # snapshots are full-K (see snapshot()); the live padded
+                # state strips down to the matching template shape
+                ep_mod, text_np, text_pad, K = self._ep
+                template = ep_mod.strip_padded_state(template, K)
             # the same path may hold BOTH an orbax dir (non-blocking
             # snapshot) and an .npz pair (blocking snapshot); restore
             # whichever was written last, not a fixed preference — a stale
@@ -230,10 +305,17 @@ class TTAServer:
             has_npz = os.path.isfile(path + ".npz")
             if has_dir and (not has_npz or os.path.getmtime(path)
                             >= os.path.getmtime(path + ".npz")):
-                self.states[client_id] = checkpoint.restore_state_orbax(
+                loaded = checkpoint.restore_state_orbax(
                     path, template=template)
             else:
-                self.states[client_id] = checkpoint.restore_state(path)
+                loaded = checkpoint.restore_state(path)
+            if self._ep is not None:
+                # re-pad onto THIS mesh width — the snapshot may come from
+                # a different width or from a replicated server
+                loaded = ep_mod.make_padded_state(
+                    self.cfg, text_np, text_pad,
+                    jax.random.PRNGKey(self.seed), initial_state=loaded)
+            self.states[client_id] = loaded
         except Exception:
             if fresh:
                 del self.states[client_id]
