@@ -313,3 +313,39 @@ def test_python_client_roundtrip(setup, tmp_path):
         c2.register()
         assert "robot 7&x=1" in server.states
         assert c2.submit(streams[1, 0]).shape == (1, K)
+
+
+def test_http_ep_server_matches_sequential(setup):
+    """The HTTP transport over an EP (class-sharded) TTAServer: two
+    concurrent clients, per-request serialised ticks, trajectories equal
+    dedicated sequential runs through the wire."""
+    from uni_adapter_tpu.parallel import ep
+
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, seed=42, dist_mode="ep",
+                       mesh=ep.make_classes_mesh(8))
+    with HTTPTTAServer(server, gather_ms=20.0) as http_srv:
+        port = http_srv.port
+        for cid in "ab":
+            status, _ = _post(port, f"/register?client={cid}")
+            assert status == 200
+
+        got = {c: [None] * T for c in "ab"}
+
+        def run_client(i, cid):
+            for t in range(T):
+                got[cid][t] = _submit(port, cid, streams[i, t])
+
+        threads = [threading.Thread(target=run_client, args=(i, c))
+                   for i, c in enumerate("ab")]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert not any(th.is_alive() for th in threads)
+
+    for i, c in enumerate("ab"):
+        want = _sequential_logits(cfg, model, params, text, streams[i],
+                                  seed=42 + i)
+        np.testing.assert_allclose(np.stack(got[c])[:, 0], want[:, 0],
+                                   rtol=1e-4, atol=1e-4)
