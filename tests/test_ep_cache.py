@@ -223,10 +223,10 @@ def test_ep_cache_validation():
     # cache + EP now parses (round-3 rejected it)
     cfg = parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false"])
     assert cfg.run.dist_mode == "ep"
-    # GMM/adaptive stay rejected (plain DOTA is EP-legal since round 4)
-    with pytest.raises(ValueError, match="sharded/psum"):
-        parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",
-                    "--dota-use-adaptive-dota", "true"])
+    # the whole family is EP-legal since round 4 (tests/test_ep_adaptive.py)
+    cfg_ad = parse_args(["--dist-mode", "ep", "--dota-use-mode-dota",
+                         "false", "--dota-use-adaptive-dota", "true"])
+    assert cfg_ad.run.dist_mode == "ep"
     # and encoder sharding has no cache meaning
     with pytest.raises(ValueError, match="nothing to split"):
         parse_args(["--dist-mode", "ep", "--dota-use-mode-dota", "false",

@@ -957,9 +957,9 @@ def run_streams_ep(cfg: Config, model, params, text_features_initial,
                    pcs, rgbs, targets, mesh: Mesh, data_axis: str = "data",
                    classes_axis: str = "classes", seed: int = 42,
                    shard_encoder: bool = False):
-    """DP × EP: independent STREAMS sharded over `data_axis`, the MODE-DOTA
-    class state sharded over `classes_axis` — shard_map(vmap(scan)) on a
-    2-D mesh.  The realistic Objaverse-LVIS deployment of the benchmark
+    """DP × EP: independent STREAMS sharded over `data_axis`, the
+    adaptation class state (any method — see make_ep_step_fn) sharded
+    over `classes_axis` — shard_map(vmap(scan)) on a 2-D mesh.  The realistic Objaverse-LVIS deployment of the benchmark
     sweep: the 15 corruption streams scale across one axis exactly like
     mesh.run_streams_sharded (same per-stream seeds), while each stream's
     K-proportional adaptation work divides over the other.
