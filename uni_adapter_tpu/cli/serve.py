@@ -101,7 +101,7 @@ def main(argv=None):
                              gather_ms=serve_args.gather_ms,
                              snapshot_dir=snapshot_dir).start()
     logging.info("serving TTA on %s:%d (sizes %s)", serve_args.host,
-                 http_srv.port, sizes)
+                 http_srv.port, tuple(server.sizes))
     return http_srv   # caller-controlled lifetime (tests); CLI blocks below
 
 
