@@ -348,3 +348,39 @@ def test_ep_adaptive_runs_at_k1156():
     assert np.asarray(ms.mask).shape[0] == K_LVIS
     assert np.asarray(ms.mask)[:, 0].all()
     assert np.isfinite(np.asarray(ms.mu)).all()
+
+
+def test_ep_serving_runs_at_k1156(tmp_path):
+    """EP serving at the real LVIS K: register (the (1156, D, M) padded
+    init + splice), two online submits through the shard_map'd step, and
+    a full-K snapshot that restores onto a replicated server."""
+    from uni_adapter_tpu.parallel import ep
+    from uni_adapter_tpu.serve import TTAServer
+
+    cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                 dota=DotaConfig(use_mode_dota=True, mode_M=2,
+                                 res_learning=False),
+                 cache=CacheConfig())
+    D, N = 48, 32
+    model = Uni3D(trans_dim=32, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=16, depth=1, num_heads=4, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, N, 6)))
+    text = rng.standard_normal((K_LVIS, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+
+    srv = TTAServer(cfg, model, params, text, seed=42, dist_mode="ep",
+                    mesh=ep.make_classes_mesh(8))
+    srv.register("edge-0")
+    pcs = rng.standard_normal((2, 1, N, 3)).astype(np.float32)
+    out0 = srv.submit([("edge-0", pcs[0], None)])["edge-0"]
+    out1 = srv.submit([("edge-0", pcs[1], None)])["edge-0"]
+    assert out0.shape == (1, K_LVIS) and np.isfinite(out1).all()
+
+    path = str(tmp_path / "lvis_snap")
+    srv.snapshot("edge-0", path)
+    srv_rep = TTAServer(cfg, model, params, text, seed=42)
+    srv_rep.restore("edge-0", path)
+    assert int(srv_rep.states["edge-0"].step) == 2
+    assert np.asarray(srv_rep.states["edge-0"].method_state.mu).shape[0] \
+        == K_LVIS
