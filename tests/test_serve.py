@@ -322,3 +322,30 @@ def test_server_dist_mode_validation(setup):
     cfg, model, params, text, _ = setup
     with pytest.raises(ValueError, match="sweep CLI"):
         TTAServer(cfg, model, params, text, dist_mode="psum")
+
+
+def test_ep_server_with_tp_trunk(setup):
+    """EP × TP serving on a 2-D (classes, model) mesh: the client's state
+    class-shards while the trunk runs Megatron-sharded through the
+    encode_fn hook (partial-manual shard_map, same pattern as
+    ep.run_stream_ep) — trajectories equal a dedicated replicated run."""
+    from jax.sharding import Mesh
+    from uni_adapter_tpu.parallel.tp import make_tp_encode_fn
+
+    cfg, _, _, text, streams = setup
+    # TP-divisible trunk dims (the module fixture's 16-d group encoder
+    # has an 85-row lift that a 2-way model axis cannot split)
+    model = Uni3D(trans_dim=48, embed_dim=D, num_group=8, group_size=8,
+                  encoder_dim=24, depth=1, num_heads=4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, N, 6), jnp.float32))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("classes", "model"))
+    prepare, encode = make_tp_encode_fn(model, mesh, "uni3d", axis="model")
+    server = TTAServer(cfg, model, prepare(params), text, seed=42,
+                       dist_mode="ep", mesh=mesh, encode_fn=encode)
+    server.register("a")
+    outs = [server.submit([("a", streams[0][t], None)])["a"]
+            for t in range(T)]
+    want = _sequential_logits(cfg, model, params, text, streams[0], seed=42)
+    np.testing.assert_allclose(np.stack(outs), want, rtol=1e-4, atol=1e-4)

@@ -132,8 +132,17 @@ def update(state: GMMDotaState, epsilon: float) -> GMMDotaState:
 
 
 def predict(state: GMMDotaState, x: jax.Array,
-            alpha_max: float = 0.6) -> jax.Array:
-    """Discriminant scores with uniform/empirical blended prior (:204-256)."""
+            alpha_max: float = 0.6,
+            num_classes: int | None = None,
+            total_counts: jax.Array | None = None) -> jax.Array:
+    """Discriminant scores with uniform/empirical blended prior (:204-256).
+
+    The per-class discriminant is row-local, so a CLASS-ROW BLOCK of the
+    state yields the matching column block of the scores — the blended
+    prior is the one term that crosses classes.  Class-sharded callers
+    (parallel/ep.py) pass the REAL class count and the psum'd
+    `total_counts` normaliser; both default to this state's own rows.
+    """
     x = x.astype(jnp.float32)
     K = state.mu.shape[0]
     f_km = _log_gauss_diag(x[:, None, None, :], state.mu[None],
@@ -141,9 +150,12 @@ def predict(state: GMMDotaState, x: jax.Array,
     log_pi = jnp.log(jnp.clip(state.pi, min=1e-10))
     log_class_lik = jax.scipy.special.logsumexp(log_pi[None] + f_km, axis=-1)
 
-    uniform = jnp.full((K,), 1.0 / K, jnp.float32)
+    n_cls = K if num_classes is None else num_classes
+    total = (state.class_counts.sum() if total_counts is None
+             else total_counts)
+    uniform = jnp.full((K,), 1.0 / n_cls, jnp.float32)
     t = state.total_samples.astype(jnp.float32)
-    est = state.class_counts / jnp.clip(state.class_counts.sum(), min=1e-10)
+    est = state.class_counts / jnp.clip(total, min=1e-10)
     alpha_t = jnp.minimum(alpha_max, t / (t + 100.0))
     p_k = jnp.where(t > 0, (1 - alpha_t) * uniform + alpha_t * est, uniform)
     return log_class_lik + jnp.log(jnp.clip(p_k, min=1e-10))[None]

@@ -82,17 +82,13 @@ def main(argv=None):
     sizes = tuple(int(s) for s in serve_args.sizes.split(","))
     # --dist-mode ep: class-shard every client's adaptation state over the
     # devices (the large-K online deployment; parallel/ep.py) — the vmap
-    # ladder is disabled, see serve.TTAServer
-    if cfg.run.dist_mode not in ("replicated", "ep"):
-        raise ValueError(
-            f"--dist-mode {cfg.run.dist_mode!r}: the serving loop "
-            "supports replicated or ep (stream sharding belongs to the "
-            "sweep CLI)")
+    # ladder is disabled, see serve.TTAServer (which validates dist_mode)
     server = TTAServer(cfg, model, params, text, sizes=sizes,
                        seed=cfg.run.seed, encode_fn=encode_fn,
                        dist_mode=cfg.run.dist_mode)
     if serve_args.warmup:
-        logging.info("warming up %d step programs ...", len(sizes) + 1)
+        logging.info("warming up %d step programs ...",
+                     len(server.sizes) + (0 if 1 in server.sizes else 1))
         server.warmup(cfg.data.npoints)
     snapshot_dir = (serve_args.snapshot_dir
                     or os.path.join(cfg.run.output_dir, "snapshots"))

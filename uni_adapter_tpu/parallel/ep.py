@@ -313,6 +313,40 @@ def make_ep_step_fn(cfg: Config, model, axis: str, num_classes: int,
     return step
 
 
+def _single_forward_preamble(encode, scale: float, axis: str,
+                             num_classes: int, n_shards: int,
+                             params, text_local, state, batch):
+    """Shared preamble of the single-forward EP steps (plain DOTA, GMM,
+    adaptive — MODE-DOTA's fused 2-forward step has its own): the
+    replicated-batch encode, column-block CLIP logits gathered then
+    sliced to the real K, the zero-shot prob_map re-localised to this
+    device's class rows (pad columns zero — the masks that freeze pad
+    rows), the pad-row validity mask, and the engine's per-step rng
+    split (engine.make_step_fn always splits, so the carried key stays
+    bitwise the replicated engine's).
+
+    Returns (feat, clip_logits, prob_pad, prob_local, valid, rng)."""
+    pc, rgb, _ = batch
+    text_local = text_local.astype(jnp.float32)
+    k_local = text_local.shape[0]
+    k_pad = k_local * n_shards
+    offset = jax.lax.axis_index(axis) * k_local
+    valid = ((offset + jnp.arange(k_local)) < num_classes
+             ).astype(jnp.float32)
+    rng, _ = jax.random.split(state.rng)
+
+    feat = encode(params, pc, rgb)
+    logits_local = scale * jnp.matmul(
+        feat.astype(jnp.float32), text_local.T, precision=_HIGH)
+    clip_logits = jax.lax.all_gather(
+        logits_local, axis, axis=1, tiled=True)[:, :num_classes]
+    prob_map = jax.nn.softmax(clip_logits, axis=1)
+    prob_pad = jnp.pad(prob_map, ((0, 0), (0, k_pad - num_classes)))
+    prob_local = jax.lax.dynamic_slice_in_dim(prob_pad, offset,
+                                              k_local, axis=1)
+    return feat, clip_logits, prob_pad, prob_local, valid, rng
+
+
 def _make_dota_step(cfg: Config, encode: Callable, axis: str,
                     num_classes: int, n_shards: int) -> Callable:
     """Per-sample plain-DOTA step for INSIDE shard_map over the class mesh.
@@ -331,26 +365,12 @@ def _make_dota_step(cfg: Config, encode: Callable, axis: str,
     scale = cfg.model.logit_scale
 
     def step(params, text_local, state: engine.EngineState, batch):
-        pc, rgb, target = batch
-        text_local = text_local.astype(jnp.float32)
-        k_local = text_local.shape[0]
-        k_pad = k_local * n_shards
-        offset = jax.lax.axis_index(axis) * k_local
-        valid = ((offset + jnp.arange(k_local)) < num_classes
-                 ).astype(jnp.float32)
-        rng, _ = jax.random.split(state.rng)
-        clip_w_local = text_local.T
-
-        feat = encode(params, pc, rgb)
-        B = pc.shape[0]
-        logits_local = scale * jnp.matmul(
-            feat.astype(jnp.float32), clip_w_local, precision=_HIGH)
-        clip_logits = jax.lax.all_gather(
-            logits_local, axis, axis=1, tiled=True)[:, :num_classes]
-        prob_map = jax.nn.softmax(clip_logits, axis=1)
-        prob_pad = jnp.pad(prob_map, ((0, 0), (0, k_pad - num_classes)))
-        prob_local = jax.lax.dynamic_slice_in_dim(prob_pad, offset,
-                                                  k_local, axis=1)
+        target = batch[2]
+        B = batch[0].shape[0]
+        feat, clip_logits, prob_pad, prob_local, valid, rng = \
+            _single_forward_preamble(encode, scale, axis, num_classes,
+                                     n_shards, params, text_local, state,
+                                     batch)
 
         m = jnp.mean(feat, axis=0, keepdims=True)
         if dc.fp16_predict_input:
@@ -422,45 +442,23 @@ def _make_gmm_step(cfg: Config, encode: Callable, axis: str,
     scale = cfg.model.logit_scale
 
     def step(params, text_local, state: engine.EngineState, batch):
-        pc, rgb, target = batch
-        text_local = text_local.astype(jnp.float32)
-        k_local = text_local.shape[0]
-        k_pad = k_local * n_shards
-        offset = jax.lax.axis_index(axis) * k_local
-        valid = ((offset + jnp.arange(k_local)) < num_classes
-                 ).astype(jnp.float32)
-        rng, _ = jax.random.split(state.rng)
-
-        feat = encode(params, pc, rgb)
-        B = pc.shape[0]
-        logits_local = scale * jnp.matmul(
-            feat.astype(jnp.float32), text_local.T, precision=_HIGH)
-        clip_logits = jax.lax.all_gather(
-            logits_local, axis, axis=1, tiled=True)[:, :num_classes]
-        prob_map = jax.nn.softmax(clip_logits, axis=1)
-        prob_pad = jnp.pad(prob_map, ((0, 0), (0, k_pad - num_classes)))
-        prob_local = jax.lax.dynamic_slice_in_dim(prob_pad, offset,
-                                                  k_local, axis=1)
+        target = batch[2]
+        B = batch[0].shape[0]
+        feat, clip_logits, _, prob_local, valid, rng = \
+            _single_forward_preamble(encode, scale, axis, num_classes,
+                                     n_shards, params, text_local, state,
+                                     batch)
 
         ms = state.method_state
-        # predict BEFORE fit (engine.py GMM branch order): local-row class
-        # log-likelihoods + the blended prior with a psum'd normaliser
-        m = jnp.mean(feat, axis=0, keepdims=True).astype(jnp.float32)
-        f_km = gmm_mod._log_gauss_diag(m[:, None, None, :], ms.mu[None],
-                                       ms.sigma_reg[None])
-        log_pi = jnp.log(jnp.clip(ms.pi, min=1e-10))
-        log_lik_local = jax.scipy.special.logsumexp(
-            log_pi[None] + f_km, axis=-1)                  # (1, K_local)
-        t = ms.total_samples.astype(jnp.float32)
+        # predict BEFORE fit (engine.py GMM branch order): the per-class
+        # discriminant is a row block of gmm.predict — only the blended
+        # prior's normaliser crosses classes, psum'd over valid rows and
+        # injected into the one source of truth (adapt/gmm.predict)
         total_counts = jax.lax.psum(jnp.sum(ms.class_counts * valid), axis)
-        est_local = ms.class_counts / jnp.clip(total_counts, min=1e-10)
-        uniform = 1.0 / num_classes
-        alpha_t = jnp.minimum(dc.alpha_max, t / (t + 100.0))
-        p_local = jnp.where(t > 0,
-                            (1 - alpha_t) * uniform + alpha_t * est_local,
-                            uniform)
-        scores_local = log_lik_local + \
-            jnp.log(jnp.clip(p_local, min=1e-10))[None]
+        scores_local = gmm_mod.predict(
+            ms, jnp.mean(feat, axis=0, keepdims=True),
+            alpha_max=dc.alpha_max, num_classes=num_classes,
+            total_counts=total_counts)
         gmm_logits = jax.lax.all_gather(
             scores_local, axis, axis=1, tiled=True)[:, :num_classes]
 
@@ -503,29 +501,16 @@ def _make_adaptive_step(cfg: Config, encode: Callable, axis: str,
     scale = cfg.model.logit_scale
 
     def step(params, text_local, state: engine.EngineState, batch):
-        pc, rgb, target = batch
-        text_local = text_local.astype(jnp.float32)
-        k_local = text_local.shape[0]
-        k_pad = k_local * n_shards
-        offset = jax.lax.axis_index(axis) * k_local
-        valid = ((offset + jnp.arange(k_local)) < num_classes
-                 ).astype(jnp.float32)
-        rng, _ = jax.random.split(state.rng)
-
-        feat = encode(params, pc, rgb)
-        B = pc.shape[0]
-        logits_local = scale * jnp.matmul(
-            feat.astype(jnp.float32), text_local.T, precision=_HIGH)
-        clip_logits = jax.lax.all_gather(
-            logits_local, axis, axis=1, tiled=True)[:, :num_classes]
-        prob_map = jax.nn.softmax(clip_logits, axis=1)
-        prob_pad = jnp.pad(prob_map, ((0, 0), (0, k_pad - num_classes)))
-        prob_local = jax.lax.dynamic_slice_in_dim(prob_pad, offset,
-                                                  k_local, axis=1)
+        target = batch[2]
+        B = batch[0].shape[0]
+        feat, clip_logits, _, prob_local, valid, rng = \
+            _single_forward_preamble(encode, scale, axis, num_classes,
+                                     n_shards, params, text_local, state,
+                                     batch)
 
         ms = state.method_state
         sigma_init = adaptive_mod.resolve_sigma_init(
-            dc.sigma, text_local.shape[1])
+            dc.sigma, feat.shape[1])
         # predict BEFORE fit (engine.py adaptive branch order): the masked
         # logsumexp class scores are a row block, gathered then sliced
         m = jnp.mean(feat, axis=0, keepdims=True)

@@ -61,7 +61,11 @@ class TTAServer:
         no device utilisation, only queueing; requests serialise per
         tick instead.  Snapshots strip to full-K states, so they
         restore onto any mesh width or back onto a replicated server
-        (elastic re-deployment)."""
+        (elastic re-deployment).  EP × TP composes: pass a 2-D
+        (classes, model) mesh plus parallel/tp.make_tp_encode_fn's
+        encode built on it (partial-manual shard_map, like
+        ep.run_stream_ep; PP/SP trunks cannot nest — parse_args already
+        rejects --trunk-parallel with --dist-mode ep from the CLI)."""
         self.cfg = cfg
         self.params = params
         self.text = jnp.asarray(text_features)
@@ -79,13 +83,24 @@ class TTAServer:
             text_pad, _ = ep_mod.pad_classes(text_np, n)
             estep = ep_mod.make_ep_step_fn(cfg, model, axis, K, n,
                                            encode_fn=encode_fn)
-            template = ep_mod.make_padded_state(
-                cfg, text_np, text_pad, jax.random.PRNGKey(0))
+            # specs need only leaf paths/ndims — trace the init
+            # abstractly (at LVIS+GMM scale the concrete init runs a
+            # (K, D, M) batched QR this would otherwise pay twice)
+            template = jax.eval_shape(
+                lambda: ep_mod.make_padded_state(
+                    cfg, text_np, text_pad, jax.random.PRNGKey(0)))
             specs = ep_mod.state_partition_specs(template, axis)
+            # partial-manual when the mesh carries extra (trunk) axes:
+            # manual over classes, the rest automatic — EP × TP serving
+            # on a 2-D (classes, model) mesh via the encode_fn hook, the
+            # same pattern as ep.run_stream_ep (PP/SP trunks are
+            # themselves shard_map-based and cannot nest here)
+            extra = ({"axis_names": {axis}}
+                     if len(mesh.axis_names) > 1 else {})
             self._step1 = jax.jit(jax.shard_map(
                 estep, mesh=mesh,
                 in_specs=(P(), P(axis), specs, P()),
-                out_specs=(specs, P()), check_vma=False))
+                out_specs=(specs, P()), check_vma=False, **extra))
             self._vstep = None
             self.text = jnp.asarray(text_pad)
             self._ep = (ep_mod, text_np, text_pad, K)
