@@ -450,8 +450,10 @@ def test_ep_cli_validation():
     cfg_ad = parse_args(["--dist-mode", "ep", "--dota-use-mode-dota",
                          "false", "--dota-use-adaptive-dota", "true"])
     assert cfg_ad.run.dist_mode == "ep"
-    with pytest.raises(ValueError, match="vmap"):
-        parse_args(["--dist-mode", "ep", "--vmap-corruptions", "true"])
+    # --vmap-corruptions composes with ep since round 4 (the CLI routes
+    # to run_streams_ep's shard_map(vmap(scan)) — see test below)
+    cfg_v = parse_args(["--dist-mode", "ep", "--vmap-corruptions", "true"])
+    assert cfg_v.run.vmap_corruptions and cfg_v.run.dist_mode == "ep"
     # inert-flag combination rejected (advisor round-3): the encoder-sharding
     # lever only exists inside the EP step
     with pytest.raises(ValueError, match="ep-shard-encoder"):
@@ -513,3 +515,31 @@ def test_ep_every_method_shardable(setup):
                                    use_adaptive_dota=True),
                    cache=CacheConfig()),
             model, "classes", 8, 8, shard_encoder=True)
+
+
+def test_ep_vmapped_sweep_cli(tmp_path):
+    """--vmap-corruptions --dist-mode ep: the full-sweep DP × EP route
+    (streams vmapped on a data axis of 1, class state sharded over all 8
+    devices via run_streams_ep) — per-corruption accuracies equal the
+    replicated vmapped sweep."""
+    import uni_adapter_tpu.cli.tta as tta_cli
+    from uni_adapter_tpu.config import CORRUPTIONS
+
+    root = tmp_path / "data"
+    root.mkdir()
+    rng = np.random.default_rng(7)
+    for corr in CORRUPTIONS:
+        np.save(root / f"data_{corr}_5.npy",
+                rng.standard_normal((4, 128, 3)).astype(np.float32))
+    np.save(root / "label.npy", rng.integers(0, 40, (4,)).astype(np.int64))
+    common = ["--device", "cpu", "--corruption", "all", "--npoints",
+              "64", "--eva-depth", "1", "--pc-feat-dim", "64",
+              "--num-group", "16", "--group-size", "8", "--pc-encoder-dim",
+              "32", "--eva-heads", "4", "--compute-dtype", "float32",
+              "--precomputed-text-features", "large", "--root", str(root),
+              "--dota-res-learning", "false", "--vmap-corruptions", "true"]
+    base = tta_cli.main(common + ["--output-dir", str(tmp_path / "base")])
+    got = tta_cli.main(common + ["--output-dir", str(tmp_path / "ep"),
+                                 "--dist-mode", "ep"])
+    assert set(got) == set(CORRUPTIONS)
+    assert got == base

@@ -258,6 +258,24 @@ def run_all_vmapped(cfg, model, params, text, corruptions, log_dir):
         _, summary_s = pmesh.run_streams_sharded(
             cfg, model, params, text, pcs, rgbs, tgts, seed=cfg.run.seed)
         summaries = [{"acc1": a} for a in summary_s["acc1_per_stream"]]
+    elif cfg.run.dist_mode == "ep":
+        # DP × EP sweep: streams vmapped locally (data axis 1), every
+        # stream's class state sharded over ALL devices — the K=1156
+        # LVIS deployment of the vmapped sweep (parallel/ep.py
+        # run_streams_ep: shard_map(vmap(scan)), per-stream seeds
+        # identical to the replicated vmapped run)
+        import jax
+        from jax.sharding import Mesh
+        from uni_adapter_tpu.parallel import ep as pep
+
+        devs = jax.devices()
+        mesh = Mesh(np.asarray(devs).reshape(1, len(devs)),
+                    ("data", "classes"))
+        _, summary_e = pep.run_streams_ep(
+            cfg, model, params, text, pcs, rgbs, tgts, mesh=mesh,
+            seed=cfg.run.seed,
+            shard_encoder=cfg.run.ep_shard_encoder)
+        summaries = [{"acc1": a} for a in summary_e["acc1_per_stream"]]
     else:
         _, outs = engine.run_streams_vmapped(
             cfg, model, params, text, jnp.asarray(pcs), jnp.asarray(rgbs),

@@ -420,11 +420,9 @@ def parse_args(argv=None) -> Config:
                 "--ep-shard-encoder splits MODE-DOTA's fused 2-forward "
                 "batch; the cache, plain-DOTA, GMM-DOTA, and adaptive "
                 "paths run one forward per step — nothing to split")
-        if cfg.run.vmap_corruptions:
-            raise ValueError(
-                "--dist-mode ep does not compose with --vmap-corruptions "
-                "from the CLI (vmap over the class-axis shard_map); run "
-                "corruptions sequentially")
+        # --vmap-corruptions composes since round 4: the CLI routes it to
+        # run_streams_ep's shard_map(vmap(scan)) on a (1, n_devices)
+        # (data, classes) mesh — vmap INSIDE the shard_map, never over it
     elif cfg.run.ep_shard_encoder:
         # inert-flag-combination pattern: reject rather than silently ignore
         # (matches trunk_parallel / vmap_corruptions / continual handling)
