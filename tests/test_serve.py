@@ -349,3 +349,21 @@ def test_ep_server_with_tp_trunk(setup):
             for t in range(T)]
     want = _sequential_logits(cfg, model, params, text, streams[0], seed=42)
     np.testing.assert_allclose(np.stack(outs), want, rtol=1e-4, atol=1e-4)
+
+
+def test_ep_server_warmup(setup):
+    """warmup() under EP pre-compiles the shard_map'd step on a padded
+    scratch state without touching client state; the first real submit
+    then runs against the warmed program."""
+    from uni_adapter_tpu.parallel import ep
+
+    cfg, model, params, text, streams = setup
+    server = TTAServer(cfg, model, params, text, seed=42, dist_mode="ep",
+                       mesh=ep.make_classes_mesh(8))
+    server.warmup(N)
+    assert server.states == {}
+    server.register("a")
+    out = server.submit([("a", streams[0][0], None)])["a"]
+    want = _sequential_logits(cfg, model, params, text, streams[0][:1],
+                              seed=42)
+    np.testing.assert_allclose(out, want[0], rtol=1e-4, atol=1e-4)
