@@ -313,3 +313,50 @@ def test_efficacy_holds_on_hw():
     cache_acc, _ = run_adapter("cache", text, pcs, targets, W)
     assert mode_acc >= zs + 3.0, (mode_acc, zs)
     assert cache_acc >= zs + 5.0, (cache_acc, zs)
+
+
+def test_ep_runs_on_hw():
+    """Class-sharded (EP) evaluation on REAL TPU lowering: the shard_map'd
+    MODE-DOTA step — class-block all_gathers, the psum'd fusion weight,
+    and the sharded residual loop's gather/reduce_scatter gradients — must
+    compile and match the replicated on-device run on a 1-device class
+    mesh (the only width this host has; multi-device EP semantics are
+    pinned on the virtual 8-CPU mesh, tests/test_ep*.py).  Full-size
+    encoder deliberately: tiny configs trip the known fusion-pass CHECK
+    (module docstring) — that crash reproduces on a PLAIN B=2 jit forward
+    at toy dims, so it is the documented toolchain issue, not EP
+    (bisected 2026-08-20, BASELINE.md)."""
+    from uni_adapter_tpu.models.uni3d import create_uni3d
+    from uni_adapter_tpu.parallel import ep
+
+    cfg = Config(model=ModelConfig(vlm3d="uni3d"),
+                 dota=DotaConfig(use_mode_dota=True, mode_M=4,
+                                 res_learning=True, residual_steps=2))
+    rng = np.random.default_rng(3)
+    model, D = create_uni3d(cfg.model), 1024
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 1024, 6), jnp.float32))
+    t = rng.standard_normal((40, D)).astype(np.float32)
+    text = t / np.linalg.norm(t, axis=1, keepdims=True)
+    T = 4
+    pcs = rng.standard_normal((T, 1, 1024, 3)).astype(np.float32)
+    rgbs = np.ones_like(pcs)
+    tgt = rng.integers(0, 40, (T, 1)).astype(np.int32)
+
+    state_ep, summary = ep.run_stream_ep(
+        cfg, model, params, text, pcs, rgbs, tgt,
+        mesh=ep.make_classes_mesh(1))
+    assert summary["n_class_shards"] == 1
+
+    scan_fn = jax.jit(engine.make_scan_fn(cfg, model))
+    state0 = engine.init_state(cfg, jnp.asarray(text),
+                               jax.random.PRNGKey(42))
+    want_state, out = scan_fn(params, jnp.asarray(text), state0,
+                              jnp.asarray(pcs), jnp.asarray(rgbs),
+                              jnp.asarray(tgt))
+    want_c = np.asarray(jnp.sum(out.correct, axis=0))
+    assert summary["acc1"] == pytest.approx(100.0 * want_c[0] / T)
+    np.testing.assert_allclose(np.asarray(state_ep.method_state.mu),
+                               np.asarray(want_state.method_state.mu),
+                               rtol=1e-3, atol=1e-4)
+    assert np.isfinite(np.asarray(state_ep.res_state.residuals)).all()
