@@ -543,3 +543,69 @@ def test_ep_vmapped_sweep_cli(tmp_path):
                                  "--dist-mode", "ep"])
     assert set(got) == set(CORRUPTIONS)
     assert got == base
+
+
+def test_state_leaf_classification_spec():
+    """ADVICE r4: the class-shard/replicate classification of EVERY leaf
+    of each method's EngineState is pinned explicitly, and the matching is
+    exact path segments — a lookalike field name ('lam_inv', 'prng') must
+    NOT silently classify as replicated."""
+    text = jnp.asarray(np.eye(4, 8, dtype=np.float32))
+    specs = {
+        "mode": (DotaConfig(use_mode_dota=True, mode_M=2, res_learning=True,
+                            residual_steps=2),
+                 {".method_state.mu": True, ".method_state.var": True,
+                  ".method_state.pi": True, ".method_state.c": True,
+                  ".method_state.class_counts": True,
+                  ".method_state.t": False,
+                  ".res_state.residuals": True,
+                  ".res_state.opt_state[0].count": False,
+                  ".res_state.opt_state[0].mu": True,
+                  ".res_state.opt_state[0].nu": True,
+                  ".step": False, ".rng": False}),
+        "cache": (DotaConfig(use_mode_dota=False),
+                  {".method_state.feats": True, ".method_state.conf": True,
+                   ".method_state.probs": True, ".method_state.counts": True,
+                   ".method_state.valid": True,
+                   ".step": False, ".rng": False}),
+        "dota": (DotaConfig(use_dota=True, use_mode_dota=False,
+                            res_learning=False),
+                 {".method_state.mu": True, ".method_state.c": True,
+                  ".method_state.sigma": True,
+                  ".method_state.lam": False,
+                  ".method_state.cum_soft_labels": False,
+                  ".method_state.prior_step": False,
+                  ".step": False, ".rng": False}),
+        "gmm": (DotaConfig(use_gmm_dota=True, use_mode_dota=False,
+                           res_learning=False),
+                {".method_state.mu": True, ".method_state.sigma": True,
+                 ".method_state.sigma_reg": True, ".method_state.pi": True,
+                 ".method_state.C": True,
+                 ".method_state.class_counts": True,
+                 ".method_state.total_samples": False,
+                 ".step": False, ".rng": False}),
+        "adaptive": (DotaConfig(use_adaptive_dota=True, use_mode_dota=False,
+                                res_learning=False),
+                     {".method_state.mu": True, ".method_state.var": True,
+                      ".method_state.pi": True, ".method_state.c": True,
+                      ".method_state.mask": True,
+                      ".method_state.class_counts": True,
+                      ".method_state.t": False,
+                      ".method_state.fit_calls": False,
+                      ".step": False, ".rng": False}),
+    }
+    for name, (dc, want) in specs.items():
+        cfg = Config(model=ModelConfig(compute_dtype="float32"), dota=dc,
+                     cache=CacheConfig())
+        st = engine.init_state(cfg, text, jax.random.PRNGKey(0))
+        flat = jax.tree_util.tree_flatten_with_path(st)[0]
+        got = {jax.tree_util.keystr(p): ep._is_class_leaf(p, leaf)
+               for p, leaf in flat}
+        assert got == want, (name, got)
+
+    # exact-segment semantics: containment lookalikes do not match
+    GA = jax.tree_util.GetAttrKey
+    assert ep._is_replicated_path((GA("method_state"), GA("lam")))
+    assert not ep._is_replicated_path((GA("method_state"), GA("lam_inv")))
+    assert not ep._is_replicated_path((GA("prng"),))
+    assert ep._is_replicated_path((GA("rng"),))

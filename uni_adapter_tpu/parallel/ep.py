@@ -633,8 +633,12 @@ def _ep_update_cache(s: "cache_mod.CacheState", axis: str, pred, feat,
         # owner's merge candidate (garbage on non-owners, masked by o);
         # has_room is replicated across the mesh, so every device takes
         # this branch together and the collectives stay uniform (same
-        # replicated-predicate pattern as the residual do_opt cond) —
-        # insert steps (the whole warm-up) skip them entirely
+        # replicated-predicate pattern as the residual do_opt cond).
+        # On the unvmapped run_stream_ep/serving path insert steps (the
+        # whole warm-up) skip these collectives entirely; under
+        # run_streams_ep the step is vmapped and lax.cond lowers to
+        # both-branch execution, so they run every step there (uniformly
+        # on every device — correct, just not skipped)
         sims = jax.lax.psum(
             o * jnp.matmul(s.feats[lp], feat0, precision=_HIGH),
             axis)                                              # (C,)
@@ -799,22 +803,37 @@ def _ep_cache_logits(pc_features, s: "cache_mod.CacheState", axis: str,
 #: PRNG key (matched by path — its (2,) shape could collide with a tiny
 #: K_local), plain DOTA's shared precision (D, D), and its cumulative
 #: prior (1, K_pad — class axis trailing, not leading)
-_REPLICATED_TOKENS = ("rng", ".lam", ".cum_soft_labels")
+_REPLICATED_NAMES = frozenset({"rng", "lam", "cum_soft_labels"})
+
+
+def _path_name(entry) -> str:
+    """Exact field/key name of one tree-path entry (GetAttrKey.name,
+    DictKey.key, FlattenedIndexKey/SequenceKey have none).  Exact-segment
+    matching, NOT substring containment of keystr: a future field whose
+    path merely CONTAINS a token ('lam_inv', 'prng') must not silently
+    classify as replicated."""
+    for attr in ("name", "key"):
+        v = getattr(entry, attr, None)
+        if isinstance(v, str):
+            return v
+    return ""
+
+
+def _is_replicated_path(path) -> bool:
+    return any(_path_name(e) in _REPLICATED_NAMES for e in path)
 
 
 def _is_class_leaf(path, leaf) -> bool:
     """K-leading leaves shard over the class axis; scalars (step, t, Adam
-    count) and the _REPLICATED_TOKENS leaves replicate."""
-    ks = jax.tree_util.keystr(path)
-    return leaf.ndim > 0 and not any(t in ks for t in _REPLICATED_TOKENS)
+    count) and the _REPLICATED_NAMES leaves replicate."""
+    return leaf.ndim > 0 and not _is_replicated_path(path)
 
 
 def _has_padded_class_tail(path) -> bool:
     """Leaves whose TRAILING axis carries the padded class dimension: the
     cache probs (K, C, K_pad) and DOTA's cum_soft_labels (1, K_pad).
     They pad/strip on splice/return alongside the anchors."""
-    ks = jax.tree_util.keystr(path)
-    return ".probs" in ks or ".cum_soft_labels" in ks
+    return any(_path_name(e) in ("probs", "cum_soft_labels") for e in path)
 
 
 def _init_local_state(cfg: Config, text_local, rng, k_pad: int,
@@ -875,10 +894,9 @@ def _init_local_state(cfg: Config, text_local, rng, k_pad: int,
 def _is_stacked_class_leaf(path, leaf) -> bool:
     """Same, one vmapped stream axis in front (run_streams_ep): class
     leaves are (C_local, K_local, ...); per-stream scalars/keys are
-    (C_local,) or (C_local, 2); the replicated-by-token leaves (lam, cum
+    (C_local,) or (C_local, 2); the replicated-by-name leaves (lam, cum
     prior) carry the stream axis only."""
-    ks = jax.tree_util.keystr(path)
-    return leaf.ndim > 1 and not any(t in ks for t in _REPLICATED_TOKENS)
+    return leaf.ndim > 1 and not _is_replicated_path(path)
 
 
 def make_padded_state(cfg: Config, text, text_pad, rng,
