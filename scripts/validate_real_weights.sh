@@ -15,6 +15,13 @@
 # Expected result: Top-1 within fp32 tolerance of the reference run
 # (bf16-compute deltas < 0.2pt were the contract on the torch-twin
 # rehearsals; rerun with --compute-dtype float32 to isolate dtype effects).
+#
+# ONE run per backbone produces BOTH accuracy columns (round-5): the
+# engine records the frozen-anchor zero-shot baseline alongside the
+# adapted accuracy on every step (engine.StepOutput.zs_correct), so
+# results.json (adapted) and results_zs.json (zero-shot) land per
+# corruption from the same sweep — the efficacy reporting shape
+# (adapted − zero-shot = the gain the paper claims) with no second pass.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 PY=${PY:-python}
@@ -46,11 +53,16 @@ if [ -n "${DATA_ROOT:-}" ]; then
   [ -n "${ULIP_CKPT:-}" ] && run_eval ulip "$ULIP_CKPT" \
       ${SLIP_CKPT:+--clip-checkpoint-path "$SLIP_CKPT"}
   [ -n "${OPENSHAPE_CKPT:-}" ] && run_eval openshape "$OPENSHAPE_CKPT"
-  echo "== 3. summary =="
+  echo "== 3. summary (adapted vs zero-shot, same run) =="
   for b in uni3d ulip openshape; do
     f="outputs/realweights_$b"/*/results.json
-    ls $f >/dev/null 2>&1 && { echo "-- $b --"; cat $f; echo; } || true
+    z="outputs/realweights_$b"/*/results_zs.json
+    ls $f >/dev/null 2>&1 && { echo "-- $b adapted --"; cat $f; echo; } \
+      || true
+    ls $z >/dev/null 2>&1 && { echo "-- $b zero-shot --"; cat $z; echo; } \
+      || true
   done
-  echo "Compare Average Top-1 against the reference run of the same sweep"
+  echo "Adapted minus zero-shot per corruption is the paper's claimed gain;"
+  echo "compare Average Top-1 against the reference run of the same sweep"
   echo "(same data, same flags) — see docs/MIGRATION.md for flag mapping."
 fi

@@ -119,6 +119,7 @@ def main(argv=None):
     corruptions = (list(CORRUPTIONS) if cfg.data.corruption == "all"
                    else [cfg.data.corruption])
     results = {}
+    zs_results = {}
 
     # optional XLA profiler capture around the whole evaluation
     # (--profile-dir; the reference's only tracing is paired CUDA events,
@@ -215,6 +216,11 @@ def main(argv=None):
             dt = time.perf_counter() - t0
             logging.info("Final Results: Acc@1 %.3f Acc@3 %.3f Acc@5 %.3f",
                          summary["acc1"], summary["acc3"], summary["acc5"])
+            if "zs_acc1" in summary:
+                logging.info("Zero-shot baseline (same run): Acc@1 %.3f "
+                             "(adaptation %+0.3f)", summary["zs_acc1"],
+                             summary["acc1"] - summary["zs_acc1"])
+                zs_results[corr] = float(summary["zs_acc1"])
             logging.info("Total time: %.3f ms (%.1f pc/s)",
                          dt * 1e3, pcs.shape[0] * pcs.shape[1] / dt)
             results[corr] = float(summary["acc1"])
@@ -224,6 +230,13 @@ def main(argv=None):
         if pmesh.is_primary():
             with open(os.path.join(log_dir, "results.json"), "w") as f:
                 json.dump(results, f, indent=2)
+            if zs_results:
+                # the zero-shot column of the same run (real-weight
+                # validation reads adapted vs frozen per corruption —
+                # scripts/validate_real_weights.sh)
+                with open(os.path.join(log_dir, "results_zs.json"),
+                          "w") as f:
+                    json.dump(zs_results, f, indent=2)
     return results
 
 
@@ -283,14 +296,22 @@ def run_all_vmapped(cfg, model, params, text, corruptions, log_dir):
         summaries = engine.summarize_vmapped(outs, T * cfg.data.batch_size)
     dt = time.perf_counter() - t0
     results = {c: float(s["acc1"]) for c, s in zip(corruptions, summaries)}
+    zs_results = {c: float(s["zs_acc1"]) for c, s in zip(corruptions,
+                                                         summaries)
+                  if "zs_acc1" in s}
     total = len(stacks) * T * cfg.data.batch_size
     logging.info("Summary of Results: %s", results)
     logging.info("Average Top-1: %.3f", float(np.mean(list(results.values()))))
+    if zs_results:
+        logging.info("Zero-shot baseline (same run): %s", zs_results)
     logging.info("Total time: %.1f ms (%.1f pc/s over %d samples)",
                  dt * 1e3, total / dt, total)
     if pmesh.is_primary():
         with open(os.path.join(log_dir, "results.json"), "w") as f:
             json.dump(results, f, indent=2)
+        if zs_results:
+            with open(os.path.join(log_dir, "results_zs.json"), "w") as f:
+                json.dump(zs_results, f, indent=2)
     return results
 
 

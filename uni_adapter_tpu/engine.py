@@ -57,6 +57,12 @@ class StepOutput(NamedTuple):
     final_logits: jax.Array           # (B, K)
     clip_logits: jax.Array            # (B, K)
     correct: jax.Array                # (3,) top-1/3/5 correct counts
+    # frozen-anchor top-1/3/5 counts from the SAME forward: the zero-shot
+    # baseline every adapted accuracy should be read against (the
+    # reference has no such in-run readout; real-weight validation wants
+    # zero-shot and adapted per corruption in ONE run).  None on the
+    # parallel EP/mesh paths (replicated engine only).
+    zs_correct: Optional[jax.Array] = None
 
 
 def encode_with(kind: str, apply_fn: Callable) -> Callable:
@@ -331,8 +337,17 @@ def make_step_fn(cfg: Config, model,
             final = fusion.fuse_cache(clip_logits, cache_logits,
                                       logit_scale=cfg.model.logit_scale)
 
+        # frozen-anchor readout for the zero-shot baseline column; when
+        # res learning is off clip_weights == text_init.T and this reuses
+        # clip_logits, else one extra (B, K) matmul
+        if use_res:
+            zs_logits, _, _, _ = clip_logits_from(
+                feat, text_init.T, scale=cfg.model.logit_scale)
+        else:
+            zs_logits = clip_logits
         out = StepOutput(final, clip_logits,
-                         topk_correct(final, target, (1, 3, 5)))
+                         topk_correct(final, target, (1, 3, 5)),
+                         topk_correct(zs_logits, target, (1, 3, 5)))
         return EngineState(ms, res_state, state.step + 1, rng), out
 
     return step
@@ -448,9 +463,14 @@ def make_vmapped_scan_fn(cfg: Config, model) -> Callable:
 def summarize_vmapped(outputs: StepOutput, n_samples_per_stream: int) -> list:
     """Per-stream result dicts from run_streams_vmapped outputs."""
     correct = np.asarray(jnp.sum(outputs.correct, axis=0))   # (C, 3)
-    return [{"acc1": 100.0 * c[0] / n_samples_per_stream,
-             "acc3": 100.0 * c[1] / n_samples_per_stream,
-             "acc5": 100.0 * c[2] / n_samples_per_stream} for c in correct]
+    out = [{"acc1": 100.0 * c[0] / n_samples_per_stream,
+            "acc3": 100.0 * c[1] / n_samples_per_stream,
+            "acc5": 100.0 * c[2] / n_samples_per_stream} for c in correct]
+    if outputs.zs_correct is not None:
+        zs = np.asarray(jnp.sum(outputs.zs_correct, axis=0))  # (C, 3)
+        for d, z in zip(out, zs):
+            d["zs_acc1"] = 100.0 * z[0] / n_samples_per_stream
+    return out
 
 
 def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
@@ -485,12 +505,15 @@ def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
     state = (initial_state if initial_state is not None else
              init_state(cfg, text_features_initial, jax.random.PRNGKey(seed)))
     totals = np.zeros(3)
+    zs_totals = np.zeros(3)
     n = 0
     start_step = 0
     if checkpoint_path and os.path.exists(checkpoint_path + ".npz"):
         saved = ckpt.restore_state(checkpoint_path)
         state, totals, n = (saved["state"], np.asarray(saved["totals"]),
                             int(saved["n"]))
+        # pre-round-5 checkpoints carry no zero-shot counters
+        zs_totals = np.asarray(saved.get("zs_totals", np.zeros(3)))
         start_step = int(state.step)
         logging.info("resumed adaptation state at step %d", start_step)
 
@@ -502,22 +525,29 @@ def run_stream(cfg: Config, model, params, text_features_initial: jax.Array,
         state, out = timer.timed(step, params, text_features_initial, state,
                                  batch)
         totals += np.asarray(out.correct)
+        zs_totals += np.asarray(out.zs_correct)
         n += int(batch[0].shape[0])
         if print_freq and i % print_freq == 0:
             logging.info("step %d: acc1=%.3f%%", i, 100 * totals[0] / n)
         if (checkpoint_every and checkpoint_path
                 and (i + 1) % checkpoint_every == 0):
             ckpt.save_state(checkpoint_path,
-                            {"state": state, "totals": totals, "n": n})
+                            {"state": state, "totals": totals, "n": n,
+                             "zs_totals": zs_totals})
     accs = 100.0 * totals / max(n, 1)
     return {"acc1": accs[0], "acc3": accs[1], "acc5": accs[2],
+            "zs_acc1": 100.0 * zs_totals[0] / max(n, 1),
             "total_time_ms": timer.total_ms, "state": state}
 
 
 def summarize(outputs: StepOutput, n_samples: int) -> dict:
     """Aggregate scan outputs into the reference's result dict
-    (Uni_Adapter.py:581-595)."""
+    (Uni_Adapter.py:581-595), plus the in-run zero-shot baseline."""
     correct = np.asarray(jnp.sum(outputs.correct, axis=0))
-    return {"acc1": 100.0 * correct[0] / n_samples,
-            "acc3": 100.0 * correct[1] / n_samples,
-            "acc5": 100.0 * correct[2] / n_samples}
+    result = {"acc1": 100.0 * correct[0] / n_samples,
+              "acc3": 100.0 * correct[1] / n_samples,
+              "acc5": 100.0 * correct[2] / n_samples}
+    if outputs.zs_correct is not None:
+        zs = np.asarray(jnp.sum(outputs.zs_correct, axis=0))
+        result["zs_acc1"] = 100.0 * zs[0] / n_samples
+    return result
