@@ -30,15 +30,15 @@ Hyperparameters are the reference's own defaults (utils/params.py:103-111:
 epsilon/sigma 1e-4, eta 0.1, rho 0.02, M=4; utils/hyperparams.py:9-16:
 shot_capacity 30, beta 150, threshold 0.5, lambda_reg 0.11).
 
-Residual learning runs OFF here: the alignment loss's exp(exp(·))
-sharpening is calibrated for real 1024-d CLIP text embeddings, and at
-this toy's D=32/K=8 the reference lr 1e-3 measurably destroys the anchors
-(64.4/61.3 vs zero-shot 78.1/80.0 on seeds 17/5 — BELOW the frozen
-baseline).  An lr sweep (2026-08-20) found it neutral-to-positive only at
-lr ≈ 3e-5 (92.3/81.5 vs res-off 90.2/86.0) — too thin to assert.  Its
+Residual learning runs OFF here: at this toy's D=32/K=8 the reference lr
+1e-3 measurably destroys the anchors (64.4/61.3 vs zero-shot 78.1/80.0 on
+seeds 17/5 — BELOW the frozen baseline).  Round 5 settled the question at
+REALISTIC dims too (K=40, D=512-1024, the sphere-drift stream): the
+reference protocol hurts there as well, the reference's own loop agrees,
+and an lr sweep found no robust positive regime — see
+tests/test_efficacy_residual_realistic.py for the committed result.  Its
 CORRECTNESS is pinned elsewhere (the res-on full-loop parity tests in
-test_reference_import_oracle.py); its efficacy claim belongs to real
-embeddings.
+test_reference_import_oracle.py).
 """
 import importlib
 import sys

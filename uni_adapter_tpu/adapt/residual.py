@@ -7,6 +7,15 @@ frozen initial text features; each stream step (after the first) runs
 `residual_steps` Adam updates of an alignment loss over the (K, K)
 class-embedding log-likelihood matrix under the current mixture state.
 
+Measured value (round-5, tests/test_efficacy_residual_realistic.py): at
+the reference's own protocol (lr=1e-3, 10 steps/batch) this mechanism
+REDUCES accuracy on every calibrated recoverable-drift stream measured —
+toy dims AND realistic dims (K=40, D=512-1024) — with the reference's own
+loop agreeing on the same streams, and no robust positive-lr regime found.
+It ships correctness-pinned and perf-optimized because the reference
+enables it in its headline configuration, but users should expect
+`res_learning=False` to be the stronger setting.
+
 TPU shape: the inner loop is `lax.fori_loop` over `jax.grad` +
 `optax.adam` updates of a pure function of (residuals, mixture state) —
 exactly the structure SURVEY.md §7 prescribes.  Adam moments persist across

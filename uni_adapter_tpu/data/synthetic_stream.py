@@ -114,3 +114,71 @@ def run_adapter(method: str, text, pcs, targets, W):
     final = np.asarray(outs.final_logits)[:, 0]
     acc = float(100.0 * np.mean(final.argmax(-1) == targets[:, 0]))
     return acc, final
+
+
+# ---------------------------------------------------------------------------
+# Realistic-dims sphere stream (round-5): K=40+ classes, D=512-1024
+# ---------------------------------------------------------------------------
+
+def _fibonacci_sphere(K: int) -> np.ndarray:
+    """K near-uniform unit vectors on S² (golden-angle spiral)."""
+    i = np.arange(K, dtype=np.float64) + 0.5
+    phi = np.arccos(1 - 2 * i / K)
+    theta = np.pi * (1 + 5 ** 0.5) * i
+    return np.stack([np.cos(theta) * np.sin(phi),
+                     np.sin(theta) * np.sin(phi),
+                     np.cos(phi)], 1).astype(np.float32)
+
+
+def _rotation(axis: np.ndarray, angle: float) -> np.ndarray:
+    axis = axis / np.linalg.norm(axis)
+    a, b, c = axis
+    Kx = np.array([[0, -c, b], [c, 0, -a], [-b, a, 0]], np.float64)
+    return (np.eye(3) + np.sin(angle) * Kx
+            + (1 - np.cos(angle)) * (Kx @ Kx)).astype(np.float32)
+
+
+def nn_spacing(means: np.ndarray) -> float:
+    """Mean nearest-neighbour angle of a set of unit vectors."""
+    G = means @ means.T
+    np.fill_diagonal(G, -2.0)
+    return float(np.mean(np.arccos(np.clip(G.max(1), -1, 1))))
+
+
+def make_problem_sphere(seed: int, K: int = 40, D: int = 512, N: int = 64,
+                        T: int = 480, theta_frac: float = 0.55,
+                        jitter: float = 0.12, tau: float = 0.03):
+    """Recoverable-drift stream at REALISTIC label-set scale.
+
+    The ring construction above degenerates past K≈8 (a 1-D ring in the
+    encoder's 3-d input space gets too crowded; zero-shot collapses below
+    50%).  Here the K class means sit near-uniformly on the full sphere
+    (each class has ~6 nearest neighbours — the crowded-confusion
+    geometry of a real K=40 label set), and the corruption is ONE
+    coherent global rotation by theta_frac × the mean nearest-neighbour
+    spacing: every anchor becomes systematically misplaced by the same
+    transform (the recoverable-shift regime, Uni_Adapter.py:581-595),
+    plus per-sample center jitter and point noise.
+
+    Calibration (CPU, theta_frac=0.55, jitter=0.12, 5 seeds, K=40,
+    D∈{512,1024}): zero-shot 73-84 %, MODE-DOTA res-off +3..+5 points.
+    Used by tests/test_efficacy_residual_realistic.py — the committed
+    evidence for text-residual learning's value at realistic embedding
+    dims.
+
+    Returns (pcs (T,1,N,3), targets (T,1) int64, text (K,D) unit rows,
+    W (3,D))."""
+    rng = np.random.default_rng(seed)
+    m_clean = _fibonacci_sphere(K)
+    sp = nn_spacing(m_clean)
+    R = _rotation(rng.standard_normal(3), theta_frac * sp)
+    m_corrupt = m_clean @ R.T
+    W = rng.standard_normal((3, D)).astype(np.float32)
+    text = np.sin(m_clean) @ W
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    y = rng.integers(0, K, (T, 1)).astype(np.int64)
+    centers = m_corrupt[y[:, 0]] \
+        + jitter * sp * rng.standard_normal((T, 3)).astype(np.float32)
+    pcs = centers[:, None, None, :] + tau * rng.standard_normal(
+        (T, 1, N, 3)).astype(np.float32)
+    return pcs.astype(np.float32), y, text.astype(np.float32), W
