@@ -47,30 +47,42 @@ def _progress(msg: str) -> None:
 
 
 def measure_matmul_peak() -> float:
-    """Measured practical matmul peak: bare aligned 4096^3 bf16 matmul,
-    fetch-synced (BASELINE.md round-1 probe, now emitted in the artifact
-    so the MFU numbers are checkable against the same record)."""
+    """Measured practical matmul peak: difference-of-chains timing on bare
+    aligned 4096^3 bf16 matmuls — time a 128-dot and a 64-dot chained
+    program and divide the FLOP difference by the time difference, which
+    cancels every constant cost (tunnel round-trip, dispatch, fetch).
+    2026-08-20 measurement on this tunnel: ~197 TF/s = the v5e nominal
+    peak (the round-1 clock-limited 71 TF/s reading no longer holds)."""
     import jax
     import jax.numpy as jnp
 
     n = 4096
-    a = jnp.ones((n, n), jnp.bfloat16)
-    b = jnp.ones((n, n), jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
+    # contraction scale keeps the chain's values bounded (no inf tail)
+    b = jnp.asarray(rng.standard_normal((n, n)) * 0.01, jnp.bfloat16)
 
-    @jax.jit
-    def chain(a, b):
-        x = a
-        for _ in range(8):
-            x = jnp.dot(x, b)
-        return x
+    def timed_chain(iters):
+        @jax.jit
+        def chain(a, b):
+            x = a
+            for _ in range(iters):
+                x = jnp.dot(x, b)
+            return x
 
-    out = chain(a, b)
-    np.asarray(out[0, :1])            # warm sync
-    t0 = time.perf_counter()
-    out = chain(a, b)
-    np.asarray(out[0, :1])
-    dt = time.perf_counter() - t0
-    return 8 * 2 * n ** 3 / dt / 1e12
+        out = chain(a, b)
+        np.asarray(out[0, :1])        # warm sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = chain(a, b)
+            np.asarray(out[0, :1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    d64, d128 = timed_chain(64), timed_chain(128)
+    dt = max(d128 - d64, 1e-9)
+    return 64 * 2 * n ** 3 / dt / 1e12
 
 
 NOMINAL_TFLOPS = 197.0  # v5e bf16 nominal peak (public spec)
@@ -201,22 +213,159 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota",
     total = N_STREAMS * T_TIMED
     _progress(f"timed scan: {dt:.3f}s for {total} samples")
 
-    # Analytic program FLOPs from XLA's own cost model of the compiled
-    # timed program (VERDICT r4 weak item 1: the roofline claim belongs in
-    # the artifact as an MFU number, not in BASELINE prose).
+    # Analytic program FLOPs (VERDICT r4 weak item 1: the roofline claim
+    # belongs in the artifact as a checkable MFU number).  XLA's cost
+    # model counts a scan body ONCE regardless of trip count, so the
+    # compiled-scan figure is useless here; instead take the exact HLO
+    # FLOPs of ONE bare encoder forward (no loop in that program — the
+    # cost model is exact there, grouping + trunk + head included) and
+    # scale by the known step structure: n_forwards x streams x steps,
+    # plus the residual loop's dot FLOPs (the one other MXU-relevant
+    # term — dominant at LVIS K; EM/fusion/CG are comparatively
+    # negligible and uncounted, making this a slight undercount).
     tflops = None
     try:
-        lowered = jax.jit(engine.make_vmapped_scan_fn(cfg, model)).lower(
-            params, text, s_w, *args)
-        ca = lowered.compile().cost_analysis()
-        if ca:
-            flops = float((ca[0] if isinstance(ca, (list, tuple))
-                           else ca).get("flops", 0.0))
-            if flops > 0:
-                tflops = flops / dt / 1e12
+        fwd_ca = jax.jit(model.apply).lower(
+            params, *init_args).compile().cost_analysis()
+        fwd_ca = fwd_ca[0] if isinstance(fwd_ca, (list, tuple)) else fwd_ca
+        f1 = float(fwd_ca.get("flops", 0.0))         # one B=1 forward
+        if f1 > 0:
+            n_fwd = 1 if method == "cache" else 2    # clean + noise-aug
+            d_text = int(np.asarray(text).shape[1])
+            if method == "cache":
+                res_flops = 0.0
+            else:
+                # optimize_residuals: per Adam step, forward = M dots
+                # (K, 2D)·(2D, K) and backward one dot each per mode
+                # (adapt/residual.py custom VJP) → 2 x M x (2·K·2D·K)
+                res_flops = (10 * 2 * 4 * 2 * k_classes * k_classes
+                             * 2 * d_text)
+            step_flops = N_STREAMS * (n_fwd * f1 + res_flops)
+            tflops = T_TIMED * step_flops / dt / 1e12
     except Exception as e:  # cost analysis is best-effort metadata
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
     return {"pps": total / dt, "tflops_achieved": tflops}
+
+
+def bench_full_protocol(k_classes: int = K_CLASSES,
+                        t_steps: int | None = None,
+                        chunk: int | None = None) -> dict:
+    """Protocol-LENGTH run (VERDICT r4 missing item 3): the reference's
+    actual workload is the FULL corrupted test set per corruption —
+    ModelNet40-C = 2468 samples × 15 corruptions at B=1
+    (main_test-time.py:55-85) — while every other timed number here is a
+    16-step window.  This sustains the flagship vmapped MODE-DOTA sweep at
+    T=2468 × 15 streams, synthetic data at real shapes (the full stacked
+    stream is ~0.9 GB of HBM — it fits; chunking is still used so the run
+    reports compile vs steady-state separately and the chunk-resume
+    machinery exists for datasets that DON'T fit).
+
+    The scan is split into ceil(T/chunk) chunks with the adaptation states
+    carried between calls — numerically the same trajectory as one scan
+    (the carry is the scan carry; chunk-vs-whole equality is pinned at toy
+    scale by tests/test_continual.py's resume tests).  Chunk 1 includes
+    the compile; sustained throughput is measured over the remaining
+    chunks, per-chunk rates expose steady-state drift.
+
+    Env: BENCH_FULL_T / BENCH_FULL_CHUNK / BENCH_FULL_K override the
+    protocol length (2468), chunk (154 — measured 2026-08-21: a 617-step
+    chunk's compile ran ~15 min and ended in a TPU-worker crash on this
+    tunnel, while 154-step chunks compile in ~13 min total and then
+    stream back-to-back), and K (40).  A ragged tail shorter than
+    `chunk` is a DIFFERENT program (one extra compile) — it is excluded
+    from sustained_pps and reported separately.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+    t_steps = t_steps or int(os.environ.get("BENCH_FULL_T", "2468"))
+    chunk = chunk or int(os.environ.get("BENCH_FULL_CHUNK", "154"))
+    _progress(f"full-protocol run: T={t_steps} x {N_STREAMS} streams, "
+              f"K={k_classes}, chunk={chunk}")
+
+    from uni_adapter_tpu import engine
+    from uni_adapter_tpu.anchors import load_precomputed
+    from uni_adapter_tpu.config import (CacheConfig, Config, DotaConfig,
+                                        ModelConfig)
+    from uni_adapter_tpu.models.uni3d import create_uni3d
+
+    cfg = Config(model=ModelConfig(),  # Uni3D-L bf16, kernel defaults
+                 dota=DotaConfig(use_mode_dota=True, mode_M=4,
+                                 res_learning=True),
+                 cache=(CacheConfig(shot_capacity=8) if k_classes > 256
+                        else CacheConfig()))
+    model = create_uni3d(cfg.model)
+    rng = np.random.default_rng(0)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.standard_normal((1, N_POINTS, 6)), jnp.float32))
+    if k_classes == K_CLASSES:
+        text = load_precomputed("large", "modelnet")
+    else:
+        t = rng.standard_normal((k_classes, 1024)).astype(np.float32)
+        text = jnp.asarray(t / np.linalg.norm(t, axis=1, keepdims=True))
+
+    # full stacked stream, resident in HBM (time-major for the scan)
+    pcs = jnp.asarray(rng.standard_normal(
+        (t_steps, N_STREAMS, 1, N_POINTS, 3)).astype(np.float32))
+    rgbs = jnp.ones_like(pcs)
+    targets = jnp.asarray(rng.integers(
+        0, k_classes, (t_steps, N_STREAMS, 1)).astype(np.int32))
+    _progress(f"stream staged: {pcs.nbytes / 1e9:.2f} GB x2 + targets")
+
+    scan_fn = jax.jit(engine.make_vmapped_scan_fn(cfg, model))
+    states = engine.init_states_vmapped(cfg, text, N_STREAMS, seed=42)
+
+    chunk_times, chunk_sizes = [], []
+    t_done = 0
+    while t_done < t_steps:
+        n = min(chunk, t_steps - t_done)
+        sl = slice(t_done, t_done + n)
+        t0 = time.perf_counter()
+        states, out = scan_fn(params, text, states,
+                              pcs[sl], rgbs[sl], targets[sl])
+        np.asarray(out.correct[-1])         # fetch-sync
+        dt = time.perf_counter() - t0
+        chunk_times.append(dt)
+        chunk_sizes.append(n)
+        t_done += n
+        _progress(f"chunk {len(chunk_times)}: {n} steps in {dt:.1f}s "
+                  f"({n * N_STREAMS / dt:.1f} pc/s)")
+
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            mem = {"peak_hbm_gb": round(
+                stats.get("peak_bytes_in_use", 0) / 1e9, 2)}
+    except Exception:
+        pass
+
+    total = t_steps * N_STREAMS
+    # sustained = full-size chunks after the first (chunk 1 carries the
+    # compile; a ragged final chunk is a different program with its own
+    # compile — report it separately, never inside the steady-state rate)
+    steady = [(s, t) for s, t in zip(chunk_sizes[1:], chunk_times[1:])
+              if s == chunk_sizes[0]]
+    sustained = (sum(s for s, _ in steady) * N_STREAMS
+                 / sum(t for _, t in steady)
+                 if steady else total / sum(chunk_times))
+    rec = {
+        "metric": f"mode_dota_full_protocol_uni3d_large_K{k_classes}",
+        "t_steps": t_steps, "n_streams": N_STREAMS,
+        "samples": total,
+        "sustained_pps": round(sustained, 2),
+        "per_chunk_pps": [round(s * N_STREAMS / t, 2)
+                          for s, t in zip(chunk_sizes, chunk_times)],
+        "chunk1_incl_compile_s": round(chunk_times[0], 1),
+        "total_wall_s": round(sum(chunk_times), 1),
+        **mem,
+    }
+    if chunk_sizes[-1] != chunk_sizes[0]:
+        rec["ragged_tail"] = {"steps": chunk_sizes[-1],
+                              "incl_compile_s": round(chunk_times[-1], 1)}
+    return rec
 
 
 def bench_torch_cpu() -> float:
@@ -340,6 +489,14 @@ def _metric_name(backbone: str, method: str) -> str:
 
 
 def main():
+    if os.environ.get("BENCH_FULL", "0") == "1":
+        # protocol-length mode: one JSON line for the full T=2468 x 15
+        # sustained record (opt-in — the driver's default bench run stays
+        # the windowed suite)
+        rec = bench_full_protocol(
+            k_classes=int(os.environ.get("BENCH_FULL_K", K_CLASSES)))
+        print(json.dumps(rec))
+        return
     bb = os.environ.get("BENCH_BACKBONE", "uni3d")
     method = os.environ.get("BENCH_METHOD", "mode_dota")
     primary = bench_jax(bb, method)
