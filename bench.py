@@ -117,8 +117,12 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota",
     int8 = os.environ.get("BENCH_INT8", "0") == "1"
     # Fused Pallas attention: default-on for the layout-bound small trunks
     # (measured v5e sweeps: ULIP 372.8→466.9, OpenShape 513→615.7 pc/s) but
-    # OFF for Uni3D — the EVA trunk is matmul-bound and the kernel loses
-    # there (103.9→97.3).  BENCH_PALLAS_ATTN overrides either way.
+    # OFF for Uni3D: the round-5 natural-layout fused kernel
+    # (eva_attention_fused — in-block LN, no transpose/pad copies) wins
+    # its span standalone (1.21 vs 2.05 ms) yet still measures 101.7 vs
+    # 106.3 pc/s end-to-end — XLA's fusion ACROSS the whole EVA block
+    # (qkv/LN/residual epilogues) is worth more than the kernel saves at
+    # this shape.  BENCH_PALLAS_ATTN overrides either way.
     pallas_attn_default = "0" if backbone == "uni3d" else "1"
     pallas_attn = os.environ.get("BENCH_PALLAS_ATTN",
                                  pallas_attn_default) == "1"

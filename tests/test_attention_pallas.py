@@ -89,3 +89,86 @@ def test_heads_kernel_uniformly_negative_scores_no_nan():
     got = np.asarray(attention_pallas_heads(q, k, v, interpret=True))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_eva_fused_kernel_matches_module_math():
+    """eva_attention_fused (natural layout, in-kernel LN) == the
+    transpose + flax-LN + _attend module math, bf16 tolerance."""
+    import flax.linen as nn
+    from uni_adapter_tpu.models.common import _attend
+    from uni_adapter_tpu.ops.attention_pallas import eva_attention_fused
+
+    B, N, D, H = 2, 37, 64, 4
+    hd = D // H
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    gq = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
+    bq = jnp.asarray(rng.standard_normal(hd) * 0.1, jnp.float32)
+    gk = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
+    bk = jnp.asarray(rng.standard_normal(hd) * 0.1, jnp.float32)
+    scale = hd ** -0.5
+
+    ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    qh = jnp.transpose(q.reshape(B, N, H, hd), (0, 2, 1, 3))
+    kh = jnp.transpose(k.reshape(B, N, H, hd), (0, 2, 1, 3))
+    vh = jnp.transpose(v.reshape(B, N, H, hd), (0, 2, 1, 3))
+    qh = ln.apply({"params": {"scale": gq, "bias": bq}}, qh)
+    kh = ln.apply({"params": {"scale": gk, "bias": bk}}, kh)
+    want = jnp.transpose(_attend(qh, kh, vh, scale), (0, 2, 1, 3)
+                         ).reshape(B, N, D)
+
+    got = eva_attention_fused(q, k, v, gq, bq, gk, bk, num_heads=H,
+                              scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_eva_fused_kernel_noln_variant():
+    """apply_ln=False (LN handled upstream on the natural reshape): the
+    kernel is pure attention over lane-sliced heads."""
+    from uni_adapter_tpu.models.common import _attend
+    from uni_adapter_tpu.ops.attention_pallas import eva_attention_fused
+
+    B, N, D, H = 2, 21, 32, 2
+    hd = D // H
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    scale = hd ** -0.5
+    qh = jnp.transpose(q.reshape(B, N, H, hd), (0, 2, 1, 3))
+    kh = jnp.transpose(k.reshape(B, N, H, hd), (0, 2, 1, 3))
+    vh = jnp.transpose(v.reshape(B, N, H, hd), (0, 2, 1, 3))
+    want = jnp.transpose(_attend(qh, kh, vh, scale), (0, 2, 1, 3)
+                         ).reshape(B, N, D)
+    got = eva_attention_fused(q, k, v, num_heads=H, scale=scale,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_eva_attention_module_pallas_path_matches_plain():
+    """EvaAttention(use_pallas=True) routes through the natural-layout
+    fused kernel (interpret mode off-TPU is not wired into the module, so
+    compare the module's two code paths at the math level): the flax LN
+    on the (B, N, H, hd) natural reshape must equal the LN on the
+    transposed layout — same params, same per-element normalisation."""
+    import flax.linen as nn
+
+    B, N, H, hd = 2, 9, 3, 8
+    D = H * hd
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    gq = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
+    bq = jnp.asarray(rng.standard_normal(hd) * 0.1, jnp.float32)
+    ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    a = ln.apply({"params": {"scale": gq, "bias": bq}},
+                 x.reshape(B, N, H, hd)).reshape(B, N, D)
+    b = jnp.transpose(
+        ln.apply({"params": {"scale": gq, "bias": bq}},
+                 jnp.transpose(x.reshape(B, N, H, hd), (0, 2, 1, 3))),
+        (0, 2, 1, 3)).reshape(B, N, D)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)

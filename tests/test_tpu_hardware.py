@@ -360,3 +360,42 @@ def test_ep_runs_on_hw():
                                np.asarray(want_state.method_state.mu),
                                rtol=1e-3, atol=1e-4)
     assert np.isfinite(np.asarray(state_ep.res_state.residuals)).all()
+
+
+def test_eva_fused_attention_kernel_on_hw():
+    """Round-5 natural-layout fused EVA attention (in-kernel per-head LN +
+    lane-sliced heads, ops/attention_pallas.eva_attention_fused) on real
+    lowering at the bench shape, vs the fp32 XLA reference."""
+    from uni_adapter_tpu.ops.attention_pallas import eva_attention_fused
+
+    B, N, D, H = 4, 513, 1024, 16
+    hd = D // H
+    q32 = jnp.asarray(_rand((B, N, D), seed=6))
+    k32 = jnp.asarray(_rand((B, N, D), seed=7))
+    v32 = jnp.asarray(_rand((B, N, D), seed=8))
+    gq = jnp.asarray(_rand((hd,), seed=9) * 0.1 + 1.0)
+    bq = jnp.asarray(_rand((hd,), seed=10) * 0.1)
+    gk = jnp.asarray(_rand((hd,), seed=11) * 0.1 + 1.0)
+    bk = jnp.asarray(_rand((hd,), seed=12) * 0.1)
+    scale = hd ** -0.5
+
+    def ln(x, g, b):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * g + b
+
+    qh = ln(jnp.transpose(q32.reshape(B, N, H, hd), (0, 2, 1, 3)), gq, bq)
+    kh = ln(jnp.transpose(k32.reshape(B, N, H, hd), (0, 2, 1, 3)), gk, bk)
+    vh = jnp.transpose(v32.reshape(B, N, H, hd), (0, 2, 1, 3))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   precision=jax.lax.Precision.HIGHEST) * scale
+    want = np.asarray(jnp.transpose(
+        jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), vh,
+                   precision=jax.lax.Precision.HIGHEST),
+        (0, 2, 1, 3)).reshape(B, N, D))
+    got = np.asarray(eva_attention_fused(
+        q32.astype(jnp.bfloat16), k32.astype(jnp.bfloat16),
+        v32.astype(jnp.bfloat16), gq, bq, gk, bk, num_heads=H,
+        scale=scale)).astype(np.float32)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)

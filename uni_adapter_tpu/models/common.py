@@ -197,13 +197,38 @@ class EvaAttention(nn.Module):
         q = dense(self.dim, use_bias=True, dtype=self.dtype, name="q_proj")(x)
         k = dense(self.dim, use_bias=False, dtype=self.dtype, name="k_proj")(x)
         v = dense(self.dim, use_bias=True, dtype=self.dtype, name="v_proj")(x)
+        scale = hd ** -0.5
+        if self.use_pallas and not return_attn and not self.quantize:
+            # Natural-layout fused path (round-5, BASELINE.md): the
+            # (B, H, N, hd) transpose + pad copies and the per-head LN on
+            # that layout are what made the transposed-layout kernel LOSE
+            # end-to-end (3.29 vs 2.42 ms/block) despite its 0.80-vs-1.93
+            # core win.  Here the q/k LayerNorms run on the transpose-free
+            # (B, N, H, hd) reshape (same flax modules, same params, same
+            # per-element math — XLA fuses reshape+LN into one elementwise
+            # pass) and ops/attention_pallas.eva_attention_fused splits
+            # heads on VMEM lane slices.  Measured (v5e, 2026-08-21):
+            # 1.21 vs 2.05 ms for the LN+attention+layout span at
+            # (30, 513, 1024) x 16 heads.
+            from uni_adapter_tpu.ops.attention_pallas import (
+                eva_attention_fused)
+
+            if self.use_qk_norm:
+                q = LN(dtype=self.dtype, name="q_norm")(
+                    q.reshape(B, N, self.num_heads, hd)).reshape(B, N,
+                                                                 self.dim)
+                k = LN(dtype=self.dtype, name="k_norm")(
+                    k.reshape(B, N, self.num_heads, hd)).reshape(B, N,
+                                                                 self.dim)
+            out = eva_attention_fused(q, k, v, num_heads=self.num_heads,
+                                      scale=scale)
+            return dense(self.dim, dtype=self.dtype, name="proj")(out)
         q = jnp.transpose(q.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
         k = jnp.transpose(k.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
         v = jnp.transpose(v.reshape(B, N, self.num_heads, hd), (0, 2, 1, 3))
         if self.use_qk_norm:
             q = LN(dtype=self.dtype, name="q_norm")(q)
             k = LN(dtype=self.dtype, name="k_norm")(k)
-        scale = hd ** -0.5
         out = _attend(q, k, v, scale, use_pallas=self.use_pallas)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, self.dim)
         out = dense(self.dim, dtype=self.dtype, name="proj")(out)

@@ -191,3 +191,114 @@ def attention_pallas_heads(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :, :N, :hd]
+
+
+def _eva_fused_kernel(n_real: int, num_heads: int, scale: float, eps: float,
+                      apply_ln: bool,
+                      q_ref, k_ref, v_ref, gq_ref, bq_ref, gk_ref, bk_ref,
+                      o_ref):
+    # q/k/v/o refs: (1, N_pad, D) in the NATURAL post-Dense layout — the
+    # head split happens on VMEM lane slices in here, so the (B, H, N, hd)
+    # transpose + pad copies of the generic path never exist in HBM.
+    # gq/bq/gk/bk refs: (1, hd) fp32 — the per-head q/k LayerNorm params
+    # (shared across heads, timm EVA `norm_layer(head_dim)` semantics).
+    D = q_ref.shape[2]
+    hd = D // num_heads
+    np_ = q_ref.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    key_pad = row >= n_real
+    gq = gq_ref[0, :].astype(jnp.float32)
+    bq = bq_ref[0, :].astype(jnp.float32)
+    gk = gk_ref[0, :].astype(jnp.float32)
+    bk = bk_ref[0, :].astype(jnp.float32)
+
+    def ln(x, g, b):
+        # fp32 statistics over the hd lanes (flax LayerNorm upcasts its
+        # mean/var; eps matches models/common.LN = 1e-5)
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * g[None, :] + b[None, :]
+
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        if apply_ln:
+            qh = ln(q_ref[0, :, sl].astype(jnp.float32), gq, bq)
+            kh = ln(k_ref[0, :, sl].astype(jnp.float32), gk, bk)
+        else:
+            # LN already applied upstream (the flax modules run on the
+            # natural (B, N, H, hd) reshape — no transpose, one fused
+            # elementwise pass — so the param tree stays the module's)
+            qh = q_ref[0, :, sl].astype(jnp.float32)
+            kh = k_ref[0, :, sl].astype(jnp.float32)
+        vh = v_ref[0, :, sl]
+        # operands at the model compute dtype (bf16 runs: the XLA path's
+        # LN emits bf16 into the einsum; fp32 runs stay fp32 — mirrors
+        # _attend's dtype-dependent storage), fp32 accumulation
+        s = jax.lax.dot_general(qh.astype(v_ref.dtype),
+                                kh.astype(v_ref.dtype),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(jnp.where(key_pad, -jnp.inf, s), axis=1, keepdims=True)
+        p = jnp.where(key_pad, 0.0, jnp.exp((s - m) * scale))
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = o / jnp.sum(p, axis=1, keepdims=True)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "eps",
+                                             "interpret"))
+def eva_attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
+                        gq: jax.Array | None = None,
+                        bq: jax.Array | None = None,
+                        gk: jax.Array | None = None,
+                        bk: jax.Array | None = None,
+                        *, num_heads: int, scale: float | None = None,
+                        eps: float = 1e-5,
+                        interpret: bool = False) -> jax.Array:
+    """EVA attention core in the NATURAL layout: per-head q/k LayerNorm +
+    softmax(QKᵀ·scale)·V fused into one kernel over (B, N, D) operands.
+
+    Round-5 motivation (BASELINE.md): the transposed-layout kernel
+    (`attention_pallas_heads`) beats XLA 0.80 vs 1.93 ms on the bare
+    (30, 16, 513, 64) core, but loses END-TO-END inside EvaAttention
+    (3.29 vs 2.42 ms) — the (B, H, N, hd) materialisation + pad copies
+    and the per-head LayerNorm on that layout cost more than the kernel
+    saves.  Taking q/k/v exactly as the Dense projections emit them and
+    splitting heads on VMEM lane slices removes both.
+
+    Args:
+      q, k, v: (B, N, D) — the raw q/k/v projections (pre-reshape).
+      gq, bq, gk, bk: (hd,) LayerNorm scale/bias for q_norm / k_norm.
+      num_heads: H; hd = D // H.
+    Returns:
+      (B, N, D): concatenated per-head attention outputs (pre out-proj),
+      same dtype as v.
+    """
+    B, N, D = q.shape
+    hd = D // num_heads
+    scale = float(scale if scale is not None else hd ** -0.5)
+    apply_ln = gq is not None
+    if not apply_ln:
+        gq = bq = gk = bk = jnp.zeros((hd,), jnp.float32)
+    # no HBM-side padding: the (1, N, D) block is handed to Mosaic as-is
+    # (it masks the ragged sublane tail itself) — a jnp.pad here would
+    # copy all three 60 MB operands through HBM per layer
+    pspec = pl.BlockSpec((1, hd), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_eva_fused_kernel, N, num_heads, scale, eps,
+                          apply_ln),
+        grid=(B,),
+        in_specs=[spec, spec, spec, pspec, pspec, pspec, pspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, gq.reshape(1, hd), bq.reshape(1, hd),
+      gk.reshape(1, hd), bk.reshape(1, hd))
+    return out
