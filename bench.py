@@ -116,7 +116,9 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota",
     pallas_fps = os.environ.get("BENCH_PALLAS_FPS", "1") == "1"
     int8 = os.environ.get("BENCH_INT8", "0") == "1"
     # Fused Pallas attention: default-on for the layout-bound small trunks
-    # (measured v5e sweeps: ULIP 372.8→466.9, OpenShape 513→615.7 pc/s) but
+    # (round-5 natural-layout kernel + unclamped clock: ULIP 636.0,
+    # OpenShape 887.5 pc/s — round-4 transposed-kernel records were 554.6
+    # / 694.5) but
     # OFF for Uni3D: the round-5 natural-layout fused kernel
     # (eva_attention_fused — in-block LN, no transpose/pad copies) wins
     # its span standalone (1.21 vs 2.05 ms) yet still measures 101.7 vs

@@ -163,9 +163,28 @@ class ViTAttention(nn.Module):
         qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         B, N = x.shape[0], x.shape[1]
+        scale = hd ** -0.5
+        if (self.use_pallas and mask is None and attn_bias is None
+                and not return_attn and hd % 8 == 0):
+            # Natural-layout fused path (round-5): slice the fused qkv on
+            # its last axis and attend straight from the post-Dense
+            # layout — the (B, H, N, hd) transposes + pad copies of the
+            # transposed kernel never exist.  Measured (v5e, 2026-08-21,
+            # B=30 N=513): ULIP (384, H6) 0.164 vs 0.338 ms transposed /
+            # 0.759 XLA; OpenShape vitG (1280, H16) 0.624 vs 0.768 /
+            # 2.125.
+            from uni_adapter_tpu.ops.attention_pallas import (
+                eva_attention_fused)
+
+            out = eva_attention_fused(qkv[..., :inner],
+                                      qkv[..., inner:2 * inner],
+                                      qkv[..., 2 * inner:],
+                                      num_heads=self.num_heads, scale=scale)
+            if self.project_out:
+                out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return out
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
-        scale = hd ** -0.5
         out = _attend(q, k, v, scale, mask, attn_bias,
                       use_pallas=self.use_pallas)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, inner)
