@@ -128,6 +128,14 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota",
     pallas_attn_default = "0" if backbone == "uni3d" else "1"
     pallas_attn = os.environ.get("BENCH_PALLAS_ATTN",
                                  pallas_attn_default) == "1"
+    # Whole-span EVA attention kernel (round-5 cont.): q/k/v/out
+    # projections + per-head LN + attention in ONE pallas call — the
+    # boundary-fusion loss that sank the span-only kernel on Uni3D is
+    # gone because the boundary ops left to XLA (norm1, residual) are
+    # exactly the ones it can still fuse.  Trunk-8 A/B: 41.96 → 29.19 ms
+    # (−30%/block).  Uni3D only (EVA trunk).
+    pallas_attn_block = os.environ.get(
+        "BENCH_PALLAS_ATTN_BLOCK", "1" if backbone == "uni3d" else "0") == "1"
     # Fused Pallas kNN (ops/knn_pallas.py): 3.6× XLA sqdist+top_k at the
     # encoder's (60,512,1024) k=32 on v5e; identical neighbour sets.
     # (OpenShape's set abstraction uses ball query, not kNN — unaffected.)
@@ -160,6 +168,7 @@ def bench_jax(backbone: str = "uni3d", method: str = "mode_dota",
                                    use_pallas_knn_gather=pallas_knn_gather,
                                    use_pallas_ballq=pallas_ballq,
                                    use_pallas_attention=pallas_attn,
+                                   use_pallas_attn_block=pallas_attn_block,
                                    quantize_int8=int8),  # Uni3D-L bf16
                  dota=dota_cfg, cache=cache_cfg)
 

@@ -172,3 +172,49 @@ def test_eva_attention_module_pallas_path_matches_plain():
         (0, 2, 1, 3)).reshape(B, N, D)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_eva_block_kernel_matches_module_math():
+    """eva_attn_block_fused (whole-span kernel: q/k/v/out projections +
+    per-head LN + attention in one pallas call) equals the flax
+    EvaAttention path fed the SAME params (interpret mode)."""
+    from uni_adapter_tpu.models.common import EvaAttention
+    from uni_adapter_tpu.ops.attention_pallas import eva_attn_block_fused
+
+    B, N, D, H = 2, 37, 128, 4
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32
+                    ).astype(jnp.bfloat16)
+    mod = EvaAttention(D, H)
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
+    want = mod.apply(params, x)
+    pp = params["params"]
+    got = eva_attn_block_fused(
+        x, pp["q_proj"]["kernel"], pp["q_proj"]["bias"],
+        pp["k_proj"]["kernel"], pp["v_proj"]["kernel"],
+        pp["v_proj"]["bias"], pp["q_norm"]["scale"], pp["q_norm"]["bias"],
+        pp["k_norm"]["scale"], pp["k_norm"]["bias"],
+        pp["proj"]["kernel"], pp["proj"]["bias"], num_heads=H,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_eva_block_param_holders_identical_tree():
+    """The use_pallas_block branch creates a param tree byte-identical to
+    the Dense/LN branch — same names, shapes, AND initial values (flax
+    path-derived RNG), so checkpoints and the converter are agnostic."""
+    from uni_adapter_tpu.models.common import EvaAttention
+
+    B, N, D, H = 1, 9, 64, 2
+    x = jnp.zeros((B, N, D), jnp.bfloat16)
+    p_ref = jax.jit(EvaAttention(D, H).init)(jax.random.PRNGKey(3), x)
+    p_blk = jax.jit(EvaAttention(D, H, use_pallas_block=True).init)(
+        jax.random.PRNGKey(3), x)
+    flat_ref = jax.tree_util.tree_flatten_with_path(p_ref)[0]
+    flat_blk = jax.tree_util.tree_flatten_with_path(p_blk)[0]
+    assert [jax.tree_util.keystr(k) for k, _ in flat_ref] == \
+        [jax.tree_util.keystr(k) for k, _ in flat_blk]
+    for (_, a), (_, b) in zip(flat_ref, flat_blk):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -78,6 +78,14 @@ class ModelConfig:
     # FASTER with plain XLA attention — enable for the small trunks only.
     # Off by default: TPU-only (no CPU lowering).
     use_pallas_attention: bool = False
+    # Whole-span EVA attention kernel (ops/attention_pallas.
+    # eva_attn_block_fused): q/k/v/out projections + per-head LN +
+    # attention in ONE pallas call, projection weights VMEM-resident —
+    # collapses the kernel boundary that made the span-only kernel lose
+    # end-to-end on Uni3D (BASELINE.md round 5).  Uni3D trunk only;
+    # TPU-only (no CPU lowering).  Off by default until the on-device A/B
+    # decides.
+    use_pallas_attn_block: bool = False
     # approx_max_k kNN (TPU partial reduce, recall_target 0.99 — measured
     # recall 1.0 on benchmark point distributions); default exact top_k
     approx_knn: bool = False

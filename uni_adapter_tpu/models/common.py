@@ -195,6 +195,36 @@ class ViTAttention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Param-holder with nn.Dense's exact tree (kernel/bias, same names,
+    shapes, and initialisers) for kernels that consume the weights as
+    arrays instead of applying the layer — the flax path-derived RNG makes
+    the values identical to what nn.Dense at the same path would draw."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        b = (self.param("bias", nn.initializers.zeros_init(),
+                        (self.features,)) if self.use_bias else None)
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Param-holder matching nn.LayerNorm's tree (scale/bias)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones_init(),
+                       (self.features,))
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,))
+        return g, b
+
+
 class EvaAttention(nn.Module):
     """EVA02 attention: separate q/k/v projections + per-head q/k LayerNorm.
 
@@ -206,6 +236,7 @@ class EvaAttention(nn.Module):
     use_qk_norm: bool = True
     quantize: bool = False
     use_pallas: bool = False
+    use_pallas_block: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -213,6 +244,24 @@ class EvaAttention(nn.Module):
         dense = make_dense(self.quantize)
         hd = self.dim // self.num_heads
         B, N = x.shape[0], x.shape[1]
+        if (self.use_pallas_block and not return_attn and not self.quantize
+                and self.use_qk_norm):
+            # Whole-span kernel (round-5 cont.): q/k/v/out projections +
+            # per-head LN + attention in ONE pallas call — the param tree
+            # stays byte-identical to the Dense/LN path (holders above),
+            # so checkpoints and the converter see no difference.
+            from uni_adapter_tpu.ops.attention_pallas import (
+                eva_attn_block_fused)
+
+            wq, bq = _DenseParams(self.dim, True, name="q_proj")(self.dim)
+            wk, _ = _DenseParams(self.dim, False, name="k_proj")(self.dim)
+            wv, bv = _DenseParams(self.dim, True, name="v_proj")(self.dim)
+            gq, bqh = _LNParams(hd, name="q_norm")()
+            gk, bkh = _LNParams(hd, name="k_norm")()
+            wo, bo = _DenseParams(self.dim, True, name="proj")(self.dim)
+            return eva_attn_block_fused(
+                x.astype(self.dtype), wq, bq, wk, wv, bv, gq, bqh, gk, bkh,
+                wo, bo, num_heads=self.num_heads, scale=hd ** -0.5)
         q = dense(self.dim, use_bias=True, dtype=self.dtype, name="q_proj")(x)
         k = dense(self.dim, use_bias=False, dtype=self.dtype, name="k_proj")(x)
         v = dense(self.dim, use_bias=True, dtype=self.dtype, name="v_proj")(x)
@@ -326,12 +375,14 @@ class EvaBlock(nn.Module):
     mlp_ratio: float = 4 * 2 / 3
     quantize: bool = False
     use_pallas_attention: bool = False
+    use_pallas_attn_block: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, return_attn=False):
         a = EvaAttention(self.dim, self.num_heads, quantize=self.quantize,
                          use_pallas=self.use_pallas_attention,
+                         use_pallas_block=self.use_pallas_attn_block,
                          dtype=self.dtype, name="attn")(
             LN(dtype=self.dtype, name="norm1")(x),
             return_attn=return_attn)

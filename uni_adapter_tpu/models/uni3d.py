@@ -87,6 +87,7 @@ class PointcloudEncoder(nn.Module):
     use_pallas_knn_gather: bool = False
     quantize: bool = False      # int8 MXU trunk (opt-in, beyond parity)
     use_pallas_attention: bool = False
+    use_pallas_attn_block: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -123,6 +124,7 @@ class PointcloudEncoder(nn.Module):
                          mlp_ratio=self.mlp_ratio,
                          quantize=self.quantize,
                          use_pallas_attention=self.use_pallas_attention,
+                         use_pallas_attn_block=self.use_pallas_attn_block,
                          dtype=self.dtype,
                          name=f"blocks_{i}")(x, return_attn=return_attn)
             if return_attn:
@@ -153,6 +155,7 @@ class Uni3D(nn.Module):
     use_pallas_knn_gather: bool = False
     quantize: bool = False
     use_pallas_attention: bool = False
+    use_pallas_attn_block: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -165,7 +168,9 @@ class Uni3D(nn.Module):
             use_pallas_knn=self.use_pallas_knn,
             use_pallas_knn_gather=self.use_pallas_knn_gather,
             quantize=self.quantize,
-            use_pallas_attention=self.use_pallas_attention, dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
+            use_pallas_attn_block=self.use_pallas_attn_block,
+            dtype=self.dtype,
             name="point_encoder",
         )(xyz, color, return_attn=return_attn)
         if return_attn:
@@ -188,5 +193,6 @@ def create_uni3d(cfg, dtype: Optional[jnp.dtype] = None) -> Uni3D:
         use_pallas_knn_gather=cfg.use_pallas_knn_gather,
         quantize=cfg.quantize_int8,
         use_pallas_attention=cfg.use_pallas_attention,
+        use_pallas_attn_block=getattr(cfg, "use_pallas_attn_block", False),
         dtype=dtype or jnp.dtype(cfg.compute_dtype),
     )

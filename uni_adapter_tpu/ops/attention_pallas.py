@@ -247,6 +247,122 @@ def _eva_fused_kernel(n_real: int, num_heads: int, scale: float, eps: float,
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
+def _eva_block_kernel(num_heads: int, scale: float, eps: float,
+                      xn_ref, wq_ref, bq_ref, wk_ref, wv_ref, bv_ref,
+                      gq_ref, bqh_ref, gk_ref, bkh_ref, wo_ref, bo_ref,
+                      o_ref):
+    # xn_ref/o_ref: (1, N, D) — post-norm1 tokens in / attention-side out.
+    # w*_ref: (D, D) with CONSTANT index maps — Mosaic keeps the four
+    # projection matrices resident in VMEM across the whole batch grid,
+    # so the q/k/v/attn-out intermediates never exist in HBM at all.
+    D = xn_ref.shape[2]
+    hd = D // num_heads
+    xn = xn_ref[0]                                   # (N, D) compute dtype
+    dt = xn.dtype
+
+    def proj(w_ref, b_ref):
+        # nn.Dense semantics at the model compute dtype: bf16 operands,
+        # fp32 MXU accumulation, round to bf16, then add the bf16 bias
+        y = jax.lax.dot_general(xn, w_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y.astype(dt)
+        return y if b_ref is None else y + b_ref[0, :][None, :].astype(dt)
+
+    q = proj(wq_ref, bq_ref)
+    k = proj(wk_ref, None)                           # k_proj has no bias
+    v = proj(wv_ref, bv_ref)
+    gq = gq_ref[0, :].astype(jnp.float32)
+    bq = bqh_ref[0, :].astype(jnp.float32)
+    gk = gk_ref[0, :].astype(jnp.float32)
+    bk = bkh_ref[0, :].astype(jnp.float32)
+
+    def ln(x, g, b):
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * g[None, :] + b[None, :]
+
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = ln(q[:, sl].astype(jnp.float32), gq, bq).astype(dt)
+        kh = ln(k[:, sl].astype(jnp.float32), gk, bk).astype(dt)
+        # N here is the true token count (no HBM-side padding; Mosaic masks
+        # its own ragged sublane tail) — no key-pad mask needed
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp((s - m) * scale)
+        o = jax.lax.dot_general(p.astype(dt), v[:, sl],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        outs.append(o / jnp.sum(p, axis=1, keepdims=True))
+    cat = jnp.concatenate(outs, axis=1).astype(dt)   # (N, D)
+    out = jax.lax.dot_general(cat, wo_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = (out.astype(dt) + bo_ref[0, :][None, :].astype(dt)
+                ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "eps",
+                                             "interpret"))
+def eva_attn_block_fused(xn: jax.Array,
+                         wq: jax.Array, bq: jax.Array, wk: jax.Array,
+                         wv: jax.Array, bv: jax.Array,
+                         gq: jax.Array, bqh: jax.Array,
+                         gk: jax.Array, bkh: jax.Array,
+                         wo: jax.Array, bo: jax.Array,
+                         *, num_heads: int, scale: float | None = None,
+                         eps: float = 1e-5,
+                         interpret: bool = False) -> jax.Array:
+    """The ENTIRE EVA attention side — q/k/v projections, per-head q/k
+    LayerNorm, softmax(QKᵀ·scale)·V, out-projection — as ONE kernel over
+    the natural (B, N, D) layout.
+
+    Round-5 lesson (BASELINE.md): a kernel covering only the LN+attention
+    span wins standalone (1.21 vs 2.05 ms at (30, 513, 1024)×16h) yet
+    LOSES end-to-end on Uni3D — XLA's fusion across the whole EVA block is
+    worth more than the kernel saves at its boundaries.  Pulling the four
+    projection matmuls inside collapses the boundary to xn-in / a-out:
+    the q/k/v/attn-out intermediates (4 × 30 MB HBM round-trips per block)
+    vanish, the weights sit VMEM-resident across the batch grid, and the
+    ops XLA keeps (norm1 prologue, residual epilogue) are exactly the ones
+    it can still fuse.
+
+    Args:
+      xn: (B, N, D) post-norm1 tokens (N = true token count, unpadded).
+      wq/wk/wv/wo: (D, D) projection kernels (nn.Dense layout, in×out).
+      bq/bv/bo: (D,) biases (k_proj has none — EVA02 semantics).
+      gq/bqh/gk/bkh: (hd,) per-head q/k LayerNorm scale/bias.
+    Returns:
+      (B, N, D) attention-side output `a` (caller adds the residual),
+      dtype of xn.
+    """
+    B, N, D = xn.shape
+    hd = D // num_heads
+    scale = float(scale if scale is not None else hd ** -0.5)
+    dt = xn.dtype
+    wspec = pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, hd), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    cast = lambda a: a.astype(dt)
+    row = lambda a: a.reshape(1, -1)
+    return pl.pallas_call(
+        functools.partial(_eva_block_kernel, num_heads, scale, eps),
+        grid=(B,),
+        in_specs=[spec, wspec, dspec, wspec, wspec, dspec,
+                  hspec, hspec, hspec, hspec, wspec, dspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xn, cast(wq), row(cast(bq)), cast(wk), cast(wv), row(cast(bv)),
+      row(gq), row(bqh), row(gk), row(bkh), cast(wo), row(cast(bo)))
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "eps",
                                              "interpret"))
 def eva_attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
